@@ -1,0 +1,1 @@
+from cupertino_nvr_spark.operators.joins import asof_join, latest_per_key  # noqa: F401

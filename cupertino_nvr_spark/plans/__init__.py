@@ -1,0 +1,4 @@
+from cupertino_nvr_spark.plans.registry import REGISTRY, QuerySpec, register, all_queries, all_oracles  # noqa: F401
+
+# Importing the plan modules populates REGISTRY.
+from cupertino_nvr_spark.plans import flagship  # noqa: F401,E402

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` but every conf choice is made for the
+1000-executor / 100 TB posture: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), UTC session timezone (deterministic
+timestamp semantics vs the DuckDB oracle), Arrow enabled for the
+Pandas-UDF slow path, and shuffle partitions sized to the environment
+rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cupertino_nvr_spark") -> SparkSession:
+    """Build (or fetch) the session.
+
+    Honours ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
+    bench harness and pytest share one code path. On a real cluster the
+    master/memory settings come from spark-submit and these local-mode
+    settings are inert.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Sized for local[32]; on a cluster this should track 2-3x total cores.
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # testdata events.ts is TIMESTAMP(NANOS); read as long, loader converts
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,34 @@
+"""Every registered query hash-matches its DuckDB oracle at sf0.001 —
+the same check the driver runs at sf0.01 (tests/test_registry_oracle_sf001
+keeps the loop fast; run with SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
+before a round ends to rehearse the real gate)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cupertino_nvr_spark.plans import REGISTRY
+from tests.oracle_utils import compare, duckdb_run
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+ORACLE_SPECS = sorted(name for name, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_SPECS = sorted(name for name, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_oracle_match(spark, name):
+    spec = REGISTRY[name]
+    result = spec.spark(spark, SF_DIR)
+    expected = duckdb_run(spec.oracle, SF_DIR)
+    compare(result, expected)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_SPECS)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    result = spec.spark(spark, SF_DIR)
+    assert result.count() >= 0
+    assert len(result.schema) > 0

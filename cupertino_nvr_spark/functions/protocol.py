@@ -22,6 +22,6 @@ def topic_for_source(source_id: Column, prefix: str = DEFAULT_PREFIX) -> Column:
 
 
 def parse_source_id(topic: Column) -> Column:
-    """Last path segment as int; NULL when not an integer (cast semantics
-    match the reference's catch-ValueError→None)."""
-    return F.element_at(F.split(topic, "/"), -1).cast("int")
+    """Last path segment as int; NULL when not an integer (try_cast matches
+    the reference's catch-ValueError→None; plain cast throws under ANSI)."""
+    return F.element_at(F.split(topic, "/"), -1).try_cast("int")

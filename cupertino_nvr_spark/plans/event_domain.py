@@ -1,0 +1,383 @@
+"""Event-domain queries — the reference's processor/wall projection chain
+(SURVEY §2.2-2.3, §5.2.2) on deterministic synthetic detection events.
+
+The detection-event fixtures (FIXTURES.md §B1) are derived from the
+``events`` table with pure column arithmetic, so the DuckDB oracle can
+reproduce them exactly: every value is a deterministic IEEE expression of
+``event_id`` / ``user_id`` / ``value``. The Spark side builds the *nested*
+DetectionEvent (array of detection structs, as the real engine would) and
+flattens at the end; the oracle computes the flat columns directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.functions.geometry import bbox_corners
+from cupertino_nvr_spark.functions.labels import detection_label
+from cupertino_nvr_spark.functions.protocol import parse_source_id, topic_for_source
+from cupertino_nvr_spark.operators.joins import latest_per_key
+from cupertino_nvr_spark.plans.registry import register
+from cupertino_nvr_spark.sources.tables import load_table
+
+# class mapping: event_type -> detection class (deterministic enrichment,
+# the synthetic stand-in for U1 model inference)
+CLASS_MAP = {
+    "view": "person",
+    "click": "car",
+    "purchase": "truck",
+    "signup": "bicycle",
+    "error": "dog",
+}
+
+_CLASS_CASE_SQL = (
+    "CASE event_type WHEN 'view' THEN 'person' WHEN 'click' THEN 'car' "
+    "WHEN 'purchase' THEN 'truck' WHEN 'signup' THEN 'bicycle' ELSE 'dog' END"
+)
+
+
+def synthetic_detection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table -> nested DetectionEvent rows (schema of SURVEY §1.2).
+
+    One event per row with a single-element detections array; the
+    multi-detection variant is built where a query needs it.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    class_name = F.coalesce(
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in CLASS_MAP.items()]
+    )
+    # integer/100 -> exact 2-decimal double: %.2f formatting can never hit
+    # a rounding tie (Java shortest-repr vs C exact-binary disagree on ties)
+    confidence = (F.col("event_id") % 101) / 100.0
+    bbox = F.struct(
+        (100.0 + F.col("value") % 500).alias("x"),
+        (150.0 + F.col("value") % 300).alias("y"),
+        (80.0 + F.col("value") % 40).alias("width"),
+        (200.0 + F.col("value") % 100).alias("height"),
+    )
+    tracker_id = F.when(
+        F.col("event_id") % 3 != 0, (F.col("event_id") % 1000).cast("int")
+    )
+    detection = F.struct(
+        class_name.alias("class_name"),
+        confidence.alias("confidence"),
+        bbox.alias("bbox"),
+        tracker_id.alias("tracker_id"),
+    )
+    return ev.select(
+        F.concat(F.lit("processor-"), F.lpad((F.col("user_id") % 4).cast("string"), 2, "0")).alias("instance_id"),
+        (F.col("user_id") % 8).cast("int").alias("source_id"),
+        F.col("event_id").alias("frame_id"),
+        F.col("ts").alias("timestamp"),
+        F.lit("yolov8x-640").alias("model_id"),
+        (F.col("value") / 10.0).alias("inference_time_ms"),
+        F.array(detection).alias("detections"),
+        F.when(F.col("event_id") % 5 != 0, 25.0 + F.col("value") % 10).alias("fps"),
+        F.col("value").alias("latency_ms"),
+    )
+
+
+# Shared oracle prefix deriving the same flat values.
+_SYNTH_SQL = f"""
+  SELECT event_id AS frame_id,
+         'processor-' || lpad(CAST(user_id % 4 AS VARCHAR), 2, '0') AS instance_id,
+         CAST(user_id % 8 AS INT) AS source_id,
+         ts AS "timestamp",
+         'yolov8x-640' AS model_id,
+         value / 10.0 AS inference_time_ms,
+         {_CLASS_CASE_SQL} AS class_name,
+         (event_id % 101) / 100.0 AS confidence,
+         100.0 + value % 500 AS bx,
+         150.0 + value % 300 AS by,
+         80.0 + value % 40 AS bw,
+         200.0 + value % 100 AS bh,
+         CASE WHEN event_id % 3 <> 0 THEN CAST(event_id % 1000 AS INT) END AS tracker_id,
+         CASE WHEN event_id % 5 <> 0 THEN 25.0 + value % 10 END AS fps,
+         value AS latency_ms
+  FROM events
+"""
+
+
+@register(
+    "detection_projection",
+    f"""
+    WITH synth AS ({_SYNTH_SQL})
+    SELECT frame_id, instance_id, source_id, "timestamp", model_id,
+           inference_time_ms, class_name, confidence, tracker_id,
+           bx - bw/2 AS x1, by - bh/2 AS y1,
+           bx + bw/2 AS x2, by + bh/2 AS y2,
+           CASE WHEN tracker_id IS NOT NULL
+                THEN printf('%s %.2f #%d', class_name, confidence, tracker_id)
+                ELSE printf('%s %.2f', class_name, confidence) END AS label,
+           'nvr/detections/' || CAST(source_id AS VARCHAR) AS topic
+    FROM synth
+    """,
+    doc="P1+P3+P5+P6 chain: prediction→event projection, bbox corners, label synthesis, topic encode",
+)
+def detection_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = synthetic_detection_events(spark, sf_dir)
+    d = F.col("det")
+    exploded = de.select(
+        "frame_id",
+        "instance_id",
+        "source_id",
+        "timestamp",
+        "model_id",
+        "inference_time_ms",
+        F.explode("detections").alias("det"),
+    )
+    corners = bbox_corners(d["bbox"])
+    return exploded.select(
+        "frame_id",
+        "instance_id",
+        "source_id",
+        "timestamp",
+        "model_id",
+        "inference_time_ms",
+        d["class_name"].alias("class_name"),
+        d["confidence"].alias("confidence"),
+        d["tracker_id"].alias("tracker_id"),
+        corners["x1"].alias("x1"),
+        corners["y1"].alias("y1"),
+        corners["x2"].alias("x2"),
+        corners["y2"].alias("y2"),
+        detection_label(d["class_name"], d["confidence"], d["tracker_id"]).alias("label"),
+        topic_for_source(F.col("source_id")).alias("topic"),
+    )
+
+
+@register(
+    "topic_codec",
+    """
+    WITH topics AS (
+      SELECT event_id,
+             CASE WHEN event_id % 4 <> 0
+                  THEN 'nvr/detections/' || CAST(CAST(user_id % 8 AS INT) AS VARCHAR)
+                  ELSE 'nvr/detections/' || event_type END AS topic
+      FROM events
+    )
+    SELECT event_id, topic,
+           TRY_CAST(string_split(topic, '/')[-1] AS INT) AS parsed_source_id
+    FROM topics
+    """,
+    doc="P6 topic encode/decode inverse incl. failure→NULL (protocol.py:49-55 semantics)",
+)
+def topic_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    topic = F.when(
+        F.col("event_id") % 4 != 0,
+        topic_for_source((F.col("user_id") % 8).cast("int")),
+    ).otherwise(F.concat(F.lit("nvr/detections/"), F.col("event_type")))
+    return ev.select(
+        "event_id",
+        topic.alias("topic"),
+    ).withColumn("parsed_source_id", parse_source_id(F.col("topic")))
+
+
+@register(
+    "validation_dead_letter",
+    f"""
+    WITH synth AS ({_SYNTH_SQL}),
+    checked AS (
+      SELECT frame_id,
+             confidence * 1.3 AS conf2,
+             CASE WHEN frame_id % 17 = 0 THEN -1 ELSE source_id END AS src,
+             CASE WHEN frame_id % 23 = 0 THEN '' ELSE model_id END AS mid
+      FROM synth
+    )
+    SELECT frame_id,
+           CASE
+             WHEN conf2 < 0 OR conf2 > 1 THEN 'confidence_out_of_range'
+             WHEN src < 0 THEN 'negative_source_id'
+             WHEN trim(mid) = '' THEN 'empty_model_id'
+           END AS reject_reason,
+           (conf2 >= 0 AND conf2 <= 1 AND src >= 0 AND trim(mid) <> '') AS is_valid
+    FROM checked
+    """,
+    doc="F6 schema-validation predicates with dead-letter reason (validators.py tables)",
+)
+def validation_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = synthetic_detection_events(spark, sf_dir)
+    checked = de.select(
+        "frame_id",
+        (F.element_at("detections", 1)["confidence"] * 1.3).alias("conf2"),
+        F.when(F.col("frame_id") % 17 == 0, F.lit(-1))
+        .otherwise(F.col("source_id"))
+        .alias("src"),
+        F.when(F.col("frame_id") % 23 == 0, F.lit("")).otherwise(F.col("model_id")).alias("mid"),
+    )
+    reason = (
+        F.when(
+            (F.col("conf2") < 0) | (F.col("conf2") > 1), "confidence_out_of_range"
+        )
+        .when(F.col("src") < 0, "negative_source_id")
+        .when(F.trim(F.col("mid")) == "", "empty_model_id")
+    )
+    valid = (
+        (F.col("conf2") >= 0)
+        & (F.col("conf2") <= 1)
+        & (F.col("src") >= 0)
+        & (F.trim(F.col("mid")) != "")
+    )
+    return checked.select(
+        "frame_id", reason.alias("reject_reason"), valid.alias("is_valid")
+    )
+
+
+@register(
+    "confidence_array_filter",
+    """
+    SELECT event_id,
+           CAST((CASE WHEN (value % 100) / 100.0 >= 0.5 THEN 1 ELSE 0 END)
+              + (CASE WHEN ((value * 2) % 100) / 100.0 >= 0.5 THEN 1 ELSE 0 END)
+              + (CASE WHEN ((value * 3) % 100) / 100.0 >= 0.5 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           3 AS n_total
+    FROM events
+    """,
+    doc="F1 per-element confidence threshold via array filter() (no explode, no shuffle)",
+)
+def confidence_array_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dets = F.array(
+        *[
+            F.struct(((F.col("value") * m) % 100 / 100.0).alias("confidence"))
+            for m in (1, 2, 3)
+        ]
+    )
+    kept = F.filter(dets, lambda d: d["confidence"] >= 0.5)
+    return ev.select(
+        "event_id",
+        F.size(kept).alias("n_kept"),
+        F.size(dets).alias("n_total"),
+    )
+
+
+@register(
+    "command_target_filter",
+    """
+    SELECT event_id,
+           CASE event_id % 4
+             WHEN 0 THEN ['*']
+             WHEN 1 THEN []
+             WHEN 2 THEN ['processor-00', 'processor-01']
+             ELSE ['other'] END AS target_instances,
+           (event_id % 4 IN (0, 1)
+            OR list_contains(CASE event_id % 4
+                 WHEN 2 THEN ['processor-00', 'processor-01']
+                 ELSE ['other'] END, 'processor-01')) AS should_process
+    FROM events WHERE event_id % 6 = 0
+    """,
+    doc="F4 command target filter: broadcast ['*'] / empty / membership (control_plane.py:341-356)",
+)
+def command_target_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 6 == 0)
+    targets: Column = (
+        F.when(F.col("event_id") % 4 == 0, F.array(F.lit("*")))
+        .when(F.col("event_id") % 4 == 1, F.array().cast("array<string>"))
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.array(F.lit("processor-00"), F.lit("processor-01")),
+        )
+        .otherwise(F.array(F.lit("other")))
+    )
+    me = F.lit("processor-01")
+    tagged = ev.select("event_id", targets.alias("target_instances"))
+    should = (
+        F.array_contains("target_instances", "*")
+        | (F.size("target_instances") == 0)
+        | F.array_contains("target_instances", me)
+    )
+    return tagged.withColumn("should_process", should)
+
+
+@register(
+    "source_id_remap",
+    """
+    WITH mapping(idx, actual) AS (VALUES (0, 100), (1, 101), (2, 102), (3, 103)),
+    synth AS (SELECT event_id, CAST(user_id % 8 AS INT) AS source_idx FROM events)
+    SELECT s.event_id, s.source_idx,
+           coalesce(m.actual, s.source_idx) AS mapped_source_id
+    FROM synth s LEFT JOIN mapping m ON s.source_idx = m.idx
+    """,
+    doc="P2/J2 positional source-id remap: broadcast dim join with identity fallback (mqtt_sink.py:123-135)",
+)
+def source_id_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    mapping = spark.createDataFrame(
+        [(0, 100), (1, 101), (2, 102), (3, 103)], ["idx", "actual"]
+    )
+    synth = ev.select(
+        "event_id", (F.col("user_id") % 8).cast("int").alias("source_idx")
+    )
+    return (
+        synth.join(F.broadcast(mapping), synth.source_idx == mapping.idx, "left")
+        .select(
+            "event_id",
+            "source_idx",
+            F.coalesce(F.col("actual"), F.col("source_idx")).alias("mapped_source_id"),
+        )
+    )
+
+
+@register(
+    "per_source_latest_metrics",
+    f"""
+    WITH synth AS ({_SYNTH_SQL}),
+    latest AS (
+      SELECT source_id, fps, latency_ms FROM (
+        SELECT source_id, fps, latency_ms,
+               ROW_NUMBER() OVER (PARTITION BY source_id ORDER BY "timestamp" DESC, frame_id DESC) AS rn
+        FROM synth) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT source_id,
+             round(CAST(SUM(CAST(inference_time_ms AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*), 2) AS avg_inference_ms,
+             COUNT(*) AS n_frames
+      FROM synth GROUP BY source_id
+    )
+    SELECT s.source_id, s.avg_inference_ms, s.n_frames, l.fps AS last_fps,
+           l.latency_ms AS last_latency_ms,
+           printf('%dx%d', 640 * (1 + s.source_id % 2), 360 * (1 + s.source_id % 2)) AS resolution
+    FROM stats s JOIN latest l ON s.source_id = l.source_id
+    """,
+    doc="A3 per-source latest metrics + rounded averages + WxH resolution string (metrics_reporter.py:129-158)",
+)
+def per_source_latest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = synthetic_detection_events(spark, sf_dir)
+    # inference_time_ms = value/10 has 3 decimals exactly -> decimal(18,3) exact
+    stats = de.groupBy("source_id").agg(
+        F.round(
+            F.sum(F.col("inference_time_ms").cast("decimal(18,3)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("avg_inference_ms"),
+        F.count("*").alias("n_frames"),
+    )
+    latest = latest_per_key(
+        de.select("source_id", "timestamp", "frame_id", "fps", "latency_ms"),
+        key="source_id",
+        ts="timestamp",
+        tiebreak="frame_id",
+    ).select(
+        "source_id",
+        F.col("fps").alias("last_fps"),
+        F.col("latency_ms").alias("last_latency_ms"),
+    )
+    res = F.format_string(
+        "%dx%d",
+        (640 * (1 + F.col("source_id") % 2)).cast("int"),
+        (360 * (1 + F.col("source_id") % 2)).cast("int"),
+    )
+    return (
+        stats.join(latest, "source_id")
+        .withColumn("resolution", res)
+        .select(
+            "source_id",
+            "avg_inference_ms",
+            "n_frames",
+            "last_fps",
+            "last_latency_ms",
+            "resolution",
+        )
+    )

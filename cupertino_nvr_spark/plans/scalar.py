@@ -1,0 +1,123 @@
+"""Scalar-function surface queries (SURVEY §2.8) + JSON + conditional/null.
+
+Exercises the string / math / JSON / conditional functions the reference
+uses, as Catalyst column expressions over the test tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.plans.registry import register
+from cupertino_nvr_spark.sources.tables import load_table
+
+
+@register(
+    "string_functions",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 20)) AS head_upper,
+           length(text) AS text_len,
+           len(string_split(text, ' ')) AS n_tokens,
+           replace(substr(text, 1, 30), ' ', '_') AS snake_head,
+           concat_ws('|', lang, source) AS lang_source,
+           lpad(CAST(n_chars AS VARCHAR), 6, '0') AS padded_len,
+           trim(substr(text, 1, 10)) AS trimmed_head
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    doc="§2.8 string surface: upper/substr/length/split/replace/concat_ws/lpad/trim",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 20)).alias("head_upper"),
+        F.length("text").alias("text_len"),
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
+        F.replace(
+            F.substring("text", 1, 30), F.lit(" "), F.lit("_")
+        ).alias("snake_head"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.lpad(F.col("n_chars").cast("string"), 6, "0").alias("padded_len"),
+        F.trim(F.substring("text", 1, 10)).alias("trimmed_head"),
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS missing_val
+    FROM events WHERE event_id % 3 = 0
+    """,
+    doc="§2.8 JSON: get_json_object path extraction with NULL on absent key",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 3 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.missing").cast("int").alias("missing_val"),
+    )
+
+
+@register(
+    "conditional_bucketing",
+    """
+    SELECT event_id,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS value_band,
+           coalesce(nullif(event_type, 'error'), '(err)') AS safe_type,
+           CASE WHEN value >= 100 THEN value ELSE NULL END AS big_value,
+           least(value, 100.0) AS capped,
+           greatest(value, 10.0) AS floored
+    FROM events WHERE event_id % 2 = 0
+    """,
+    doc="§2.8 conditional/null surface: CASE, coalesce, nullif, least/greatest",
+)
+def conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 2 == 0)
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+        .alias("value_band"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("(err)")).alias(
+            "safe_type"
+        ),
+        F.when(F.col("value") >= 100, F.col("value")).alias("big_value"),
+        F.least("value", F.lit(100.0)).alias("capped"),
+        F.greatest("value", F.lit(10.0)).alias("floored"),
+    )
+
+
+@register(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 0.001, 2) AS price_k,
+           round(l_quantity / 2, 2) AS half_qty,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           abs(l_discount - 0.05) AS disc_dist,
+           CAST(l_quantity AS INT) AS qty_int
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    """,
+    doc="§2.8 math surface: round/floor/ceil/abs/cast-truncate (x1000 scaling etc.)",
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 13 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.001, 2).alias("price_k"),
+        F.round(F.col("l_quantity") / 2, 2).alias("half_qty"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_bucket"),
+        F.ceil(F.col("l_quantity") / 7).cast("bigint").alias("qty_bucket"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )

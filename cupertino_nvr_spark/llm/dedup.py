@@ -1,0 +1,213 @@
+"""Deduplication operators: exact, MinHash(+LSH), SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each variant):
+
+- **Exact / fingerprint dedup** — hash-groupBy on a digest column. One
+  shuffle on the digest; map-side partial aggregation makes the reduce side
+  tiny. The only correct answer for byte-identical dups.
+- **n-gram Jaccard** — the *relational* formulation (shingle → explode →
+  self-join on shingle → pair-count) rather than the quadratic all-pairs
+  loop: cost is sum over shingles of (docs sharing it)², which posting-list
+  length caps keep bounded. Still the expensive exact path; use it to
+  verify candidates, not to generate them.
+- **MinHash + LSH banding** — the scale path for near-dup at 100 TB:
+  signature is k mins over shingle hashes (linear scan, no pairs), banding
+  turns "similar" into "equal band key", so candidate generation is an
+  equi-join Spark executes as a hash join. Only candidates pay the exact
+  Jaccard check.
+- **SimHash** — one 64-bit (here 16-bit for oracle tractability) signature
+  per doc; near-dup = small Hamming distance. Signature build is a single
+  explode + groupBy-sum, fully JVM-side.
+
+Hashing: the oracle-checked queries use md5-derived integers (identical in
+Spark and DuckDB); ``hash_fn='xxhash64'`` switches to the cheaper JVM
+xxhash64 for production use (no cross-engine oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.llm.text import ws_tokens
+
+
+def md5_int(col: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit integer hash reproducible in DuckDB:
+    first 15 hex chars of md5(concat(seed, ':', value))."""
+    payload = F.concat(F.lit(str(seed)), F.lit(":"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def hash_int(col: Column, seed: int = 0, hash_fn: str = "md5") -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    return md5_int(col, seed)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (set semantics, as Jaccard requires)."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by digest; keep the lowest id as canonical."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """One row per doc: id + h0..h{n-1} minhash values.
+
+    Linear in total shingle count — shingles stay inside an array column,
+    each hash is a ``transform`` + ``array_min``; no explode, no shuffle.
+    """
+    shingles = word_shingles(F.col(text_col), shingle_k)
+
+    def hasher(seed: int):
+        # single-arg lambda only: F.transform passes the ARRAY INDEX to a
+        # second lambda parameter, so `lambda s, j=j` silently rebinds the
+        # seed per element
+        return lambda s: hash_int(s, seed, hash_fn)
+
+    cols = [F.col(id_col)]
+    for j in range(num_hashes):
+        cols.append(F.array_min(F.transform(shingles, hasher(j))).alias(f"h{j}"))
+    return df.select(*cols)
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Banding: docs sharing any band of the signature become a candidate
+    pair. Equi-join on (band_idx, band_key) — a plain shuffled hash join.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-doc SimHash signature over distinct whitespace tokens.
+
+    bit b of the signature = sign of sum over tokens of ±1 depending on bit
+    b of the token hash. Explode + single groupBy — one shuffle keyed by id.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("th", hash_int(F.col("tok"), 0, hash_fn))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via the relational (posting-list)
+    formulation. ``block_col`` restricts pairs to the same block — at scale
+    you never run this unblocked."""
+    shingled = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    common = (
+        a.join(b, join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return out

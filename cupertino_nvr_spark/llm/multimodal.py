@@ -1,0 +1,84 @@
+"""Multimodal column conventions: opaque binary payloads + typed metadata.
+
+Media travel as ``binary`` columns with a typed metadata struct
+(``schemas.MEDIA_SCHEMA``); transforms run as Arrow-batched pandas
+iterators over ``mapInPandas`` so payload bytes never round-trip through
+Python row objects. Decode-to-pixels/samples requires codec libraries that
+are absent in this container, so the decode kernel is STUBBED with a
+deterministic byte-level fake — the Spark-side plumbing (schema, batch
+iteration, partitioning) is real and tested; swap ``_decode_stub`` for a
+real PIL/ffmpeg call in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pandas only inside the UDF at runtime
+    import pandas as pd
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
+        T.StructField("first_byte", T.IntegerType(), True),
+        T.StructField("byte_checksum", T.LongType(), True),
+    ]
+)
+
+
+def _decode_stub(payload: bytes | None) -> dict:
+    """Deterministic fake 'decode': byte-level features standing in for a
+    real image/audio decoder (NotImplemented in this container)."""
+    if payload is None:
+        return {"payload_bytes": None, "first_byte": None, "byte_checksum": None}
+    return {
+        "payload_bytes": len(payload),
+        "first_byte": payload[0] if payload else None,
+        "byte_checksum": sum(payload) % 1_000_003,
+    }
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps each partition a stream of pandas batches —
+    payloads stay in Arrow buffers until the kernel touches them, and the
+    output schema is fixed so downstream plans don't depend on the kernel.
+    """
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = pdf["payload"].map(_decode_stub)
+            out = pd.DataFrame(list(feats))
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "kind", pdf["kind"].values)
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: float = 1000.0) -> DataFrame:
+    """Frame-sampling *plan* for video payloads: one row per frame to
+    sample, computed from metadata only (no decode): JVM-side sequence/
+    explode, so the expensive decode fans out across executors with the
+    sampled frame list already partitioned."""
+    n_frames = F.greatest(
+        F.ceil(F.col("duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .withColumn("sample_at_ms", F.col("frame_idx") * F.lit(every_ms))
+    )

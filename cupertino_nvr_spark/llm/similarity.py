@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same contract (probe id -> top-k neighbor ids):
+
+- **Brute-force cosine top-k** — the correctness baseline. Dot products are
+  pure column expressions (``zip_with`` + ``aggregate``), evaluated
+  JVM-side; the probe set is broadcast so the big side streams through one
+  scan, and per-probe ranking is a window over (probe, rounded-sim) — no
+  all-pairs materialization beyond the probe×corpus product itself, which
+  is the definition of brute force.
+- **Random-hyperplane LSH ANN** — the 100 TB path: 8 deterministic
+  hyperplane sign bits bucket the corpus (one scan), candidates come from
+  an equi-join on bucket id, and only candidates pay the exact dot product.
+  Recall < 1 by construction; rows-only checked (the driver contract's
+  weaker check) since the bucketing has no tractable ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right IEEE sum — matches a scalar loop."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double(a: Column) -> Column:
+    return a.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe (excluding itself).
+
+    Similarity is rounded before ranking so ordering is reproducible across
+    engines; ties break on neighbor id.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    )
+    scored = (
+        F.broadcast(p)
+        .join(c, F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pvec"), F.col("cvec")), sim_decimals).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weight of dimension d is a
+    triangle-mapped hash of (plane, d) in [-1, 1]. Pure function — every
+    executor and every run derives the identical planes, no driver state."""
+    weights = []
+    for d in range(dim):
+        h = (plane * 1_000_003 + d * 7919 + 12345) % 2003
+        weights.append(h / 1001.0 - 1.0)
+    return weights
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-bit bucket id from ``n_planes`` fixed hyperplanes."""
+    bucket = None
+    for p in range(n_planes):
+        w = _hyperplane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in w]),
+                lambda v, wt: v * wt,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: bucket both sides, equi-join on bucket, exact
+    rerank within candidates. One corpus scan + hash join vs the brute
+    force cross product."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, n_planes))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        as_double(F.col(vec_col)).alias("pvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("pvec"), dim, n_planes))
+    cand = F.broadcast(p).join(c, on="bucket").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(cosine(F.col("pvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )

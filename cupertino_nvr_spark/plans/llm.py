@@ -1,0 +1,341 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing (BASELINE north star; SURVEY §7.3 M5).
+
+The raw ``documents`` corpus contains no duplicates, so dedup queries run
+over a deterministically *augmented* corpus both engines build identically:
+exact copies (doc_id%7, +1M), near copies with a tail marker (doc_id%11,
++2M), and upper-cased variants (doc_id%13, +3M). Exact dedup must catch
+only the first group, fingerprint dedup the first and third, MinHash/
+Jaccard all three.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.llm.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cupertino_nvr_spark.llm.multimodal import decode_features, frame_sample_plan
+from cupertino_nvr_spark.llm.similarity import brute_force_topk, lsh_ann_topk
+from cupertino_nvr_spark.llm.text import (
+    avg_token_len,
+    fingerprint,
+    predict_lang,
+    punct_ratio,
+    quality_score,
+    regex_tokens,
+    token_count,
+    ws_tokens,
+)
+from cupertino_nvr_spark.plans.registry import register
+from cupertino_nvr_spark.sources.tables import load_table
+
+TAIL = " duplicated tail marker"
+
+
+def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(TAIL)).alias("text"),
+        "lang",
+    )
+    cased = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+    )
+    return docs.unionByName(exact).unionByName(near).unionByName(cased)
+
+
+_AUG_SQL = f"""
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 2000000, text || '{TAIL}', lang FROM documents WHERE doc_id % 11 = 0
+  UNION ALL SELECT doc_id + 3000000, upper(text), lang FROM documents WHERE doc_id % 13 = 0
+"""
+
+# DuckDB word-3-gram shingle set (mirrors llm.dedup.word_shingles k=3)
+_SHINGLE_SQL = """
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM aug)
+"""
+
+
+def _md5_int_sql(expr: str, seed: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::UBIGINT AS BIGINT)"
+    )
+
+
+@register(
+    "docs_exact_dedup",
+    f"""
+    WITH aug AS ({_AUG_SQL})
+    SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM aug GROUP BY md5(text)
+    """,
+    doc="exact dedup: hash-groupBy on md5 digest, keep lowest id (map-side partial agg)",
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(augmented_docs(spark, sf_dir))
+
+
+@register(
+    "docs_fingerprint_dedup",
+    f"""
+    WITH aug AS ({_AUG_SQL})
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM aug GROUP BY 1
+    """,
+    doc="fingerprint dedup: case/whitespace-normalized digest catches cased variants",
+)
+def docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    return (
+        aug.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "docs_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars_actual,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), t -> length(t))) AS BIGINT) AS total_token_chars,
+           list_sum(list_transform(string_split_regex(trim(text), '\\s+'), t -> length(t)))
+             / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish regex tokenizers, char totals (pure codegen)",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    toks = ws_tokens(text)
+    total_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_ws_tokens"),
+        F.size(regex_tokens(text)).alias("n_bpe_tokens"),
+        F.length(text).alias("n_chars_actual"),
+        total_chars.cast("bigint").alias("total_token_chars"),
+        avg_token_len(text).alias("avg_token_len"),
+    )
+
+
+@register(
+    "docs_quality_lang",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> lower(t) IN ('der','die','das','und','ein'))) AS s_de,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> lower(t) IN ('the','a','of','and','to'))) AS s_en,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> lower(t) IN ('el','la','los','y','un'))) AS s_es,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> lower(t) IN ('le','la','et','un','des'))) AS s_fr,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> lower(t) IN ('de','le','shi','he','zai'))) AS s_zh,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) AS noise
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           least(n_tok / 50.0, 1.0) * least(s_en / 5.0, 1.0) * (1.0 - noise) AS quality,
+           noise AS punct_ratio
+    FROM scored
+    """,
+    doc="language-ID heuristic (stopword argmax, tie→lexicographic) + quality scoring",
+)
+def docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        predict_lang(text).alias("predicted_lang"),
+        quality_score(text, F.col("lang")).alias("quality"),
+        punct_ratio(text).alias("punct_ratio"),
+    )
+
+
+@register(
+    "docs_ngram_jaccard_pairs",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    doc="exact n-gram Jaccard near-dup via posting-list self-join (blocked by lang)",
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    return ngram_jaccard_pairs(aug, block_col="lang", threshold=0.5)
+
+
+@register(
+    "docs_minhash_lsh_candidates",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN({_md5_int_sql('shingle', j)}) AS h{j}" for j in range(8))}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON b.doc_id > a.doc_id AND (
+         (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3)
+      OR (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))
+    """,
+    doc="MinHash(8)+LSH(4 bands x 2) candidate pairs: signature scan + equi-join on band keys",
+)
+def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    return lsh_candidates(sigs, num_hashes=8, band_size=2)
+
+
+@register(
+    "docs_simhash",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_md5_int_sql('tok', 0)} AS th FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN v{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+    FROM votes
+    """,
+    doc="SimHash(16-bit) signatures: explode distinct tokens, one groupBy of bit votes",
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash(docs, bits=16, hash_fn="md5")
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM probes p JOIN embeddings c ON p.vec_id <> c.vec_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+      SELECT probe_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-5 ANN baseline: broadcast probes, one corpus scan",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, probes, k=5)
+
+
+@register(
+    "embedding_lsh_ann",
+    None,  # bucketing has no tractable SQL oracle; driver does rows-only
+    doc="LSH(8 hyperplanes) bucketed ANN: candidates from bucket equi-join, exact rerank",
+)
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_ann_topk(emb, probes, dim=64, k=5)
+
+
+@register(
+    "media_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS payload_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+    doc="multimodal: binary payload + typed metadata, Arrow-batched mapInPandas feature kernel (decode stubbed)",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10.0).alias("duration_ms"),
+    )
+    return decode_features(media).select(
+        "media_id", "kind", "payload_bytes", "first_byte"
+    )
+
+
+@register(
+    "media_frame_plan",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, greatest(CAST(ceil(n_chars * 10.0 / 1000.0) AS INT), 1))) AS frame_idx,
+           unnest(range(0, greatest(CAST(ceil(n_chars * 10.0 / 1000.0) AS INT), 1))) * 1000.0 AS sample_at_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+    doc="multimodal frame-sampling plan from metadata only (sequence+explode, no decode)",
+)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("n_chars") * 10.0).alias("duration_ms"),
+    ).filter(F.col("media_id") % 3 == 2)
+    return frame_sample_plan(media, every_ms=1000.0)

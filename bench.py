@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (computes every output
+column, no driver collect). The headline set covers scan+agg, multi-join,
+windows, the as-of join, sessionization, the event projection chain, and
+the LLM ops whose plans are built for scale (exact dedup, MinHash-LSH,
+bucketed ANN) — the quadratic correctness baselines (brute-force cosine,
+n-gram Jaccard) are deliberately not headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cupertino_nvr_spark.plans import REGISTRY  # noqa: E402
+from cupertino_nvr_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "asof_ttl_overlay",
+    "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority",
+    "latest_event_per_user",
+    "sessionize_events",
+    "trailing_user_activity",
+    "detection_projection",
+    "docs_exact_dedup",
+    "docs_token_stats",
+    "docs_minhash_lsh_candidates",
+    "embedding_lsh_ann",
+    "media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("cupertino_nvr_spark-bench")
+
+    # warm the JVM + parquet footer caches outside the timed region
+    REGISTRY["pricing_summary"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,20 @@ from pyspark.sql import functions as F
 from cupertino_nvr_spark.llm.text import ws_tokens
 
 
+# MinHash re-mix parameters: one expensive base hash per shingle, then
+# num_hashes affine transforms h_j(x) = (a_j*x + b_j) mod P over x = base
+# mod P (universal hashing).  P = 2^31-1 keeps a_j*x inside int64; the
+# constants are fixed Knuth-style multipliers so Spark and the DuckDB
+# oracle compute byte-identical signatures.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_affine(j: int) -> tuple[int, int]:
+    a = (2_654_435_761 * (j + 1)) % MINHASH_P
+    b = (40_503 * (j + 7) + 1) % MINHASH_P
+    return a, b
+
+
 def md5_int(col: Column, seed: int = 0) -> Column:
     """Deterministic 60-bit integer hash reproducible in DuckDB:
     first 15 hex chars of md5(concat(seed, ':', value))."""
@@ -46,7 +60,13 @@ def hash_int(col: Column, seed: int = 0, hash_fn: str = "md5") -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams (set semantics, as Jaccard requires)."""
+    """Distinct word k-grams (set semantics, as Jaccard requires).
+
+    NOTE: ``text``'s tokenization is referenced k times inside the lambda;
+    pass an already-materialized token *attribute* on hot paths (see
+    ``shingle_rows``) — higher-order functions run interpreted, and an
+    inlined split() subtree is re-evaluated per element.
+    """
     toks = ws_tokens(text)
     n = F.size(toks)
     grams = F.transform(
@@ -56,6 +76,33 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, extra...], shingle) exploded rows.
+
+    Two-step projection: tokens land as a real column first, so the
+    element_at references inside the shingle lambda hit one computed array
+    attribute instead of re-running split() per element (CollapseProject
+    would otherwise inline the split into every reference).
+    """
+    keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
+    toked = df.select(*keep, ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(shingle_k)]
+        ),
+    )
+    return toked.select(*keep, F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -80,21 +127,22 @@ def minhash_signature(
 ) -> DataFrame:
     """One row per doc: id + h0..h{n-1} minhash values.
 
-    Linear in total shingle count — shingles stay inside an array column,
-    each hash is a ``transform`` + ``array_min``; no explode, no shuffle.
+    One base hash per shingle (explode), then ``num_hashes`` affine
+    re-mixes mod MINHASH_P, min-aggregated per doc. Cost is linear in
+    total shingle count with a single map-side-combined shuffle keyed by
+    id — vs hashing every shingle ``num_hashes`` times, whose duplicated
+    expression trees also defeat codegen/CSE.
     """
-    shingles = word_shingles(F.col(text_col), shingle_k)
-
-    def hasher(seed: int):
-        # single-arg lambda only: F.transform passes the ARRAY INDEX to a
-        # second lambda parameter, so `lambda s, j=j` silently rebinds the
-        # seed per element
-        return lambda s: hash_int(s, seed, hash_fn)
-
-    cols = [F.col(id_col)]
+    shingled = shingle_rows(df, text_col, id_col, shingle_k).withColumn(
+        "base", F.pmod(hash_int(F.col("shingle"), 0, hash_fn), F.lit(MINHASH_P))
+    )
+    aggs = []
     for j in range(num_hashes):
-        cols.append(F.array_min(F.transform(shingles, hasher(j))).alias(f"h{j}"))
-    return df.select(*cols)
+        a, b = minhash_affine(j)
+        aggs.append(
+            F.min((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        )
+    return shingled.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidates(
@@ -178,10 +226,9 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity via the relational (posting-list)
     formulation. ``block_col`` restricts pairs to the same block — at scale
     you never run this unblocked."""
-    shingled = df.select(
-        F.col(id_col),
-        *([F.col(block_col)] if block_col else []),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    shingled = shingle_rows(
+        df, text_col, id_col, shingle_k,
+        extra_cols=(block_col,) if block_col else (),
     )
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = shingled.alias("a")

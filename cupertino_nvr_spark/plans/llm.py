@@ -15,8 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cupertino_nvr_spark.llm.dedup import (
+    MINHASH_P,
     exact_dedup,
     lsh_candidates,
+    minhash_affine,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
@@ -215,10 +217,13 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
+    based AS (
+      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
+    ),
     sig AS (
       SELECT doc_id,
-             {", ".join(f"MIN({_md5_int_sql('shingle', j)}) AS h{j}" for j in range(8))}
-      FROM sh GROUP BY doc_id
+             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
+      FROM based GROUP BY doc_id
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sig a JOIN sig b ON b.doc_id > a.doc_id AND (

@@ -1,0 +1,329 @@
+"""Control plane: command dispatch, dynamic reconfig with rollback, query
+lifecycle, observability (SURVEY §3.3, §2.9 T6/T7/T9/T10, §2.10 U3/U4).
+
+The reference runs an MQTT command topic into a registry of named handlers
+with an ack lifecycle — "received" before execution, "completed"/"error"
+after (``cupertino_nvr/processor/control_plane.py:260-314``) — and config
+changes follow backup -> mutate -> restart -> rollback-on-failure
+(``command_handlers.py:480-565``). Here the command stream is any
+DataFrame fed through ``ControlPlane.handle_command_batch`` (a foreachBatch
+handler); query lifecycle wraps ``StreamingQuery`` stop/rebuild/restart —
+the standard Structured Streaming reconfiguration pattern.
+
+Errors never crash the loop: unknown commands, bad params, and handler
+exceptions become "error" acks (``control_plane.py:316-339``).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """The mutable-by-command config surface (reference
+    ``processor/config.py:24-132``), as an immutable snapshot — updates
+    produce a new value so rollback is a pointer swap."""
+
+    model_id: str = "synthetic-detector-v1"
+    confidence_threshold: float = 0.5
+    max_fps: float | None = 1.0
+    streams: tuple[str, ...] = ()
+    metrics_interval_s: float = 10.0
+
+    def validated(self) -> "EngineConfig":
+        if not (0.0 <= self.confidence_threshold <= 1.0):
+            raise ValueError(f"confidence_threshold out of [0,1]: {self.confidence_threshold}")
+        if self.max_fps is not None and self.max_fps <= 0:
+            raise ValueError(f"max_fps must be positive: {self.max_fps}")
+        if self.metrics_interval_s < 0:
+            raise ValueError(f"metrics_interval_s must be >= 0: {self.metrics_interval_s}")
+        return self
+
+
+def targeted(target_instances: list[str] | None, instance_id: str) -> bool:
+    """Reference semantics (``control_plane.py:341-356``): None / empty /
+    ["*"] broadcast to everyone, else exact membership."""
+    if not target_instances:
+        return True
+    return "*" in target_instances or instance_id in target_instances
+
+
+class ControlPlane:
+    """Command registry + query lifecycle manager for one engine instance.
+
+    ``query_factory(config)`` builds-and-starts the data-plane query; the
+    control plane owns stop/rebuild/restart around it. Acks and status are
+    appended to driver-side lists (the S5/S6 side-output streams) — feed
+    them to a ``RetainedLatestStore`` or a real topic in deployment.
+    """
+
+    def __init__(
+        self,
+        instance_id: str,
+        config: EngineConfig,
+        query_factory: Callable[[EngineConfig], Any] | None = None,
+        clock: Callable[[], float] = time.time,
+    ) -> None:
+        self.instance_id = instance_id
+        self.config = config.validated()
+        self._query_factory = query_factory
+        self._query: Any = None
+        self._clock = clock
+        self._start_time = clock()
+        self._lock = threading.RLock()
+        self.paused = False
+        self.status = "starting"
+        self.acks: list[dict[str, Any]] = []
+        self.statuses: list[dict[str, Any]] = []
+        self._handlers: dict[str, Callable[[dict[str, str]], Any]] = {}
+        self._register_builtin_handlers()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        with self._lock:
+            if self._query_factory is not None:
+                self._query = self._query_factory(self.config)
+            self._set_status("running")
+
+    def stop(self) -> None:
+        with self._lock:
+            if self._query is not None:
+                self._query.stop()
+                self._query = None
+            self._set_status("stopped")
+
+    @property
+    def query(self) -> Any:
+        return self._query
+
+    def uptime_s(self) -> float:
+        return self._clock() - self._start_time
+
+    # -- command dispatch (the foreachBatch entry point) --------------------
+
+    def handle_command_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch handler over the command stream: rows ordered by ts,
+        target-filtered, each executed with the received/completed/error ack
+        lifecycle."""
+        rows = sorted(batch_df.collect(), key=lambda r: r["ts"])
+        for row in rows:
+            self.handle_command_row(row)
+
+    def handle_command_row(self, row: Row) -> None:
+        d = row.asDict(recursive=True)
+        command = (d.get("command") or "").lower()
+        params = d.get("params") or {}
+        if not targeted(d.get("target_instances"), self.instance_id):
+            return  # silently drop — not addressed to us (control_plane.py:221-233)
+        self._ack(command, "received")
+        try:
+            handler = self._handlers.get(command)
+            if handler is None:
+                raise KeyError(
+                    f"command {command!r} not available; expected one of "
+                    f"{sorted(self._handlers)}"
+                )
+            handler(params)
+            self._ack(command, "completed")
+        except Exception as exc:  # never crash the control loop
+            logger.exception("command %r failed", command)
+            self._ack(command, "error", str(exc))
+
+    # -- handlers (reference command_handlers.py registry) ------------------
+
+    def _register_builtin_handlers(self) -> None:
+        self._handlers.update(
+            {
+                "ping": self._cmd_ping,
+                "get_status": self._cmd_get_status,
+                "pause": self._cmd_pause,
+                "resume": self._cmd_resume,
+                "restart": self._cmd_restart,
+                "change_model": lambda p: self._config_change(
+                    "model_id", p["model_id"], restart=True
+                ),
+                "set_confidence": lambda p: self._config_change(
+                    "confidence_threshold", float(p["confidence_threshold"]), restart=True
+                ),
+                "set_max_fps": lambda p: self._config_change(
+                    "max_fps", float(p["max_fps"]), restart=True
+                ),
+                "add_stream": self._cmd_add_stream,
+                "remove_stream": self._cmd_remove_stream,
+                "update_config": self._cmd_update_config,
+            }
+        )
+
+    def register_handler(self, name: str, fn: Callable[[dict[str, str]], Any]) -> None:
+        self._handlers[name.lower()] = fn
+
+    def _cmd_ping(self, params: dict[str, str]) -> None:
+        self._set_status(
+            "pong",
+            uptime_s=round(self.uptime_s(), 3),
+            model_id=self.config.model_id,
+            n_streams=len(self.config.streams),
+            paused=self.paused,
+        )
+
+    def _cmd_get_status(self, params: dict[str, str]) -> None:
+        self._set_status(self.status, paused=self.paused, uptime_s=round(self.uptime_s(), 3))
+
+    def _cmd_pause(self, params: dict[str, str]) -> None:
+        # level 1 is the sink gate (immediate; AtMostOnceSink.pause());
+        # level 2 — stopping the source — is the owner's choice, as the
+        # reference pauses sink-first then source (pipeline_manager.py:134-175)
+        with self._lock:
+            self.paused = True
+            self._set_status("paused")
+
+    def _cmd_resume(self, params: dict[str, str]) -> None:
+        with self._lock:
+            self.paused = False
+            self._set_status("running")
+
+    def _cmd_restart(self, params: dict[str, str]) -> None:
+        with self._lock:
+            self._restart_query()
+
+    def _cmd_add_stream(self, params: dict[str, str]) -> None:
+        uri = params["uri"]
+        if uri in self.config.streams:
+            raise ValueError(f"stream already present: {uri}")
+        self._config_change("streams", (*self.config.streams, uri), restart=True)
+
+    def _cmd_remove_stream(self, params: dict[str, str]) -> None:
+        uri = params["uri"]
+        if uri not in self.config.streams:
+            raise ValueError(f"stream not present: {uri}")
+        self._config_change(
+            "streams", tuple(s for s in self.config.streams if s != uri), restart=True
+        )
+
+    def _cmd_update_config(self, params: dict[str, str]) -> None:
+        coerced: dict[str, Any] = {}
+        for k, v in params.items():
+            cur = getattr(self.config, k)  # KeyError -> AttributeError -> error ack
+            if isinstance(cur, bool):
+                coerced[k] = v in ("true", "True", "1")
+            elif isinstance(cur, float) or cur is None:
+                coerced[k] = float(v)
+            elif isinstance(cur, tuple):
+                coerced[k] = tuple(x for x in v.split(",") if x)
+            else:
+                coerced[k] = v
+        self._apply_config(replace(self.config, **coerced), restart=True)
+
+    # -- reconfiguration with rollback (command_handlers.py:480-565) --------
+
+    def _config_change(self, key: str, value: Any, restart: bool) -> None:
+        self._apply_config(replace(self.config, **{key: value}), restart=restart)
+
+    def _apply_config(self, new_config: EngineConfig, restart: bool) -> None:
+        with self._lock:
+            backup = self.config
+            self._set_status("reconfiguring")
+            try:
+                self.config = new_config.validated()
+                if restart:
+                    self._restart_query()
+                self._set_status("running")
+            except Exception:
+                # rollback: restore config AND the running query under it
+                self.config = backup
+                try:
+                    self._restart_query()
+                except Exception:
+                    logger.exception("rollback restart failed")
+                self._set_status("error")
+                raise
+
+    def _restart_query(self) -> None:
+        if self._query_factory is None:
+            return
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+        self._query = self._query_factory(self.config)
+
+    # -- side-output streams -------------------------------------------------
+
+    def _ack(self, command: str, ack_status: str, message: str | None = None) -> None:
+        self.acks.append(
+            {
+                "instance_id": self.instance_id,
+                "command": command,
+                "ack_status": ack_status,
+                "ts": self._clock(),
+                "message": message,
+            }
+        )
+
+    def _set_status(self, status: str, **extra: Any) -> None:
+        self.status = status
+        self.statuses.append(
+            {"instance_id": self.instance_id, "status": status, "ts": self._clock(), **extra}
+        )
+
+
+def attach_metrics_listener(spark) -> "ProgressListener":
+    """Register a StreamingQueryListener capturing per-batch progress
+    (rows/sec, batch duration, state rows) — the watchdog/metrics hook
+    (U4, reference ``interfaces.py:155-228``)."""
+    listener = ProgressListener()
+    spark.streams.addListener(listener)
+    return listener
+
+
+try:  # StreamingQueryListener import path (PySpark >= 3.4)
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class ProgressListener(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.progress: list[dict[str, Any]] = []
+            self.started: list[str] = []
+            self.terminated: list[str] = []
+
+        def onQueryStarted(self, event) -> None:
+            self.started.append(str(event.id))
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            self.progress.append(
+                {
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "input_rows_per_second": p.inputRowsPerSecond,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                }
+            )
+
+        def onQueryTerminated(self, event) -> None:
+            self.terminated.append(str(event.id))
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+except ImportError:  # pragma: no cover
+    ProgressListener = None  # type: ignore[assignment]
+
+
+__all__ = [
+    "EngineConfig",
+    "ControlPlane",
+    "targeted",
+    "attach_metrics_listener",
+    "ProgressListener",
+]

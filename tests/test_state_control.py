@@ -1,0 +1,257 @@
+"""M4 semantics: TTL keyed state, delivery-semantics sinks, control plane
+(reference parity for detection_cache / mqtt_sink QoS0 / control_plane —
+SURVEY §2.9 T5-T9, §3.3).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import Row
+
+from cupertino_nvr_spark.schemas import DETECTION_EVENT_SCHEMA
+from cupertino_nvr_spark.streaming.control import ControlPlane, EngineConfig, targeted
+from cupertino_nvr_spark.streaming.sinks import AtMostOnceSink, RetainedLatestStore
+from cupertino_nvr_spark.streaming.state import ttl_latest_per_key
+
+from tests.test_streaming import make_events, ts, write_batches
+
+
+@pytest.fixture(autouse=True, scope="module")
+def few_shuffle_partitions(spark):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# ---------------------------------------------------------------------------
+# T5: TTL latest-per-key keyed state
+# ---------------------------------------------------------------------------
+
+
+def test_ttl_latest_per_key_updates(spark, tmp_path):
+    src = f"{tmp_path}/events"
+    write_batches(
+        [
+            make_events(spark, [(1, 10, 1.0, 2), (1, 11, 2.0, 1), (2, 20, 1.5, 3)]),
+            # batch 2: older event for key 1 must NOT regress the cache
+            make_events(spark, [(1, 9, 0.5, 5), (2, 21, 9.0, 0)]),
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(DETECTION_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    cached = ttl_latest_per_key(stream, ttl_seconds=300.0)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        cached.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    # per key, the LAST emitted row is the cache's final value
+    final = {}
+    for r in rows:
+        final[r["source_id"]] = (r["frame_id"], r["ts"], r["n_detections"], r["expired"])
+    assert final[1] == (11, ts(2.0), 1, False)  # not regressed by late frame 9
+    assert final[2] == (21, ts(9.0), 0, False)
+    assert not any(r["expired"] for r in rows)
+
+
+def test_ttl_latest_per_key_expiry(spark, tmp_path):
+    """Processing-time timeout emits a tombstone once a key goes quiet."""
+    src = f"{tmp_path}/events"
+    write_batches([make_events(spark, [(1, 10, 1.0, 2)])], src)
+    stream = (
+        spark.readStream.schema(DETECTION_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    cached = ttl_latest_per_key(stream, ttl_seconds=2.0)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        cached.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        expired = []
+        while time.time() < deadline and not expired:
+            # keep feeding batches for OTHER keys so micro-batches keep
+            # running (timeouts only fire inside a triggered batch)
+            write_batches(
+                [make_events(spark, [(2, int(time.time()), 50.0, 0)])],
+                f"{src}/feed{int(time.time()*10)}",
+            )
+            time.sleep(1.0)
+            expired = [r for r in spark.table(name).collect() if r["expired"]]
+        assert expired, "no expiry tombstone within 60s"
+        assert expired[0]["source_id"] == 1
+        assert expired[0]["frame_id"] == 10
+    finally:
+        q.stop()
+
+
+# ---------------------------------------------------------------------------
+# T8: delivery-semantics sinks
+# ---------------------------------------------------------------------------
+
+
+def test_at_most_once_sink_drops_on_failure_and_pause(spark):
+    published = []
+
+    def publish(df, batch_id):
+        if batch_id == 1:
+            raise RuntimeError("broker down")
+        published.append((batch_id, df.count()))
+
+    sink = AtMostOnceSink(publish)
+    df = spark.range(3)
+    sink(df, 0)  # ok
+    sink(df, 1)  # publish raises -> dropped, not raised
+    sink.pause()
+    sink(df, 2)  # gated -> dropped immediately
+    sink.resume()
+    sink(df, 3)  # ok again
+    assert [b for b, _ in published] == [0, 3]
+    assert sink.dropped_batches == 2
+    assert sink.published_batches == 2
+
+
+def test_retained_latest_store_upsert(spark):
+    store = RetainedLatestStore(key_cols=("instance_id",), ts_col="ts")
+    b0 = spark.createDataFrame(
+        [("i1", "running", 1.0), ("i1", "paused", 2.0), ("i2", "running", 1.0)],
+        "instance_id string, status string, ts double",
+    )
+    store(b0, 0)
+    # replayed batch (at-least-once) + an older row: upsert is idempotent
+    b1 = spark.createDataFrame(
+        [("i1", "stale", 0.5), ("i2", "stopped", 3.0)],
+        "instance_id string, status string, ts double",
+    )
+    store(b1, 1)
+    snap = {k[0]: v["status"] for k, v in store.snapshot().items()}
+    assert snap == {"i1": "paused", "i2": "stopped"}
+
+
+# ---------------------------------------------------------------------------
+# §3.3: control plane — targeting, ack lifecycle, reconfig rollback
+# ---------------------------------------------------------------------------
+
+
+def test_targeted_semantics():
+    assert targeted(None, "i1") and targeted([], "i1") and targeted(["*"], "i1")
+    assert targeted(["i1", "i2"], "i1")
+    assert not targeted(["i2"], "i1")
+
+
+class FakeQuery:
+    def __init__(self):
+        self.stopped = False
+
+    def stop(self):
+        self.stopped = True
+
+
+def make_plane(**cfg):
+    built = []
+
+    def factory(config):
+        built.append(config)
+        return FakeQuery()
+
+    plane = ControlPlane("i1", EngineConfig(**cfg), query_factory=factory)
+    plane.start()
+    return plane, built
+
+
+def test_command_lifecycle_and_unknown(spark):
+    plane, built = make_plane()
+    batch = spark.createDataFrame(
+        [
+            (1.0, "PING", None, None),
+            (2.0, "bogus", None, ["*"]),
+            (3.0, "ping", None, ["other"]),
+        ],
+        "ts double, command string, params map<string,string>, target_instances array<string>",
+    )
+    plane.handle_command_batch(batch, 0)
+    acks = [(a["command"], a["ack_status"]) for a in plane.acks]
+    # targeted-away command produces NO acks (silent drop); unknown command
+    # produces received + error listing availability
+    assert acks == [
+        ("ping", "received"),
+        ("ping", "completed"),
+        ("bogus", "received"),
+        ("bogus", "error"),
+    ]
+    assert "not available" in plane.acks[-1]["message"]
+
+
+def test_change_model_restarts_query():
+    plane, built = make_plane()
+    q0 = plane.query
+    plane.handle_command_row(
+        Row(ts=1.0, command="change_model", params={"model_id": "yolov8n-320"}, target_instances=None)
+    )
+    assert plane.config.model_id == "yolov8n-320"
+    assert q0.stopped and plane.query is not q0
+    assert built[-1].model_id == "yolov8n-320"
+    assert plane.status == "running"
+
+
+def test_bad_config_rolls_back():
+    plane, built = make_plane(confidence_threshold=0.5)
+    n_before = len(built)
+    plane.handle_command_row(
+        Row(
+            ts=1.0,
+            command="set_confidence",
+            params={"confidence_threshold": "7.5"},  # out of [0,1]
+            target_instances=None,
+        )
+    )
+    assert plane.config.confidence_threshold == 0.5  # rolled back
+    assert plane.acks[-1]["ack_status"] == "error"
+    assert plane.status == "error"
+    # rollback restarted the query under the restored config
+    assert built[-1].confidence_threshold == 0.5
+    assert len(built) > n_before
+
+
+def test_stream_add_remove_and_pause_resume():
+    plane, built = make_plane(streams=("rtsp://a",))
+    plane.handle_command_row(
+        Row(ts=1.0, command="add_stream", params={"uri": "rtsp://b"}, target_instances=None)
+    )
+    assert plane.config.streams == ("rtsp://a", "rtsp://b")
+    plane.handle_command_row(
+        Row(ts=2.0, command="remove_stream", params={"uri": "rtsp://a"}, target_instances=None)
+    )
+    assert plane.config.streams == ("rtsp://b",)
+    # duplicate add -> error ack, config unchanged
+    plane.handle_command_row(
+        Row(ts=3.0, command="add_stream", params={"uri": "rtsp://b"}, target_instances=None)
+    )
+    assert plane.acks[-1]["ack_status"] == "error"
+    assert plane.config.streams == ("rtsp://b",)
+
+    plane.handle_command_row(Row(ts=4.0, command="pause", params=None, target_instances=None))
+    assert plane.paused and plane.status == "paused"
+    plane.handle_command_row(Row(ts=5.0, command="resume", params=None, target_instances=None))
+    assert not plane.paused and plane.status == "running"

@@ -1,0 +1,278 @@
+"""Structured Streaming semantics tests (SURVEY §5.2.3, M3/M4).
+
+Pattern: write deterministic micro-batch parquet files, replay them with
+``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``, land results in a
+memory sink, and compare against the equivalent *batch* computation on the
+same rows — so the streaming plan's correctness is checked against
+Catalyst's own batch semantics rather than hand-maintained goldens.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.streaming.asof import (
+    asof_overlay_stream,
+    dedup_events_stream,
+    rate_limit_frames,
+)
+from cupertino_nvr_spark.streaming.codec import encode_event_wire, parse_event_wire
+from cupertino_nvr_spark.streaming.inference import with_synthetic_detections
+from cupertino_nvr_spark.streaming.sources import replay_events_stream
+from cupertino_nvr_spark.streaming.windows import (
+    session_windows_stream,
+    tumbling_metrics_stream,
+)
+from cupertino_nvr_spark.schemas import DETECTION_EVENT_SCHEMA, FRAME_SCHEMA
+
+
+def ts(second: float) -> datetime:
+    """Deterministic event times on 2024-01-01 (UTC, tz-naive for Spark)."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    return datetime.fromtimestamp(base.timestamp() + second)
+
+
+def make_events(spark, rows):
+    """rows: (source_id, frame_id, second, n_detections)."""
+    data = []
+    for source_id, frame_id, second, n_det in rows:
+        data.append(
+            (
+                "inst-0",
+                source_id,
+                frame_id,
+                ts(second),
+                "m1",
+                10.0,
+                [
+                    ("person", 0.9, (10.0, 20.0, 30.0, 40.0), None)
+                    for _ in range(n_det)
+                ],
+                25.0,
+                50.0,
+            )
+        )
+    return spark.createDataFrame(data, DETECTION_EVENT_SCHEMA)
+
+
+def make_frames(spark, rows):
+    """rows: (source_id, frame_id, second)."""
+    data = [(sid, fid, ts(sec), 640, 480) for sid, fid, sec in rows]
+    return spark.createDataFrame(data, FRAME_SCHEMA)
+
+
+def run_stream(df, tmpdir, output_mode="append"):
+    """availableNow -> memory sink -> collected rows."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{tmpdir}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def write_batches(df_batches, path):
+    """One parquet file per micro-batch (maxFilesPerTrigger=1 replay)."""
+    for i, df in enumerate(df_batches):
+        df.coalesce(1).write.parquet(f"{path}/b{i:03d}", mode="overwrite")
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def few_shuffle_partitions(spark):
+    """Stateful streaming spins one state store per shuffle partition per
+    micro-batch; 32 of them dominate wall time on row-count-3 batches."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# ---------------------------------------------------------------------------
+# codec (P6/P9/P10 streaming form)
+# ---------------------------------------------------------------------------
+
+
+def test_event_wire_roundtrip(spark):
+    events = make_events(spark, [(1, 10, 1.0, 2), (2, 11, 2.0, 0)])
+    wire = encode_event_wire(events)
+    assert wire.columns == ["topic", "key", "value"]
+    topics = {r["topic"] for r in wire.collect()}
+    assert topics == {"nvr/detections/1", "nvr/detections/2"}
+
+    ok, quarantine = parse_event_wire(wire)
+    assert quarantine.count() == 0
+    back = {(r["source_id"], r["frame_id"], r["timestamp"]) for r in ok.collect()}
+    orig = {(r["source_id"], r["frame_id"], r["timestamp"]) for r in events.collect()}
+    assert back == orig
+    # parsed source id from the topic matches the payload's
+    assert ok.filter(F.col("topic_source_id") != F.col("source_id")).count() == 0
+
+
+def test_event_wire_quarantine(spark):
+    good = encode_event_wire(make_events(spark, [(1, 10, 1.0, 1)]))
+    bad = spark.createDataFrame(
+        [("nvr/detections/9", "9", "{not json"), ("nvr/detections/oops", "x", None)],
+        "topic string, key string, value string",
+    )
+    ok, quarantine = parse_event_wire(good.unionByName(bad))
+    assert ok.count() == 1
+    q = {r["reason"] for r in quarantine.collect()}
+    assert q == {"unparseable_payload"}  # NULL payload + bad topic both unparseable first
+
+
+# ---------------------------------------------------------------------------
+# windows (T4) — streaming result == batch result on the same rows
+# ---------------------------------------------------------------------------
+
+
+FLUSH_SEC = 100000.0  # far-future sentinel that pushes the watermark past
+# every real window; append-mode aggregates emit only when the watermark
+# passes the window end, so the last replay batch carries these markers
+
+
+def flush_events(spark):
+    return make_events(spark, [(99, 10**9, FLUSH_SEC, 0)])
+
+
+def test_tumbling_metrics_stream_matches_batch(spark, stream_dir):
+    batches = [
+        make_events(spark, [(1, 1, 1.0, 1), (1, 2, 3.0, 2), (2, 1, 4.0, 0)]),
+        make_events(spark, [(1, 3, 11.0, 1), (2, 2, 12.0, 3), (2, 3, 19.0, 1)]),
+        flush_events(spark),
+    ]
+    src = f"{stream_dir}/events"
+    write_batches(batches, src)
+
+    stream = replay_events_stream(spark, f"{src}/*", DETECTION_EVENT_SCHEMA)
+    got = [
+        r
+        for r in run_stream(tumbling_metrics_stream(stream), stream_dir).collect()
+        if r["window_start"] < ts(1000)
+    ]
+
+    batch_df = batches[0].unionByName(batches[1])
+    want = tumbling_metrics_stream(batch_df).collect()  # same code path in batch
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 4  # (win0,s1),(win0,s2),(win1,s1),(win1,s2)
+
+
+def test_session_windows_stream(spark, stream_dir):
+    batches = [
+        make_events(spark, [(1, 1, 1.0, 1), (1, 2, 10.0, 1)]),  # one session (gap 30s)
+        make_events(spark, [(1, 3, 120.0, 1)]),  # second session
+        flush_events(spark),
+    ]
+    src = f"{stream_dir}/events"
+    write_batches(batches, src)
+    stream = replay_events_stream(spark, f"{src}/*", DETECTION_EVENT_SCHEMA)
+    rows = run_stream(session_windows_stream(stream), stream_dir).collect()
+    by_start = sorted(
+        (r["session_start"], r["n_events"]) for r in rows if r["session_start"] < ts(1000)
+    )
+    assert [n for _, n in by_start] == [2, 1]
+
+
+# ---------------------------------------------------------------------------
+# as-of overlay join (J1 streaming form)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_overlay_stream(spark, stream_dir):
+    ev_dir, fr_dir = f"{stream_dir}/ev", f"{stream_dir}/fr"
+    write_batches(
+        [
+            make_events(spark, [(1, 100, 10.0, 2), (1, 101, 10.6, 1), (2, 200, 10.0, 3)]),
+            flush_events(spark),
+        ],
+        ev_dir,
+    )
+    write_batches(
+        [
+            make_frames(
+                spark,
+                [
+                    (1, 1000, 11.0),  # events at 10.0 & 10.6 in TTL -> latest 101
+                    (2, 2000, 12.0),  # event at 10.0 older than TTL 1s -> NULL
+                    (3, 3000, 11.0),  # no events at all -> NULL
+                ],
+            ),
+            make_frames(spark, [(99, 10**9, FLUSH_SEC)]),
+        ],
+        fr_dir,
+    )
+    frames = spark.readStream.schema(FRAME_SCHEMA).parquet(f"{fr_dir}/*")
+    events = replay_events_stream(spark, f"{ev_dir}/*", DETECTION_EVENT_SCHEMA)
+    rows = run_stream(asof_overlay_stream(frames, events, ttl_seconds=1.0), stream_dir)
+    got = {
+        r["frame_id"]: (r["ev_frame_id"], r["n_candidate_events"])
+        for r in rows.collect()
+        if r["frame_id"] < 10**9
+    }
+    assert got == {1000: (101, 2), 2000: (None, 0), 3000: (None, 0)}
+
+
+# ---------------------------------------------------------------------------
+# dedup (T8 at-least-once -> effectively-once) and rate limiting (T3)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_events_stream(spark, stream_dir):
+    batches = [
+        make_events(spark, [(1, 1, 1.0, 1), (1, 1, 1.0, 1), (1, 2, 2.0, 1)]),  # in-batch dup
+        make_events(spark, [(1, 2, 2.0, 1), (2, 1, 3.0, 1)]),  # cross-batch replay
+    ]
+    src = f"{stream_dir}/events"
+    write_batches(batches, src)
+    stream = replay_events_stream(spark, f"{src}/*", DETECTION_EVENT_SCHEMA)
+    rows = run_stream(dedup_events_stream(stream), stream_dir).collect()
+    keys = sorted((r["source_id"], r["frame_id"]) for r in rows)
+    assert keys == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_rate_limit_frames(spark, stream_dir):
+    # source 1: 4 frames in 2s -> max_fps=1 keeps latest per 1s bucket
+    write_batches(
+        [
+            make_frames(
+                spark,
+                [(1, 1, 10.1), (1, 2, 10.6), (1, 3, 11.2), (1, 4, 11.9), (2, 9, 10.4)],
+            ),
+            make_frames(spark, [(99, 10**9, FLUSH_SEC)]),
+        ],
+        f"{stream_dir}/fr",
+    )
+    frames = spark.readStream.schema(FRAME_SCHEMA).parquet(f"{stream_dir}/fr/*")
+    rows = run_stream(rate_limit_frames(frames, max_fps=1.0), stream_dir).collect()
+    kept = sorted((r["source_id"], r["frame_id"]) for r in rows if r["frame_id"] < 10**9)
+    assert kept == [(1, 2), (1, 4), (2, 9)]
+
+
+# ---------------------------------------------------------------------------
+# synthetic inference (U1): deterministic, schema-true
+# ---------------------------------------------------------------------------
+
+
+def test_synthetic_detect_deterministic(spark):
+    frames = make_frames(spark, [(1, 1, 1.0), (2, 7, 2.0), (3, 9, 3.0)])
+    a = with_synthetic_detections(frames).select("source_id", "frame_id", "detections")
+    r1 = {(r["source_id"], r["frame_id"]): r["detections"] for r in a.collect()}
+    r2 = {(r["source_id"], r["frame_id"]): r["detections"] for r in a.collect()}
+    assert r1 == r2
+    all_dets = [d for dets in r1.values() for d in dets]
+    assert all(0.0 <= d["confidence"] <= 1.0 for d in all_dets)
+    assert all(d["bbox"]["width"] >= 16 for d in all_dets)

@@ -1,0 +1,79 @@
+"""Physical-plan regression guards for the 100 TB posture (SURVEY §7.4).
+
+Correctness tests say the answers are right; these say the *plans* stay
+right: filters reach the parquet scan, projections prune columns, small
+dimensions broadcast, and nothing degenerates into a cartesian /
+nested-loop join. A change that silently turns a broadcast join into a
+cartesian product passes every value check at sf0.01 and melts a
+1000-executor cluster — this is where that regression gets caught.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from cupertino_nvr_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# every oracle-checked query must produce a sane distributed plan
+ALL_QUERIES = sorted(REGISTRY)
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# Queries whose semantics ARE an all-pairs product over a broadcast-small
+# side: brute-force cosine scores every (probe, corpus) pair by definition
+# (the correctness baseline; embedding_lsh_ann is its scale path and stays
+# equi-join). For these, BroadcastNestedLoopJoin with the tiny side built
+# is the correct physical shape.
+ALLOWED_BNLJ = {"embedding_cosine_topk"}
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_cartesian_or_nested_loop(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} degenerated to a cartesian product"
+    if name not in ALLOWED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} uses a nested-loop join"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert re.search(r"PushedFilters: \[.*l_shipdate", plan), "shipdate filter not pushed"
+
+
+def test_column_pruning_reaches_scan(spark):
+    # pricing_summary never touches partkey/suppkey; the scan schema must
+    # not include them (ReadSchema pruning)
+    plan = plan_of(spark, "pricing_summary")
+    read_schemas = re.findall(r"ReadSchema: (.*)", plan)
+    assert read_schemas and all("l_partkey" not in s and "l_suppkey" not in s for s in read_schemas)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["revenue_by_nation", "shipping_priority", "nation_region_broadcast", "embedding_lsh_ann"],
+)
+def test_dimension_joins_broadcast(spark, name):
+    """Joins against bounded-size sides must be broadcast, not shuffled."""
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_partial_aggregation_present(spark):
+    """groupBy aggregates must show map-side partial aggregation
+    (HashAggregate appears in partial_ and final modes), keeping shuffle
+    volume at #groups per partition rather than #rows."""
+    plan = plan_of(spark, "pricing_summary")
+    assert len(re.findall(r"HashAggregate", plan)) >= 2

@@ -267,6 +267,65 @@ def test_rate_limit_frames(spark, stream_dir):
 # ---------------------------------------------------------------------------
 
 
+def test_sliding_throughput_stream(spark, stream_dir):
+    from cupertino_nvr_spark.streaming.windows import sliding_throughput_stream
+
+    batches = [
+        make_events(spark, [(1, 1, 1.0, 1), (2, 1, 5.0, 1), (1, 2, 12.0, 1)]),
+        flush_events(spark),
+    ]
+    src = f"{stream_dir}/events"
+    write_batches(batches, src)
+    stream = replay_events_stream(spark, f"{src}/*", DETECTION_EVENT_SCHEMA)
+    got = [
+        r
+        for r in run_stream(sliding_throughput_stream(stream), stream_dir).collect()
+        if r["window_start"] < ts(1000)
+    ]
+    want = [
+        r for r in sliding_throughput_stream(batches[0]).collect()
+    ]  # batch == streaming on same rows
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # events at 1.0 and 5.0 share the [−20,10) … windows; slide=10s over a
+    # 30s window puts every event in 3 windows
+    assert sum(r["n_events"] for r in got) == 9
+
+
+def test_processor_chain_end_to_end(spark, stream_dir):
+    """S1->U1->P9->S3 wire->S4->P10->T4: frames through synthetic inference,
+    JSON wire codec, and windowed metrics — the reference's two processes
+    composed as one streaming plan."""
+    write_batches(
+        [
+            make_frames(spark, [(1, 1, 1.0), (1, 2, 4.0), (2, 7, 6.0)]),
+            make_frames(spark, [(99, 10**9, FLUSH_SEC)]),
+        ],
+        f"{stream_dir}/fr",
+    )
+    frames = spark.readStream.schema(FRAME_SCHEMA).parquet(f"{stream_dir}/fr/*")
+    events = with_synthetic_detections(frames).select(
+        F.lit("inst-0").alias("instance_id"),
+        "source_id",
+        "frame_id",
+        F.col("frame_ts").alias("timestamp"),
+        "model_id",
+        F.lit(10.0).alias("inference_time_ms"),
+        "detections",
+        F.lit(25.0).alias("fps"),
+        F.lit(50.0).alias("latency_ms"),
+    )
+    wire = encode_event_wire(events)
+    parsed, _ = parse_event_wire(wire)
+    metrics = tumbling_metrics_stream(parsed)
+    rows = [
+        r
+        for r in run_stream(metrics, stream_dir).collect()
+        if r["window_start"] < ts(1000)
+    ]
+    got = {(r["source_id"]): r["n_events"] for r in rows}
+    assert got == {1: 2, 2: 1}
+
+
 def test_synthetic_detect_deterministic(spark):
     frames = make_frames(spark, [(1, 1, 1.0), (2, 7, 2.0), (3, 9, 3.0)])
     a = with_synthetic_detections(frames).select("source_id", "frame_id", "detections")

@@ -36,6 +36,7 @@ HEADLINE = [
     "docs_token_stats",
     "docs_minhash_lsh_candidates",
     "embedding_lsh_ann",
+    "embedding_ivf_ann",
     "media_features",
 ]
 

@@ -146,3 +146,102 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (IVF cell).
+
+    Centroids broadcast (bounded: n_cells ~ sqrt(corpus)); assignment is a
+    linear scan — each vector scores n_cells rounded cosines and keeps the
+    argmax via max_by, tie-broken by centroid id so Spark and the SQL
+    oracle agree. One projection, no shuffle beyond the broadcast.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+    )
+    scored = F.broadcast(cent).join(vecs).select(
+        "member_id",
+        "cell_id",
+        F.round(cosine(F.col("mvec"), F.col("centvec")), sim_decimals).alias("csim"),
+    )
+    # argmax by (sim, -cell_id): max_by with a struct orders lexicographically,
+    # so negate the id to prefer the LOWEST cell id on similarity ties
+    best = scored.groupBy("member_id").agg(
+        F.max_by(F.col("cell_id"), F.struct(F.col("csim"), -F.col("cell_id"))).alias(
+            "cell_id"
+        )
+    )
+    return best
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    centroid_stride: int = 37,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: the second scale path next to LSH bucketing.
+
+    Deterministic "training": centroids are the corpus vectors whose id is
+    ``centroid_stride``-strided (a k-means iteration would drop in here; the
+    index structure — cells, routing, candidate equi-join — is what scales,
+    and it is fully SQL-expressible so the oracle can hash-check it, unlike
+    the LSH variant). Per probe, the ``n_probe`` nearest cells are searched
+    exactly; candidates come from an equi-join on cell_id, so cost is
+    n_probe/n_cells of brute force.
+    """
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, sim_decimals)
+    members = cells.join(
+        corpus.select(
+            F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+        ),
+        "member_id",
+    )
+
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pvec")
+    )
+    probe_cells = (
+        F.broadcast(cent)
+        .join(p)
+        .select(
+            "probe_id",
+            "pvec",
+            "cell_id",
+            F.round(cosine(F.col("pvec"), F.col("centvec")), sim_decimals).alias("csim"),
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    routed = probe_cells.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= n_probe
+    )
+
+    cand = routed.join(members, "cell_id").filter(F.col("probe_id") != F.col("member_id"))
+    scored = cand.select(
+        "probe_id",
+        F.col("member_id").alias("neighbor_id"),
+        F.round(cosine(F.col("pvec"), F.col("mvec")), sim_decimals).alias("sim"),
+    ).distinct()  # a neighbor reachable via both probed cells counts once
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )

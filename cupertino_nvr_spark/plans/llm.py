@@ -24,7 +24,7 @@ from cupertino_nvr_spark.llm.dedup import (
     simhash,
 )
 from cupertino_nvr_spark.llm.multimodal import decode_features, frame_sample_plan
-from cupertino_nvr_spark.llm.similarity import brute_force_topk, lsh_ann_topk
+from cupertino_nvr_spark.llm.similarity import brute_force_topk, ivf_ann_topk, lsh_ann_topk
 from cupertino_nvr_spark.llm.text import (
     avg_token_len,
     fingerprint,
@@ -294,6 +294,57 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_ann_topk(emb, probes, dim=64, k=5)
+
+
+@register(
+    "embedding_ivf_ann",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centvec
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    vecs AS (SELECT vec_id AS member_id, CAST(embedding AS DOUBLE[]) AS mvec FROM embeddings),
+    assign AS (
+      SELECT member_id, cell_id FROM (
+        SELECT member_id, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY member_id
+                 ORDER BY round(list_cosine_similarity(mvec, centvec), 6) DESC, cell_id
+               ) AS r
+        FROM vecs CROSS JOIN cent) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    routed AS (
+      SELECT probe_id, pvec, cell_id FROM (
+        SELECT probe_id, pvec, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY probe_id
+                 ORDER BY round(list_cosine_similarity(pvec, centvec), 6) DESC, cell_id
+               ) AS r
+        FROM probes CROSS JOIN cent) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT DISTINCT probe_id, a.member_id AS neighbor_id,
+             round(list_cosine_similarity(pvec, mvec), 6) AS sim
+      FROM routed r JOIN assign a USING (cell_id)
+      JOIN vecs v ON v.member_id = a.member_id
+      WHERE a.member_id <> probe_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+      SELECT probe_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="IVF-cell ANN: deterministic strided centroids, broadcast routing, "
+    "candidate equi-join on cell_id, exact rerank — the oracle-checkable scale path",
+)
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_ann_topk(emb, probes, k=5, n_probe=2, centroid_stride=37)
 
 
 @register(

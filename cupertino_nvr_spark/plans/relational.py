@@ -550,3 +550,107 @@ def nation_presence_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allk = cust.union(supp).distinct().select(F.lit("all").alias("op"), "n_nationkey")
     return both.unionByName(conly).unionByName(allk)
+
+
+@register(
+    "order_price_stats",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           round(sqrt((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)))
+                / (COUNT(*) - 1)), 6) AS stddev_price,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="statistical aggregates: exact-decimal moment sums (map-side "
+    "combinable) -> IEEE-deterministic stddev; exact interpolated percentiles",
+)
+def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev from exact decimal moments — sqrt((Σx² − Σx·mean)/(n−1)) —
+    so accumulation order cannot perturb the result, unlike stddev_samp
+    whose float partials differ between engines."""
+    o = load_table(spark, "orders", sf_dir)
+    price4 = _dec("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("_sx"),
+            F.sum(price4 * price4).alias("_sxx"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.col("_sx").cast("double") / F.col("n_orders")).alias("avg_price"),
+            # round 6: the decimal moment sums are bit-identical across
+            # engines, but DuckDB's int128->double conversion double-rounds,
+            # leaving 1-2 ulp on the variance
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("_sxx").cast("double")
+                        - F.col("_sx").cast("double")
+                        * (F.col("_sx").cast("double") / F.col("n_orders"))
+                    )
+                    / (F.col("n_orders") - 1)
+                ),
+                6,
+            ).alias("stddev_price"),
+            "median_price",
+            "p90_price",
+        )
+    )
+
+
+@register(
+    "quantity_price_correlation",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+           / (sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+              * sqrt(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
+           AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pearson correlation from exact decimal co-moment sums (one pass, "
+    "map-side combinable) instead of float-partial corr()",
+)
+def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    q4 = _dec("l_quantity")
+    p4 = _dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).alias("_sq"),
+        F.sum(_dec("l_extendedprice")).alias("_sp"),
+        F.sum(q4 * p4).alias("_sqp"),
+        F.sum(q4 * q4).alias("_sqq"),
+        F.sum(p4 * p4).alias("_spp"),
+    )
+    n = F.col("n")
+    sq, sp = F.col("_sq").cast("double"), F.col("_sp").cast("double")
+    sqp, sqq, spp = (
+        F.col("_sqp").cast("double"),
+        F.col("_sqq").cast("double"),
+        F.col("_spp").cast("double"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (
+            (n * sqp - sq * sp)
+            / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp))
+        ).alias("qty_price_corr"),
+    )

@@ -37,7 +37,9 @@ def plan_of(spark, name: str) -> str:
 # (the correctness baseline; embedding_lsh_ann is its scale path and stays
 # equi-join). For these, BroadcastNestedLoopJoin with the tiny side built
 # is the correct physical shape.
-ALLOWED_BNLJ = {"embedding_cosine_topk"}
+# embedding_ivf_ann's centroid assignment/routing is likewise corpus ×
+# broadcast(centroids) by definition — bounded small side, linear in corpus.
+ALLOWED_BNLJ = {"embedding_cosine_topk", "embedding_ivf_ann"}
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)

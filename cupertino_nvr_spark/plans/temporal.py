@@ -147,3 +147,38 @@ def uptime_and_latency_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_samples"),
     )
+
+
+@register(
+    "rate_limited_events",
+    """
+    SELECT user_id, bucket_start, event_id AS kept_event_id, n_dropped FROM (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_start, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) - 1 AS n_dropped
+      FROM events) WHERE rn = 1
+    """,
+    doc="T3 rate limiting, batch form: keep only the LATEST record per "
+    "(key, period) — frame *dropping*, not queueing (pipeline_manager.py:122-126); "
+    "one shuffle on the (key, bucket) pair",
+)
+def rate_limited_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of streaming.asof.rate_limit_frames at the test data's
+    time density (1 event/key/hour instead of max_fps per second)."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.window("ts", "1 hour")["start"].alias("bucket_start")
+    w = Window.partitionBy("user_id", "bucket_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", bucket, "event_id", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_dropped",
+            F.count("*").over(Window.partitionBy("user_id", "bucket_start")) - 1,
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket_start", F.col("event_id").alias("kept_event_id"), "n_dropped")
+    )

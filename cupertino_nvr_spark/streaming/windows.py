@@ -23,12 +23,18 @@ def tumbling_metrics_stream(
     ts_col: str = "timestamp",
     window_duration: str = "10 seconds",
     watermark: str = "10 seconds",
+    min_throughput: float | None = None,
 ) -> DataFrame:
     """Per-(window, source) metrics: event count, throughput/sec, mean
     latencies rounded to 2 as the reference reports them
-    (``metrics_reporter.py:136-141``, round at :198)."""
+    (``metrics_reporter.py:136-141``, round at :198).
+
+    ``min_throughput`` is the publish-worthiness gate (F5): the reference
+    skips the periodic publish when ``inference_throughput`` is 0
+    (``metrics_reporter.py:170-172``) — pass 0.0 for that exact behavior.
+    """
     seconds = _duration_seconds(window_duration)
-    return (
+    out = (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration).alias("win"), F.col("source_id"))
         .agg(
@@ -49,6 +55,9 @@ def tumbling_metrics_stream(
             "avg_fps",
         )
     )
+    if min_throughput is not None:
+        out = out.filter(F.col("inference_throughput") > min_throughput)
+    return out
 
 
 def sliding_throughput_stream(

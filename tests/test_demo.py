@@ -1,0 +1,21 @@
+"""Smoke the end-to-end demo: live rate stream through inference, wire
+codec, windowed metrics, under the control plane with a mid-run reconfig."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+from nvr_pipeline_demo import run_demo
+
+
+def test_demo_pipeline(spark):
+    out = run_demo(duration_s=6.0, n_sources=2)
+    assert out["metrics_rows"] > 0
+    assert set(out["sources_seen"]) <= {0, 1}
+    assert ("change_model", "completed") in out["acks"]
+    assert out["model_id"] == "synthetic-detector-v2"
+    assert out["progress_batches"] > 0
+    assert out["statuses"][-1] == "stopped"

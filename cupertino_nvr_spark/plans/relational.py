@@ -654,3 +654,22 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp))
         ).alias("qty_price_corr"),
     )
+
+
+@register(
+    "user_value_sketches",
+    None,  # sketch results are impl-defined; rows-only here, with the
+    # relative-error bound vs exact asserted in tests/test_sketches.py
+    doc="scale-path cardinality/quantile sketches: approx_count_distinct "
+    "(HLL) and percentile_approx per group — constant memory per group vs "
+    "the exact shuffles, the right trade at 100 TB",
+)
+def user_value_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias(
+            "value_quantiles"
+        ),
+        F.count("*").alias("n_events"),
+    )

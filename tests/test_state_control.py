@@ -90,13 +90,15 @@ def test_ttl_latest_per_key_expiry(spark, tmp_path):
     try:
         deadline = time.time() + 60
         expired = []
+        feed = 1
         while time.time() < deadline and not expired:
             # keep feeding batches for OTHER keys so micro-batches keep
-            # running (timeouts only fire inside a triggered batch)
+            # running (timeouts only fire inside a triggered batch; no-data
+            # batches also fire them, but don't rely on that alone)
             write_batches(
-                [make_events(spark, [(2, int(time.time()), 50.0, 0)])],
-                f"{src}/feed{int(time.time()*10)}",
+                [make_events(spark, [(2, feed, 50.0 + feed, 0)])], src, start=feed
             )
+            feed += 1
             time.sleep(1.0)
             expired = [r for r in spark.table(name).collect() if r["expired"]]
         assert expired, "no expiry tombstone within 60s"
@@ -104,6 +106,45 @@ def test_ttl_latest_per_key_expiry(spark, tmp_path):
         assert expired[0]["frame_id"] == 10
     finally:
         q.stop()
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """T7 restart-from-checkpoint: a second run of the same query (same
+    checkpoint) must remember the first run's dedup state — replayed keys
+    stay deduplicated across query restarts, the foundation every
+    reconfigure-and-restart flow relies on."""
+    from cupertino_nvr_spark.streaming.asof import dedup_events_stream
+
+    src = f"{tmp_path}/events"
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(DETECTION_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            dedup_events_stream(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batches([make_events(spark, [(1, 1, 1.0, 1), (2, 1, 2.0, 1)])], src)
+    run_once()
+    # second run: one replayed key (1,1) and one new key (3,1)
+    write_batches([make_events(spark, [(1, 1, 1.0, 1), (3, 1, 3.0, 1)])], src, start=1)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    keys = sorted((r["source_id"], r["frame_id"]) for r in rows)
+    assert keys == [(1, 1), (2, 1), (3, 1)], "dedup state lost across restart"
 
 
 # ---------------------------------------------------------------------------

@@ -81,9 +81,11 @@ def run_stream(df, tmpdir, output_mode="append"):
     return df.sparkSession.table(name)
 
 
-def write_batches(df_batches, path):
-    """One parquet file per micro-batch (maxFilesPerTrigger=1 replay)."""
-    for i, df in enumerate(df_batches):
+def write_batches(df_batches, path, start=0):
+    """One parquet file per micro-batch (maxFilesPerTrigger=1 replay).
+    NOTE: a stream globbing ``{path}/*`` lists files exactly one directory
+    below the glob match — batch dirs must sit directly under ``path``."""
+    for i, df in enumerate(df_batches, start=start):
         df.coalesce(1).write.parquet(f"{path}/b{i:03d}", mode="overwrite")
 
 

@@ -614,13 +614,14 @@ def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
+           round(
            (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
            / (sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
               * sqrt(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                      - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
-           AS qty_price_corr
+           , 9) AS qty_price_corr
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -649,9 +650,10 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "n",
-        (
+        F.round(
             (n * sqp - sq * sp)
-            / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp))
+            / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)),
+            9,  # decimal->double casts differ by 1 ulp across engines
         ).alias("qty_price_corr"),
     )
 

@@ -258,3 +258,71 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
     return out
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    centroid_stride: int = 37,
+    n_assign: int = 2,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, sim) with id_a < id_b
+    and rounded cosine >= ``threshold``.
+
+    The scale path mirrors IVF ANN: every vector is multi-probe-assigned to
+    its ``n_assign`` nearest strided centroids, and only same-cell pairs pay
+    the exact cosine — a self-equi-join on cell_id instead of the O(n^2)
+    cross product. Single-probe assignment can split an eps-perturbed pair
+    whose argmax cell sits on a boundary (observed at sf0.001); with top-2
+    assignment the pair is missed only if BOTH rank boundaries flip the same
+    way, so recall at thresholds near 1 is effectively exact while cost stays
+    sum over cells of |cell|^2. Completes the dedup family of llm/dedup.py
+    for embedding columns (reference has no analog; north star per
+    /root/repo/BASELINE.json).
+    """
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import as_double, cosine
+
+    centroids = vectors.filter(F.col(id_col) % centroid_stride == 0)
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
+    )
+    vecs = vectors.select(
+        F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+    )
+    scored = F.broadcast(cent).join(vecs).select(
+        "member_id",
+        "mvec",
+        "cell_id",
+        F.round(cosine(F.col("mvec"), F.col("centvec")), sim_decimals).alias("csim"),
+    )
+    wc = Window.partitionBy("member_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    members = (
+        scored.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= n_assign)
+        .select("member_id", "mvec", "cell_id")
+    )
+    a = members.select(
+        F.col("cell_id"),
+        F.col("member_id").alias("id_a"),
+        F.col("mvec").alias("avec"),
+    )
+    b = members.select(
+        F.col("cell_id"),
+        F.col("member_id").alias("id_b"),
+        F.col("mvec").alias("bvec"),
+    )
+    pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("avec"), F.col("bvec")), sim_decimals).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()  # a pair sharing both probed cells counts once
+    )

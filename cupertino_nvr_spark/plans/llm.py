@@ -347,6 +347,80 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, probes, k=5, n_probe=2, centroid_stride=37)
 
 
+_AUG_EMB_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 9 = 0
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding AS DOUBLE[])[i] * (1 + 0.02 * ((vec_id + i - 1) % 3 - 1)))
+  FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings corpus with injected near-dups both engines build
+    identically: exact copies (vec_id%9, +1M, cosine 1.0) and elementwise
+    0.98/1.00/1.02-scaled copies (vec_id%5, +2M, cosine ~0.9996)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    vid = F.col("vec_id")
+    exact = emb.filter(vid % 9 == 0).select(
+        (vid + 1000000).alias("vec_id"), "embedding"
+    )
+    perturbed = (
+        emb.filter(vid % 5 == 0)
+        # perturb BEFORE renaming: an aliased vec_id in the same select
+        # shadows the input column inside the transform lambda
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x * (F.lit(1) + F.lit(0.02) * ((vid + i) % 3 - 1)),
+            ).alias("embedding"),
+        )
+        .select((vid + 2000000).alias("vec_id"), "embedding")
+    )
+    return emb.unionByName(exact).unionByName(perturbed)
+
+
+@register(
+    "embedding_cosine_neardup",
+    f"""
+    WITH aug AS ({_AUG_EMB_SQL}),
+    cent AS (SELECT vec_id AS cell_id, e AS centvec FROM aug WHERE vec_id % 37 = 0),
+    assign AS (
+      SELECT member_id, cell_id FROM (
+        SELECT member_id, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY member_id
+                 ORDER BY round(list_cosine_similarity(mvec, centvec), 6) DESC, cell_id
+               ) AS r
+        FROM (SELECT vec_id AS member_id, e AS mvec FROM aug) CROSS JOIN cent) WHERE r <= 2
+    ),
+    pairs AS (
+      SELECT DISTINCT a.member_id AS id_a, b.member_id AS id_b,
+             round(list_cosine_similarity(va.e, vb.e), 6) AS sim
+      FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND b.member_id > a.member_id
+      JOIN aug va ON va.vec_id = a.member_id
+      JOIN aug vb ON vb.vec_id = b.member_id
+    )
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99
+    """,
+    doc="embedding-cosine near-dup: multi-probe IVF-cell blocking (top-2 cells), "
+    "same-cell pair scoring, threshold on rounded cosine — completes the dedup "
+    "family for vectors",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        augmented_embeddings(spark, sf_dir), threshold=0.99, centroid_stride=37
+    )
+
+
 @register(
     "media_features",
     """

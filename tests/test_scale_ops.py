@@ -95,3 +95,28 @@ def test_bucketed_join_eliminates_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_embedding_neardup_full_recall(spark):
+    """IVF-cell blocking must not lose any injected near-dup group: exact
+    copies (vec_id%9 -> +1M, sim 1.0) and perturbed copies (vec_id%5 -> +2M,
+    sim ~0.9996) both land in their source's cell."""
+    from cupertino_nvr_spark.plans.llm import augmented_embeddings
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    aug = augmented_embeddings(spark, sf)
+    pairs = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_neardup_pairs(aug, threshold=0.99).collect()
+    }
+    ids = [r.vec_id for r in aug.select("vec_id").collect() if r.vec_id < 1000000]
+    assert ids, "corpus empty"
+    for i in ids:
+        if i % 9 == 0:
+            assert pairs.get((i, i + 1000000)) == 1.0, f"exact copy of {i} missed"
+        if i % 5 == 0:
+            assert pairs.get((i, i + 2000000), 0.0) >= 0.99, f"perturbed copy of {i} missed"
+    # and nothing in the natural corpus is a false near-dup of itself
+    natural = [(a, b) for (a, b) in pairs if a < 1000000 and b < 1000000]
+    assert natural == []

@@ -38,6 +38,7 @@ from cupertino_nvr_spark.streaming.windows import tumbling_metrics_stream
 def run_demo(duration_s: float = 12.0, n_sources: int = 4) -> dict:
     spark = get_spark("nvr-pipeline-demo")
     spark.sparkContext.setLogLevel("ERROR")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     listener = attach_metrics_listener(spark)
 
@@ -63,6 +64,9 @@ def run_demo(duration_s: float = 12.0, n_sources: int = 4) -> dict:
         deadline = time.time() + deadline_s
         n = 0
         while time.time() < deadline:
+            q = plane.query
+            if q is not None and q.exception() is not None:
+                raise RuntimeError(f"demo query died: {q.exception()}")
             try:
                 n = spark.table("demo_metrics").count()
             except Exception:
@@ -88,6 +92,7 @@ def run_demo(duration_s: float = 12.0, n_sources: int = 4) -> dict:
         wait_for_rows(n0 + 1, duration_s + 30)
     finally:
         plane.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     metrics_rows = spark.table("demo_metrics").collect()
     return {

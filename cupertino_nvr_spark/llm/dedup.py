@@ -285,14 +285,20 @@ def embedding_neardup_pairs(
     """
     from pyspark.sql import Window
 
-    from cupertino_nvr_spark.llm.similarity import as_double, cosine
+    from cupertino_nvr_spark.llm.similarity import (
+        as_double,
+        cosine,
+        ensure_min_parallelism,
+    )
 
     centroids = vectors.filter(F.col(id_col) % centroid_stride == 0)
     cent = centroids.select(
         F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
     )
-    vecs = vectors.select(
-        F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+    vecs = ensure_min_parallelism(
+        vectors.select(
+            F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+        )
     )
     scored = F.broadcast(cent).join(vecs).select(
         "member_id",

@@ -44,6 +44,23 @@ def as_double(a: Column) -> Column:
     return a.cast("array<double>")
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the input has fewer partitions than the
+    cluster's default parallelism.
+
+    Higher-order-function expressions (zip_with/aggregate lambdas) are
+    interpreted, not codegen'd, so a vector-scoring scan is CPU-bound and
+    its wall-clock is partitions-limited: a small parquet file arrives as
+    ONE split and the whole scan runs on one core (measured 4x slowdown at
+    sf0.1). At 100 TB the scan arrives pre-split by maxPartitionBytes and
+    this is a no-op — the guard keeps the big-data path shuffle-free.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -60,8 +77,10 @@ def brute_force_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pvec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+        )
     )
     scored = (
         F.broadcast(p)
@@ -124,9 +143,11 @@ def lsh_ann_topk(
     """Approximate top-k: bucket both sides, equi-join on bucket, exact
     rerank within candidates. One corpus scan + hash join vs the brute
     force cross product."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cvec"),
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cvec"),
+        )
     ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, n_planes))
     p = probes.select(
         F.col(id_col).alias("probe_id"),
@@ -165,8 +186,10 @@ def ivf_assign(
     cent = centroids.select(
         F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
     )
-    vecs = corpus.select(
-        F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+    vecs = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+        )
     )
     scored = F.broadcast(cent).join(vecs).select(
         "member_id",

@@ -79,7 +79,9 @@ def run_demo(duration_s: float = 12.0, n_sources: int = 4) -> dict:
     plane = ControlPlane("demo-0", EngineConfig(streams=("synthetic://0",)), query_factory)
     plane.start()
     try:
-        n0 = wait_for_rows(1, duration_s + 30)
+        # generous deadline: first-batch latency on a loaded machine can
+        # exceed a minute; wait_for_rows exits as soon as rows appear
+        n0 = wait_for_rows(1, duration_s + 120)
         # mid-run dynamic reconfig: model swap restarts the query under the
         # new config with rollback protection (T7)
         plane.handle_command_row(
@@ -89,7 +91,7 @@ def run_demo(duration_s: float = 12.0, n_sources: int = 4) -> dict:
         plane.handle_command_row(
             Row(ts=time.time(), command="ping", params=None, target_instances=None)
         )
-        wait_for_rows(n0 + 1, duration_s + 30)
+        wait_for_rows(n0 + 1, duration_s + 120)
     finally:
         plane.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)

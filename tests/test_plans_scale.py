@@ -38,8 +38,10 @@ def plan_of(spark, name: str) -> str:
 # equi-join). For these, BroadcastNestedLoopJoin with the tiny side built
 # is the correct physical shape.
 # embedding_ivf_ann's centroid assignment/routing is likewise corpus ×
-# broadcast(centroids) by definition — bounded small side, linear in corpus.
-ALLOWED_BNLJ = {"embedding_cosine_topk", "embedding_ivf_ann"}
+# broadcast(centroids) by definition — bounded small side, linear in corpus;
+# embedding_cosine_neardup shares that exact routing stage (its pair scoring
+# itself is a cell_id equi-join).
+ALLOWED_BNLJ = {"embedding_cosine_topk", "embedding_ivf_ann", "embedding_cosine_neardup"}
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)

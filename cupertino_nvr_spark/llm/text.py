@@ -112,3 +112,14 @@ def fingerprint(text: Column) -> Column:
     whitespace-collapsed text."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+def chunk_spans(toks: Column, stride: int) -> Column:
+    """Token start offsets of the overlapping chunk windows covering a
+    tokenized document: 0, stride, 2*stride, … while the start lands
+    inside the document. Every token belongs to at least one chunk;
+    consecutive chunks of size > stride share ``size - stride`` tokens
+    of overlap."""
+    return F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )

@@ -27,6 +27,7 @@ from cupertino_nvr_spark.llm.multimodal import decode_features, frame_sample_pla
 from cupertino_nvr_spark.llm.similarity import brute_force_topk, ivf_ann_topk, lsh_ann_topk
 from cupertino_nvr_spark.llm.text import (
     avg_token_len,
+    chunk_spans,
     fingerprint,
     predict_lang,
     punct_ratio,
@@ -469,3 +470,43 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") * 10.0).alias("duration_ms"),
     ).filter(F.col("media_id") % 3 == 2)
     return frame_sample_plan(media, every_ms=1000.0)
+
+
+@register(
+    "docs_chunked",
+    """
+    SELECT d.doc_id,
+           CAST(s.start / 24 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(d.toks, s.start + 1, s.start + 32), ' ') AS chunk_text,
+           least(32, len(d.toks) - s.start) AS n_chunk_tokens,
+           len(d.toks) AS n_doc_tokens
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents) d,
+         UNNEST(range(0, greatest(len(d.toks), 1), 24)) AS s(start)
+    """,
+    doc=(
+        "document chunking into overlapping token windows (size 32, stride "
+        "24) — the standard pre-embedding step of a training-data pipeline. "
+        "Pure codegen: tokenize once, sequence+explode the window starts, "
+        "slice per chunk. Narrow except for the explode, which multiplies "
+        "rows by ~n_tokens/stride with no shuffle — partition count scales "
+        "with input splits, exactly what a 100 TB corpus wants."
+    ),
+)
+def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 32, 24
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    chunked = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(chunk_spans(F.col("toks"), stride)).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, size)
+    return chunked.select(
+        "doc_id",
+        (F.col("start") / stride).cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.least(F.lit(size), F.size("toks") - F.col("start")).alias("n_chunk_tokens"),
+        F.size("toks").alias("n_doc_tokens"),
+    )

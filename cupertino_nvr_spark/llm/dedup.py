@@ -68,14 +68,26 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     inlined split() subtree is re-evaluated per element.
     """
     toks = ws_tokens(text)
-    n = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        _shingle_spans(F.size(toks), k),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
     return F.array_distinct(grams)
+
+
+def _shingle_spans(n: Column, k: int) -> Column:
+    """1-based start positions of the k-gram windows over an n-token doc.
+
+    Guarded: ``F.sequence(1, n-(k-1))`` auto-REVERSES to a descending
+    [1, 0] when n < k, which would make the transform lambda index past the
+    token array and throw. Docs shorter than k tokens have zero shingles —
+    the same empty set the DuckDB oracle's range() produces.
+    """
+    return F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def shingle_rows(
@@ -95,9 +107,8 @@ def shingle_rows(
     keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
     toked = df.select(*keep, ws_tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
-    n = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(0))),
+        _shingle_spans(F.size(toks), shingle_k),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(shingle_k)]
         ),

@@ -257,18 +257,20 @@ def confidence_array_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "command_target_filter",
     """
     SELECT event_id,
-           CASE event_id % 4
+           CAST(to_json(CASE event_id % 4
              WHEN 0 THEN ['*']
              WHEN 1 THEN []
              WHEN 2 THEN ['processor-00', 'processor-01']
-             ELSE ['other'] END AS target_instances,
+             ELSE ['other'] END) AS VARCHAR) AS target_instances,
            (event_id % 4 IN (0, 1)
             OR list_contains(CASE event_id % 4
                  WHEN 2 THEN ['processor-00', 'processor-01']
                  ELSE ['other'] END, 'processor-01')) AS should_process
     FROM events WHERE event_id % 6 = 0
     """,
-    doc="F4 command target filter: broadcast ['*'] / empty / membership (control_plane.py:341-356)",
+    doc="F4 command target filter: broadcast ['*'] / empty / membership (control_plane.py:341-356). "
+    "target_instances is emitted as its JSON rendering: the driver's result "
+    "canonicalizer cannot sort raw array columns (CORRECTNESS_r01 harness err).",
 )
 def command_target_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 6 == 0)
@@ -282,13 +284,17 @@ def command_target_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array(F.lit("other")))
     )
     me = F.lit("processor-01")
-    tagged = ev.select("event_id", targets.alias("target_instances"))
+    tagged = ev.select("event_id", targets.alias("_targets"))
     should = (
-        F.array_contains("target_instances", "*")
-        | (F.size("target_instances") == 0)
-        | F.array_contains("target_instances", me)
+        F.array_contains("_targets", "*")
+        | (F.size("_targets") == 0)
+        | F.array_contains("_targets", me)
     )
-    return tagged.withColumn("should_process", should)
+    return tagged.select(
+        "event_id",
+        F.to_json("_targets").alias("target_instances"),
+        should.alias("should_process"),
+    )
 
 
 @register(

@@ -4,9 +4,13 @@ multimodal plumbing (BASELINE north star; SURVEY §7.3 M5).
 The raw ``documents`` corpus contains no duplicates, so dedup queries run
 over a deterministically *augmented* corpus both engines build identically:
 exact copies (doc_id%7, +1M), near copies with a tail marker (doc_id%11,
-+2M), and upper-cased variants (doc_id%13, +3M). Exact dedup must catch
-only the first group, fingerprint dedup the first and third, MinHash/
-Jaccard all three.
++2M), upper-cased variants (doc_id%13, +3M), and two-token truncations
+(doc_id%17, +4M). Exact dedup must catch only the first group, fingerprint
+dedup the first and third, MinHash/Jaccard all three. The truncated group
+has fewer tokens than the shingle width k=3 and therefore an EMPTY shingle
+set — it exists to pin the short-document guard in both engines (an
+unguarded F.sequence reverses to [1,0] when n<k and indexes out of
+bounds).
 """
 
 from __future__ import annotations
@@ -57,7 +61,14 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("text")).alias("text"),
         "lang",
     )
-    return docs.unionByName(exact).unionByName(near).unionByName(cased)
+    short = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, 2), " ").alias("text"),
+        "lang",
+    )
+    return (
+        docs.unionByName(exact).unionByName(near).unionByName(cased).unionByName(short)
+    )
 
 
 _AUG_SQL = f"""
@@ -65,6 +76,9 @@ _AUG_SQL = f"""
   UNION ALL SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0
   UNION ALL SELECT doc_id + 2000000, text || '{TAIL}', lang FROM documents WHERE doc_id % 11 = 0
   UNION ALL SELECT doc_id + 3000000, upper(text), lang FROM documents WHERE doc_id % 13 = 0
+  UNION ALL SELECT doc_id + 4000000,
+            array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 2), ' '),
+            lang FROM documents WHERE doc_id % 17 = 0
 """
 
 # DuckDB word-3-gram shingle set (mirrors llm.dedup.word_shingles k=3)

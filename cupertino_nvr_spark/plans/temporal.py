@@ -57,15 +57,19 @@ def tumbling_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), tagged AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB types this window SUM as HUGEINT, which pandas
+             -- renders as float ('1.0'); Spark emits BIGINT ('1'). The
+             -- driver's canonicalized hash diverged on exactly this
+             -- (CORRECTNESS_r01 hash_match false with rows/schema green).
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM seq
     )
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
-           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec
+           round((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6) AS duration_sec
     FROM tagged
     GROUP BY user_id, session_id
     """,
@@ -87,8 +91,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        (
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1000000.0
+        F.round(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1000000.0, 6
         ).alias("duration_sec"),
     )
 

@@ -161,9 +161,18 @@ def lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    band_cap: int = 64,
 ) -> DataFrame:
     """Banding: docs sharing any band of the signature become a candidate
     pair. Equi-join on (band_idx, band_key) — a plain shuffled hash join.
+
+    ``band_cap`` bounds the hot-band blowup: a band bucket holding m docs
+    emits m·(m−1)/2 pairs, so one degenerate bucket (boilerplate text, k
+    identical docs) can dominate the whole job quadratically. Buckets
+    larger than the cap are dropped via an anti-join against the (tiny by
+    construction: ≤ rows/cap keys) hot-bucket set — the standard LSH
+    hot-bucket skip. Members of an over-full bucket are still paired
+    through their other, more selective bands.
     """
     bands = F.array(
         *[
@@ -179,6 +188,13 @@ def lsh_candidates(
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
     )
+    hot = (
+        exploded.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > band_cap)
+        .select("band_idx", "band_key")
+    )
+    exploded = exploded.join(hot, ["band_idx", "band_key"], "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -233,14 +249,33 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     shingle_k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via the relational (posting-list)
     formulation. ``block_col`` restricts pairs to the same block — at scale
-    you never run this unblocked."""
+    you never run this unblocked.
+
+    ``max_shingle_df`` drops stop-shingles (document frequency above the
+    cap within a block) BEFORE the self-join: a shingle shared by m docs
+    contributes m² join rows, so one boilerplate phrase can make the job
+    quadratic in corpus size. The hot set is tiny by construction
+    (≤ rows/cap distinct keys), removed with an anti-join, and the Jaccard
+    is then EXACT over the non-stop-shingle universe — sizes and
+    intersections both count only kept shingles, so identical docs still
+    score 1.0.
+    """
+    keys = ["shingle", *((block_col,) if block_col else ())]
     shingled = shingle_rows(
         df, text_col, id_col, shingle_k,
         extra_cols=(block_col,) if block_col else (),
     )
+    hot = (
+        shingled.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_shingle_df)
+        .select(*keys)
+    )
+    shingled = shingled.join(hot, keys, "left_anti")
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -276,7 +311,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    centroid_stride: int = 37,
+    max_cells: int | None = None,
     n_assign: int = 2,
     sim_decimals: int = 6,
 ) -> DataFrame:
@@ -284,7 +319,8 @@ def embedding_neardup_pairs(
     and rounded cosine >= ``threshold``.
 
     The scale path mirrors IVF ANN: every vector is multi-probe-assigned to
-    its ``n_assign`` nearest strided centroids, and only same-cell pairs pay
+    its ``n_assign`` nearest centroids (a hash-sampled ~sqrt(n) subset,
+    capped — see ``ivf_centroids``), and only same-cell pairs pay
     the exact cosine — a self-equi-join on cell_id instead of the O(n^2)
     cross product. Single-probe assignment can split an eps-perturbed pair
     whose argmax cell sits on a boundary (observed at sf0.001); with top-2
@@ -297,12 +333,16 @@ def embedding_neardup_pairs(
     from pyspark.sql import Window
 
     from cupertino_nvr_spark.llm.similarity import (
+        IVF_MAX_CELLS,
         as_double,
         cosine,
         ensure_min_parallelism,
+        ivf_centroids,
     )
 
-    centroids = vectors.filter(F.col(id_col) % centroid_stride == 0)
+    centroids = ivf_centroids(
+        vectors, id_col, IVF_MAX_CELLS if max_cells is None else max_cells
+    )
     cent = centroids.select(
         F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
     )

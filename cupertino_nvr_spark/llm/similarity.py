@@ -17,8 +17,17 @@ Two paths, same contract (probe id -> top-k neighbor ids):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Hard ceiling on the IVF centroid count: the centroid table is BROADCAST
+# to every task during assignment/routing, so it must stay bounded no
+# matter the corpus size. 4096 × (64 dims × 8 B) ≈ 2 MiB — comfortably
+# under any broadcast threshold; below the cap, n_cells ~ sqrt(n) balances
+# assignment cost (n · n_cells) against candidate cost (n²/n_cells).
+IVF_MAX_CELLS = 4096
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -59,6 +68,42 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def ivf_stride(n_rows: int, max_cells: int = IVF_MAX_CELLS) -> int:
+    """Sampling stride giving ~min(sqrt(n), max_cells) centroids.
+
+    Pure integer arithmetic (isqrt + floor-div) so the DuckDB oracle can
+    reproduce it exactly with FLOOR(SQRT(..)) / integer division."""
+    target = max(1, min(math.isqrt(max(n_rows, 0)), max_cells))
+    return max(1, n_rows // target)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    max_cells: int = IVF_MAX_CELLS,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Deterministic hash-sampled centroid set, |C| ≈ min(sqrt(n), max_cells).
+
+    Replaces the earlier fixed id-stride (``vec_id % 37``), whose cell count
+    grew LINEARLY with the corpus — an unbounded broadcast and O(n²/37)
+    assignment cost. Sampling on a hash of the id (not the id itself) keeps
+    the rate uniform for arbitrary/sparse id spaces; the stride is derived
+    from the corpus size, so the broadcast side and per-row scoring cost
+    stay bounded at any scale. One counting pass when ``n_rows`` is not
+    supplied — at index-build time that scan is amortized by the build
+    itself. A real k-means iteration would refine these seeds in place; the
+    index structure (cells, routing, candidate equi-join) is what scales.
+    """
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    n = corpus.count() if n_rows is None else n_rows
+    stride = ivf_stride(n, max_cells)
+    return corpus.filter(
+        F.pmod(md5_int(F.col(id_col).cast("string")), F.lit(stride)) == 0
+    )
 
 
 def brute_force_topk(
@@ -178,7 +223,8 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (IVF cell).
 
-    Centroids broadcast (bounded: n_cells ~ sqrt(corpus)); assignment is a
+    Centroids broadcast — bounded by construction when they come from
+    ``ivf_centroids`` (|C| ≈ min(sqrt(n), IVF_MAX_CELLS)); assignment is a
     linear scan — each vector scores n_cells rounded cosines and keeps the
     argmax via max_by, tie-broken by centroid id so Spark and the SQL
     oracle agree. One projection, no shuffle beyond the broadcast.
@@ -213,20 +259,21 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 2,
-    centroid_stride: int = 37,
+    max_cells: int = IVF_MAX_CELLS,
     sim_decimals: int = 6,
 ) -> DataFrame:
     """IVF-style ANN: the second scale path next to LSH bucketing.
 
-    Deterministic "training": centroids are the corpus vectors whose id is
-    ``centroid_stride``-strided (a k-means iteration would drop in here; the
-    index structure — cells, routing, candidate equi-join — is what scales,
-    and it is fully SQL-expressible so the oracle can hash-check it, unlike
-    the LSH variant). Per probe, the ``n_probe`` nearest cells are searched
+    Deterministic "training": centroids are a hash-sampled
+    ~min(sqrt(n), max_cells) subset of the corpus (``ivf_centroids``; a
+    k-means iteration would drop in here — the index structure: cells,
+    routing, candidate equi-join, is what scales, and it is fully
+    SQL-expressible so the oracle can hash-check it, unlike the LSH
+    variant). Per probe, the ``n_probe`` nearest cells are searched
     exactly; candidates come from an equi-join on cell_id, so cost is
     n_probe/n_cells of brute force.
     """
-    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    centroids = ivf_centroids(corpus, id_col, max_cells)
     cells = ivf_assign(corpus, centroids, id_col, vec_col, sim_decimals)
     members = cells.join(
         corpus.select(

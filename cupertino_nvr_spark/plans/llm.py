@@ -96,6 +96,21 @@ def _md5_int_sql(expr: str, seed: int) -> str:
     )
 
 
+def _ivf_params_sql(corpus: str) -> str:
+    """DuckDB replica of llm.similarity.ivf_stride: integer floor-sqrt
+    target capped at 4096, floor-div stride. COUNT(*) and // keep the whole
+    computation in BIGINT, matching Python's isqrt/floor-div exactly."""
+    return f"""
+      SELECT GREATEST(1, COUNT(*) // GREATEST(
+               LEAST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT), 4096), 1)) AS stride
+      FROM {corpus}
+    """
+
+
+# hash-sampled centroid predicate (mirrors llm.similarity.ivf_centroids)
+_CENT_PRED_SQL = f"{_md5_int_sql('CAST(vec_id AS VARCHAR)', 0)} % stride = 0"
+
+
 @register(
     "docs_exact_dedup",
     f"""
@@ -206,10 +221,12 @@ def docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle, lang FROM sh GROUP BY shingle, lang HAVING COUNT(*) > 256),
+    kept AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle, lang)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.lang = b.lang AND b.doc_id > a.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
@@ -220,7 +237,8 @@ def docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON id_b = sb.doc_id
     WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
     """,
-    doc="exact n-gram Jaccard near-dup via posting-list self-join (blocked by lang)",
+    doc="exact n-gram Jaccard near-dup via posting-list self-join (blocked by "
+    "lang, stop-shingles with df > 256 anti-joined away before the join)",
 )
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = augmented_docs(spark, sf_dir)
@@ -239,18 +257,23 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
       FROM based GROUP BY doc_id
-    )
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
+    ),
+    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
+    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key))
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sig a JOIN sig b ON b.doc_id > a.doc_id AND (
-         (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3)
-      OR (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))
+    FROM kept a JOIN kept b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.doc_id > a.doc_id
     """,
-    doc="MinHash(8)+LSH(4 bands x 2) candidate pairs: signature scan + equi-join on band keys",
+    doc="MinHash(8)+LSH(4 bands x 2) candidate pairs: signature scan + equi-join "
+    "on band keys, hot buckets (> 64 docs) anti-joined away before the join",
 )
 def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = augmented_docs(spark, sf_dir)
     sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
-    return lsh_candidates(sigs, num_hashes=8, band_size=2)
+    return lsh_candidates(sigs, num_hashes=8, band_size=2, band_cap=64)
 
 
 @register(
@@ -313,10 +336,11 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ivf_ann",
-    """
-    WITH cent AS (
+    f"""
+    WITH params AS ({_ivf_params_sql("embeddings")}),
+    cent AS (
       SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centvec
-      FROM embeddings WHERE vec_id % 37 = 0
+      FROM embeddings, params WHERE {_CENT_PRED_SQL}
     ),
     vecs AS (SELECT vec_id AS member_id, CAST(embedding AS DOUBLE[]) AS mvec FROM embeddings),
     assign AS (
@@ -353,13 +377,13 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
       FROM scored) WHERE rank <= 5
     """,
-    doc="IVF-cell ANN: deterministic strided centroids, broadcast routing, "
+    doc="IVF-cell ANN: hash-sampled sqrt(n)-capped centroids, broadcast routing, "
     "candidate equi-join on cell_id, exact rerank — the oracle-checkable scale path",
 )
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_ann_topk(emb, probes, k=5, n_probe=2, centroid_stride=37)
+    return ivf_ann_topk(emb, probes, k=5, n_probe=2)
 
 
 _AUG_EMB_SQL = """
@@ -405,7 +429,8 @@ def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_cosine_neardup",
     f"""
     WITH aug AS ({_AUG_EMB_SQL}),
-    cent AS (SELECT vec_id AS cell_id, e AS centvec FROM aug WHERE vec_id % 37 = 0),
+    params AS ({_ivf_params_sql("aug")}),
+    cent AS (SELECT vec_id AS cell_id, e AS centvec FROM aug, params WHERE {_CENT_PRED_SQL}),
     assign AS (
       SELECT member_id, cell_id FROM (
         SELECT member_id, cell_id,
@@ -424,15 +449,15 @@ def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99
     """,
-    doc="embedding-cosine near-dup: multi-probe IVF-cell blocking (top-2 cells), "
-    "same-cell pair scoring, threshold on rounded cosine — completes the dedup "
-    "family for vectors",
+    doc="embedding-cosine near-dup: multi-probe IVF-cell blocking (top-2 of the "
+    "hash-sampled sqrt(n)-capped cells), same-cell pair scoring, threshold on "
+    "rounded cosine — completes the dedup family for vectors",
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        augmented_embeddings(spark, sf_dir), threshold=0.99, centroid_stride=37
+        augmented_embeddings(spark, sf_dir), threshold=0.99
     )
 
 

@@ -1,0 +1,52 @@
+"""The quadratic-blowup guards: stop-shingle DF cap (n-gram Jaccard) and
+hot-band cap (MinHash LSH) must suppress degenerate keys while leaving
+genuinely-similar pairs intact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.llm.dedup import (
+    lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+)
+
+
+def _corpus(spark, n_boiler: int = 30):
+    """n_boiler identical boilerplate docs (one degenerate key shared by all)
+    + one genuine near-dup pair with distinct text."""
+    rows = [(i, "terms of service apply to all users", "en") for i in range(n_boiler)]
+    rows += [
+        # exact duplicates: band agreement is deterministic (a single-token
+        # edit leaves band agreement probabilistic, ~0.94 for 4 bands of 2)
+        (1000, "quick brown fox jumps over the lazy dog", "en"),
+        (1001, "quick brown fox jumps over the lazy dog", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_shingle_df_cap_suppresses_boilerplate(spark):
+    docs = _corpus(spark)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=10_000)
+    # 30 identical docs -> 30*29/2 = 435 boilerplate pairs without the cap
+    assert uncapped.count() >= 435
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # every boilerplate shingle has df=30 > 10 -> no boilerplate pairs ...
+    assert all(a >= 1000 for a, _ in got), got
+    # ... while the genuine near-dup pair (unique shingles, df <= 2) survives
+    assert (1000, 1001) in got
+
+
+def test_band_cap_suppresses_hot_buckets(spark):
+    docs = _corpus(spark)
+    sigs = minhash_signature(docs, num_hashes=8)
+    uncapped = lsh_candidates(sigs, band_cap=10_000)
+    assert uncapped.count() >= 435
+    capped = lsh_candidates(sigs, band_cap=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # identical docs share every band -> all four buckets are hot -> dropped
+    assert all(a >= 1000 for a, _ in got), got
+    # the exact-dup pair shares every band; its buckets hold 2 docs < cap
+    assert (1000, 1001) in got

@@ -314,6 +314,7 @@ def embedding_neardup_pairs(
     max_cells: int | None = None,
     n_assign: int = 2,
     sim_decimals: int = 6,
+    kernel: str = "hof",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, sim) with id_a < id_b
     and rounded cosine >= ``threshold``.
@@ -335,11 +336,12 @@ def embedding_neardup_pairs(
     from cupertino_nvr_spark.llm.similarity import (
         IVF_MAX_CELLS,
         as_double,
-        cosine,
         ensure_min_parallelism,
         ivf_centroids,
+        make_cosine,
     )
 
+    cosine = make_cosine(kernel)
     centroids = ivf_centroids(
         vectors, id_col, IVF_MAX_CELLS if max_cells is None else max_cells
     )

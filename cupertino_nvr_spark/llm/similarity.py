@@ -53,6 +53,45 @@ def as_double(a: Column) -> Column:
     return a.cast("array<double>")
 
 
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-batched numpy cosine — the production scoring kernel.
+
+    The higher-order-function ``cosine`` runs interpreted expression trees
+    (one virtual call per element); this path ships whole Arrow batches to
+    a pandas UDF and scores them with two BLAS-backed numpy reductions.
+    Same contract, different float summation ORDER (pairwise vs
+    sequential), so results can differ in the last ulp — keep the HOF
+    kernel for oracle-hash-checked queries and use this one where
+    throughput matters (rows-only checked).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no pd.Series type hints: `from __future__ import annotations` turns
+    # them into strings the UDF type-inferencer cannot resolve
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def _cos(xs, ys):
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        va = np.stack(xs.to_numpy())
+        vb = np.stack(ys.to_numpy())
+        num = np.einsum("ij,ij->i", va, vb)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
+def make_cosine(kernel: str):
+    """'hof' (oracle-deterministic, interpreted) or 'pandas' (Arrow+numpy)."""
+    if kernel == "pandas":
+        return cosine_pandas
+    if kernel == "hof":
+        return cosine
+    raise ValueError(f"unknown cosine kernel: {kernel!r}")
+
+
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition IFF the input has fewer partitions than the
     cluster's default parallelism.
@@ -113,6 +152,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     sim_decimals: int = 6,
+    kernel: str = "hof",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe (excluding itself).
 
@@ -133,7 +173,7 @@ def brute_force_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("pvec"), F.col("cvec")), sim_decimals).alias("sim"),
+            F.round(make_cosine(kernel)(F.col("pvec"), F.col("cvec")), sim_decimals).alias("sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -184,6 +224,7 @@ def lsh_ann_topk(
     dim: int = 64,
     k: int = 5,
     n_planes: int = 8,
+    kernel: str = "hof",
 ) -> DataFrame:
     """Approximate top-k: bucket both sides, equi-join on bucket, exact
     rerank within candidates. One corpus scan + hash join vs the brute
@@ -204,7 +245,7 @@ def lsh_ann_topk(
     scored = cand.select(
         "probe_id",
         "neighbor_id",
-        F.round(cosine(F.col("pvec"), F.col("cvec")), 6).alias("sim"),
+        F.round(make_cosine(kernel)(F.col("pvec"), F.col("cvec")), 6).alias("sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -220,6 +261,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int = 6,
+    kernel: str = "hof",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (IVF cell).
 
@@ -240,7 +282,7 @@ def ivf_assign(
     scored = F.broadcast(cent).join(vecs).select(
         "member_id",
         "cell_id",
-        F.round(cosine(F.col("mvec"), F.col("centvec")), sim_decimals).alias("csim"),
+        F.round(make_cosine(kernel)(F.col("mvec"), F.col("centvec")), sim_decimals).alias("csim"),
     )
     # argmax by (sim, -cell_id): max_by with a struct orders lexicographically,
     # so negate the id to prefer the LOWEST cell id on similarity ties
@@ -261,6 +303,7 @@ def ivf_ann_topk(
     n_probe: int = 2,
     max_cells: int = IVF_MAX_CELLS,
     sim_decimals: int = 6,
+    kernel: str = "hof",
 ) -> DataFrame:
     """IVF-style ANN: the second scale path next to LSH bucketing.
 
@@ -274,7 +317,7 @@ def ivf_ann_topk(
     n_probe/n_cells of brute force.
     """
     centroids = ivf_centroids(corpus, id_col, max_cells)
-    cells = ivf_assign(corpus, centroids, id_col, vec_col, sim_decimals)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, sim_decimals, kernel)
     members = cells.join(
         corpus.select(
             F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
@@ -295,7 +338,7 @@ def ivf_ann_topk(
             "probe_id",
             "pvec",
             "cell_id",
-            F.round(cosine(F.col("pvec"), F.col("centvec")), sim_decimals).alias("csim"),
+            F.round(make_cosine(kernel)(F.col("pvec"), F.col("centvec")), sim_decimals).alias("csim"),
         )
     )
     wc = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
@@ -307,7 +350,7 @@ def ivf_ann_topk(
     scored = cand.select(
         "probe_id",
         F.col("member_id").alias("neighbor_id"),
-        F.round(cosine(F.col("pvec"), F.col("mvec")), sim_decimals).alias("sim"),
+        F.round(make_cosine(kernel)(F.col("pvec"), F.col("mvec")), sim_decimals).alias("sim"),
     ).distinct()  # a neighbor reachable via both probed cells counts once
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

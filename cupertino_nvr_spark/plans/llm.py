@@ -386,6 +386,31 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, probes, k=5, n_probe=2)
 
 
+@register(
+    "embedding_ivf_ann_fast",
+    None,  # numpy pairwise summation differs from the HOF sequential sum in
+    # the last ulp, so no cross-engine hash oracle; equivalence to the HOF
+    # path is asserted in tests/test_similarity_kernels.py
+    doc="IVF-cell ANN with the Arrow-batched numpy cosine kernel — the "
+    "production scoring path (same plan shape as embedding_ivf_ann)",
+)
+def embedding_ivf_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_ann_topk(emb, probes, k=5, n_probe=2, kernel="pandas")
+
+
+@register(
+    "embedding_lsh_ann_fast",
+    None,
+    doc="LSH bucketed ANN with the Arrow-batched numpy cosine kernel",
+)
+def embedding_lsh_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_ann_topk(emb, probes, dim=64, k=5, kernel="pandas")
+
+
 _AUG_EMB_SQL = """
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   UNION ALL

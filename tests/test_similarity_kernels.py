@@ -1,0 +1,87 @@
+"""ANN quality + kernel-equivalence pins.
+
+Recall floors: the synthetic embeddings are near-uniform random, so ANN
+recall on arbitrary neighbors is ~(fraction of corpus searched) by
+construction — not a useful pin. What a dedup/retrieval pipeline actually
+needs is that HIGH-similarity neighbors are found, so the recall tests run
+over the augmented corpus with planted exact (+1M) and perturbed (+2M)
+copies and require those to surface in the top-k. A weak floor on natural
+recall guards against total bucketing breakage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.llm.similarity import (
+    brute_force_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from cupertino_nvr_spark.plans import REGISTRY
+from cupertino_nvr_spark.plans.llm import augmented_embeddings
+
+SF = "/root/testdata/sf0.001"
+
+
+def _planted_recall(topk_rows, planted: dict[int, int]) -> float:
+    found = {
+        r.probe_id
+        for r in topk_rows
+        if planted.get(r.probe_id) == r.neighbor_id
+    }
+    return len(found) / len(planted)
+
+
+def test_ann_finds_planted_near_dups(spark):
+    aug = augmented_embeddings(spark, SF)
+    # probe with every original that has an exact copy planted at +1M
+    probes = aug.filter((F.col("vec_id") % 9 == 0) & (F.col("vec_id") < 1000000))
+    planted_exact = {
+        r.vec_id: r.vec_id + 1000000 for r in probes.select("vec_id").collect()
+    }
+    assert planted_exact
+
+    lsh = lsh_ann_topk(aug, probes, dim=64, k=5).collect()
+    ivf = ivf_ann_topk(aug, probes, k=5, n_probe=2).collect()
+    # an exact copy hashes to the same LSH bucket / IVF cell deterministically
+    assert _planted_recall(lsh, planted_exact) == 1.0
+    assert _planted_recall(ivf, planted_exact) == 1.0
+
+    # perturbed copies (elementwise ±2%, cosine ~0.9996) may flip a
+    # hyperplane sign or a cell boundary, but only rarely
+    pprobes = aug.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 1000000))
+    planted_pert = {
+        r.vec_id: r.vec_id + 2000000 for r in pprobes.select("vec_id").collect()
+    }
+    lshp = lsh_ann_topk(aug, pprobes, dim=64, k=5).collect()
+    ivfp = ivf_ann_topk(aug, pprobes, k=5, n_probe=2).collect()
+    assert _planted_recall(lshp, planted_pert) >= 0.8
+    assert _planted_recall(ivfp, planted_pert) >= 0.8
+
+
+def test_natural_recall_floor(spark):
+    bf = {
+        (r.probe_id, r.neighbor_id)
+        for r in REGISTRY["embedding_cosine_topk"].spark(spark, SF).collect()
+    }
+    lsh = {
+        (r.probe_id, r.neighbor_id)
+        for r in REGISTRY["embedding_lsh_ann"].spark(spark, SF).collect()
+    }
+    # uniform-random corpus: recall ~ searched fraction (~1/256 buckets x
+    # corpus); anything > 0 proves bucketing routes probes with the corpus,
+    # and the planted-pair test above pins the quality that matters
+    assert len(bf & lsh) / len(bf) >= 0.04
+
+
+def test_pandas_kernel_equivalent_to_hof(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    hof = brute_force_topk(emb, probes, k=5, kernel="hof").collect()
+    fast = brute_force_topk(emb, probes, k=5, kernel="pandas").collect()
+    assert {(r.probe_id, r.neighbor_id, r.rank) for r in hof} == {
+        (r.probe_id, r.neighbor_id, r.rank) for r in fast
+    }
+    hs = {(r.probe_id, r.neighbor_id): r.sim for r in hof}
+    for r in fast:
+        assert abs(hs[(r.probe_id, r.neighbor_id)] - r.sim) < 1e-9

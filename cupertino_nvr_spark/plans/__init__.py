@@ -8,3 +8,4 @@ from cupertino_nvr_spark.plans import temporal  # noqa: F401,E402
 from cupertino_nvr_spark.plans import scalar  # noqa: F401,E402
 from cupertino_nvr_spark.plans import event_domain  # noqa: F401,E402
 from cupertino_nvr_spark.plans import llm  # noqa: F401,E402
+from cupertino_nvr_spark.plans import commands  # noqa: F401,E402

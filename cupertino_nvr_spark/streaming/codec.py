@@ -32,13 +32,19 @@ def encode_event_wire(events: DataFrame, topic_prefix: str = "nvr/detections") -
     )
 
 
-def parse_event_wire(wire: DataFrame, value_col: str = "value", topic_col: str = "topic"):
+def parse_event_wire(
+    wire: DataFrame,
+    value_col: str = "value",
+    topic_col: str = "topic",
+    passthrough: tuple[str, ...] = (),
+):
     """(topic, value) wire rows -> (events, quarantine) DataFrames.
 
     ``from_json`` yields NULL on corrupt rows (the engine's analog of the
     reference's log-and-drop, ``mqtt_listener.py:95-96``); rows whose
     payload fails to parse, or whose topic does not yield a source id, land
-    in the quarantine frame with the raw payload intact.
+    in the quarantine frame with the raw payload intact. ``passthrough``
+    columns (e.g. the broker append timestamp) ride into the event frame.
     """
     parsed = wire.withColumn("event", F.from_json(F.col(value_col), DETECTION_EVENT_SCHEMA))
     parsed = parsed.withColumn("topic_source_id", parse_source_id(F.col(topic_col)))
@@ -52,7 +58,7 @@ def parse_event_wire(wire: DataFrame, value_col: str = "value", topic_col: str =
         & F.col("event.timestamp").isNotNull()
     )
     ok = parsed.filter(valid_event & F.col("topic_source_id").isNotNull()).select(
-        "event.*", "topic_source_id"
+        "event.*", "topic_source_id", *passthrough
     )
     quarantine = parsed.filter(~valid_event | F.col("topic_source_id").isNull()).select(
         F.col(topic_col).alias("topic"),

@@ -25,6 +25,15 @@ from typing import Any
 
 from pyspark.sql import DataFrame, Row
 
+from cupertino_nvr_spark.functions.validation import (
+    is_valid_uri,
+    validate_confidence,
+    validate_fps,
+    validate_metrics_interval,
+    validate_model_id,
+    validate_stream_uri,
+)
+
 logger = logging.getLogger(__name__)
 
 
@@ -41,12 +50,15 @@ class EngineConfig:
     metrics_interval_s: float = 10.0
 
     def validated(self) -> "EngineConfig":
-        if not (0.0 <= self.confidence_threshold <= 1.0):
-            raise ValueError(f"confidence_threshold out of [0,1]: {self.confidence_threshold}")
-        if self.max_fps is not None and self.max_fps <= 0:
-            raise ValueError(f"max_fps must be positive: {self.max_fps}")
-        if self.metrics_interval_s < 0:
-            raise ValueError(f"metrics_interval_s must be >= 0: {self.metrics_interval_s}")
+        # full rule table from reference config.py:99-150 / validators.py
+        validate_model_id(self.model_id)
+        validate_confidence(self.confidence_threshold)
+        if self.max_fps is not None:
+            validate_fps(self.max_fps)
+        validate_metrics_interval(self.metrics_interval_s)
+        for uri in self.streams:
+            if not is_valid_uri(uri):
+                raise ValueError(f"Invalid stream URI: {uri!r}")
         return self
 
 
@@ -150,14 +162,20 @@ class ControlPlane:
                 "pause": self._cmd_pause,
                 "resume": self._cmd_resume,
                 "restart": self._cmd_restart,
+                # params validated BEFORE the config mutation so a bad value
+                # becomes an error ack without touching the running query
+                # (reference validates at the handler edge,
+                # command_handlers.py via validators.py:49-180)
                 "change_model": lambda p: self._config_change(
-                    "model_id", p["model_id"], restart=True
+                    "model_id", validate_model_id(p["model_id"]), restart=True
                 ),
                 "set_confidence": lambda p: self._config_change(
-                    "confidence_threshold", float(p["confidence_threshold"]), restart=True
+                    "confidence_threshold",
+                    validate_confidence(p["confidence_threshold"]),
+                    restart=True,
                 ),
                 "set_max_fps": lambda p: self._config_change(
-                    "max_fps", float(p["max_fps"]), restart=True
+                    "max_fps", validate_fps(p["max_fps"]), restart=True
                 ),
                 "add_stream": self._cmd_add_stream,
                 "remove_stream": self._cmd_remove_stream,
@@ -198,7 +216,7 @@ class ControlPlane:
             self._restart_query()
 
     def _cmd_add_stream(self, params: dict[str, str]) -> None:
-        uri = params["uri"]
+        uri = validate_stream_uri(params["uri"])
         if uri in self.config.streams:
             raise ValueError(f"stream already present: {uri}")
         self._config_change("streams", (*self.config.streams, uri), restart=True)

@@ -104,6 +104,46 @@ class AtMostOnceSink:
             self.dropped_batches += 1
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, checkpoint_dir: str | None = None
+) -> dict[str, str]:
+    """Kafka sink options as plain data (testable without the connector jar)."""
+    opts = {"kafka.bootstrap.servers": bootstrap_servers}
+    if checkpoint_dir is not None:
+        opts["checkpointLocation"] = checkpoint_dir
+    return opts
+
+
+def kafka_topic_writer(
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic_prefix: str = "nvr/detections",
+    checkpoint_dir: str | None = None,
+):
+    """Configured Kafka ``DataStreamWriter`` — the production S3 keyed sink.
+
+    Encodes events onto the wire exactly as the reference publishes them:
+    one topic per source (``processor/mqtt_sink.py:108-110`` via
+    ``events/protocol.py:11-28``), JSON payload, source_id as the message
+    key. The Kafka sink routes each row by its ``topic`` column, so one
+    writer serves every per-source topic — no per-camera fan-out code; the
+    key keeps a source's events in one partition (per-key ordering, the
+    broker-side analog of the reference's per-topic ordering).
+
+    Returned unstarted: ``.start()`` requires the spark-sql-kafka connector
+    jar (absent in the sandbox); the wire encoding itself is
+    batch-testable via ``codec.encode_event_wire``.
+    """
+    from cupertino_nvr_spark.streaming.codec import encode_event_wire
+
+    wire = encode_event_wire(events, topic_prefix)
+    return (
+        wire.writeStream.format("kafka")
+        .options(**kafka_sink_options(bootstrap_servers, checkpoint_dir))
+        .outputMode("append")
+    )
+
+
 def parquet_append_sink(path: str, partition_by: tuple[str, ...] = ()) -> Callable[[DataFrame, int], None]:
     """Partitioned append publisher for the data plane — the local stand-in
     for a Kafka/object-store sink; at scale ``partition_by`` is the key that
@@ -118,4 +158,10 @@ def parquet_append_sink(path: str, partition_by: tuple[str, ...] = ()) -> Callab
     return publish
 
 
-__all__ = ["RetainedLatestStore", "AtMostOnceSink", "parquet_append_sink"]
+__all__ = [
+    "RetainedLatestStore",
+    "AtMostOnceSink",
+    "kafka_sink_options",
+    "kafka_topic_writer",
+    "parquet_append_sink",
+]

@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 from cupertino_nvr_spark.schemas import DETECTION_EVENT_SCHEMA, EVENTS_SCHEMA
 
+#: default subscription — matches every per-source detection topic the sink
+#: publishes (reference subscribes ``{prefix}/#`` via MQTT wildcard,
+#: ``wall/config.py`` topic pattern; Kafka's regex form of the same).
+DEFAULT_SUBSCRIBE_PATTERN = "nvr/detections/.*"
+
 
 def replay_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """File-replay of an events directory as an unbounded stream.
@@ -36,6 +41,87 @@ def replay_events_stream(spark: SparkSession, path: str, schema=None) -> DataFra
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
+
+
+def broker_options(
+    bootstrap_servers: str,
+    subscribe_pattern: str = DEFAULT_SUBSCRIBE_PATTERN,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Kafka source options as plain data (testable without the connector
+    jar; PySpark does not expose a reader's accumulated options)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribePattern": subscribe_pattern,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",  # QoS-0 plane: gaps are documented loss
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def broker_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe_pattern: str = DEFAULT_SUBSCRIBE_PATTERN,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Configured Kafka ``DataStreamReader`` — the production S1/S4 ingest.
+
+    The reference's listener subscribes one broker with a topic *pattern*
+    and fans every per-source topic into one callback
+    (``wall/mqtt_listener.py:59-69``); here that is
+    ``format("kafka") + subscribePattern`` — one source, all partitions of
+    all matching topics, parallelism = topic partitions, no per-camera
+    plumbing. ``maxOffsetsPerTrigger`` bounds micro-batch size so a restart
+    after downtime cannot produce an unboundedly large first batch.
+
+    Returned unloaded: ``.load()`` requires the spark-sql-kafka connector
+    on the classpath (absent in the sandbox — ``kafka_events_stream`` is
+    the full path, exercised by plan-construction tests either way).
+    """
+    return spark.readStream.format("kafka").options(
+        **broker_options(
+            bootstrap_servers, subscribe_pattern, starting_offsets, max_offsets_per_trigger
+        )
+    )
+
+
+def decode_broker_records(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Kafka wire rows (binary key/value, topic, timestamp) ->
+    (events, quarantine), via the same codec the file-replay path uses.
+
+    ``broker_ts`` (the broker's append time) rides along into the event
+    frame for T1 processing-time vs event-time derivations.
+    """
+    from cupertino_nvr_spark.streaming.codec import parse_event_wire
+
+    wire = raw.select(
+        F.col("topic"),
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("broker_ts"),
+    )
+    return parse_event_wire(wire, passthrough=("broker_ts",))
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe_pattern: str = DEFAULT_SUBSCRIBE_PATTERN,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """S1/S4 broker ingest: subscribe-pattern Kafka source -> decoded
+    (events, quarantine) streams. Same downstream plan as
+    ``replay_events_stream`` — swapping file replay for the broker is this
+    one call."""
+    raw = broker_reader(
+        spark, bootstrap_servers, subscribe_pattern, starting_offsets, max_offsets_per_trigger
+    ).load()
+    return decode_broker_records(raw)
 
 
 def synthetic_frames_stream(
@@ -78,7 +164,12 @@ def synthetic_detection_stream(
 
 __all__ = [
     "replay_events_stream",
+    "broker_options",
+    "broker_reader",
+    "decode_broker_records",
+    "kafka_events_stream",
     "synthetic_frames_stream",
     "synthetic_detection_stream",
+    "DEFAULT_SUBSCRIBE_PATTERN",
     "DETECTION_EVENT_SCHEMA",
 ]

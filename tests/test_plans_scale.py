@@ -41,7 +41,12 @@ def plan_of(spark, name: str) -> str:
 # broadcast(centroids) by definition — bounded small side, linear in corpus;
 # embedding_cosine_neardup shares that exact routing stage (its pair scoring
 # itself is a cell_id equi-join).
-ALLOWED_BNLJ = {"embedding_cosine_topk", "embedding_ivf_ann", "embedding_cosine_neardup"}
+ALLOWED_BNLJ = {
+    "embedding_cosine_topk",
+    "embedding_ivf_ann",
+    "embedding_ivf_ann_fast",
+    "embedding_cosine_neardup",
+}
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)

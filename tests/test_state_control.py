@@ -257,13 +257,30 @@ def test_change_model_restarts_query():
 
 
 def test_bad_config_rolls_back():
+    # set_confidence with a bad value is rejected at the handler edge by
+    # the validators (validators.py parity) — error ack, reconfig never
+    # starts; update_config bypasses per-param validation, so the bad
+    # value reaches EngineConfig.validated() and exercises the
+    # backup -> mutate -> rollback path (command_handlers.py:480-565).
     plane, built = make_plane(confidence_threshold=0.5)
-    n_before = len(built)
     plane.handle_command_row(
         Row(
             ts=1.0,
             command="set_confidence",
             params={"confidence_threshold": "7.5"},  # out of [0,1]
+            target_instances=None,
+        )
+    )
+    assert plane.config.confidence_threshold == 0.5  # never mutated
+    assert plane.acks[-1]["ack_status"] == "error"
+    assert plane.status == "running"  # reconfig never started
+
+    n_before = len(built)
+    plane.handle_command_row(
+        Row(
+            ts=2.0,
+            command="update_config",
+            params={"confidence_threshold": "7.5"},
             target_instances=None,
         )
     )

@@ -255,6 +255,256 @@ def lsh_ann_topk(
     )
 
 
+def _collect_probe_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, matrix) for a BOUNDED side of the search.
+
+    Probe sets are query-side inputs (a retrieval batch) and centroid sets
+    are capped at ``IVF_MAX_CELLS`` — both are exactly the rows Spark would
+    ship in a broadcast join anyway; collecting them into a numpy matrix
+    for closure capture is the same data movement minus the JVM hash
+    relation. Ids come back sorted ascending so positional argmax breaks
+    ties toward the LOWEST id, matching the column-expression kernels.
+    """
+    import numpy as np
+
+    rows = df.select(
+        F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pvec")
+    ).collect()
+    rows.sort(key=lambda r: r["pid"])
+    ids = np.array([r["pid"] for r in rows], dtype=np.int64)
+    mat = np.array([list(r["pvec"]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+_TOPK_LOCAL_SCHEMA = "probe_id long, neighbor_id long, sim double"
+
+
+def _finish_topk(local: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k by block matmul — the production brute-force kernel.
+
+    The scalar-pandas kernel (``cosine_pandas``) turned out SLOWER than the
+    interpreted HOF path at sf0.1 because every candidate PAIR ships both
+    vectors through Arrow — serialization dwarfs the BLAS win. This kernel
+    inverts the shape: the probe matrix rides to executors in the UDF
+    closure (bounded query-side input, same rows a broadcast join ships),
+    and ``mapInPandas`` streams the corpus through ONCE — each vector
+    crosses Arrow a single time and one (batch × dim)·(dim × P) matmul
+    scores it against every probe. No probe×corpus row materialization
+    exists at all.
+
+    Per batch only the top-k per probe survive, selected under the exact
+    global order (rounded sim desc, neighbor id asc) — a total order, so
+    per-partition pruning is provably lossless and the final window ranks
+    partitions·P·k rows instead of N·P. At 100 TB: one corpus scan, matmul
+    per batch, shuffle of k rows per (partition, probe).
+    """
+    import numpy as np
+    import pandas as pd
+
+    pids, pmat = _collect_probe_matrix(probes, id_col, vec_col)
+    spark = corpus.sparkSession
+    if len(pids) == 0:
+        return spark.createDataFrame([], _TOPK_LOCAL_SCHEMA + ", rank int")
+    pnorm = np.linalg.norm(pmat, axis=1)
+
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+        )
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nbr = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cmat = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
+            sims = np.round(
+                (cmat @ pmat.T)
+                / (np.linalg.norm(cmat, axis=1)[:, None] * pnorm[None, :]),
+                sim_decimals,
+            )
+            sims[nbr[:, None] == pids[None, :]] = -np.inf  # self-pairs out
+            m = min(k, sims.shape[0])
+            frames = []
+            for j in range(len(pids)):
+                top = np.lexsort((nbr, -sims[:, j]))[:m]
+                top = top[np.isfinite(sims[top, j])]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": np.full(len(top), pids[j], dtype=np.int64),
+                            "neighbor_id": nbr[top],
+                            "sim": sims[top, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return _finish_topk(c.mapInPandas(score, _TOPK_LOCAL_SCHEMA), k)
+
+
+def lsh_ann_topk_blocked(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """LSH ANN with the block-matmul scoring kernel.
+
+    Bucketing stays a JVM column expression on BOTH sides (bit-identical to
+    ``lsh_ann_topk``'s routing — numpy's pairwise projection sums could
+    flip a sign on a near-zero projection); scoring inverts the data
+    movement: probes (id, bucket, vector) ride in the closure and the
+    bucketed corpus streams through ``mapInPandas`` once. A bucket-match
+    mask restricts the scored matmul entries, so emitted rows ≈ the HOF
+    path's candidate count with zero pair-row materialization.
+    """
+    import numpy as np
+    import pandas as pd
+
+    prows = (
+        probes.select(
+            F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pvec")
+        )
+        .withColumn("pbucket", lsh_bucket(F.col("pvec"), dim, n_planes))
+        .collect()
+    )
+    spark = corpus.sparkSession
+    if not prows:
+        return spark.createDataFrame([], _TOPK_LOCAL_SCHEMA + ", rank int")
+    prows.sort(key=lambda r: r["pid"])
+    pids = np.array([r["pid"] for r in prows], dtype=np.int64)
+    pmat = np.array([list(r["pvec"]) for r in prows], dtype=np.float64)
+    pbuckets = np.array([r["pbucket"] for r in prows], dtype=np.int64)
+    pnorm = np.linalg.norm(pmat, axis=1)
+
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+        )
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, n_planes))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nbr = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+            cmat = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
+            allow = (buckets[:, None] == pbuckets[None, :]) & (
+                nbr[:, None] != pids[None, :]
+            )
+            bi, pj = np.nonzero(allow)
+            if len(bi) == 0:
+                continue
+            sims = np.round(
+                (cmat @ pmat.T)
+                / (np.linalg.norm(cmat, axis=1)[:, None] * pnorm[None, :]),
+                sim_decimals,
+            )
+            yield pd.DataFrame(
+                {"probe_id": pids[pj], "neighbor_id": nbr[bi], "sim": sims[bi, pj]}
+            )
+
+    return _finish_topk(c.mapInPandas(score, _TOPK_LOCAL_SCHEMA), k)
+
+
+def ivf_ann_topk_blocked(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    max_cells: int = IVF_MAX_CELLS,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF ANN with assignment + scoring fused into one corpus pass.
+
+    Centroids (≤ ``IVF_MAX_CELLS``, ≈2 MiB) and probes both ride in the UDF
+    closure; probe→cell routing is computed driver-side on those two tiny
+    matrices. The single ``mapInPandas`` pass then does per batch: one
+    matmul against centroids (argmax = cell assignment; centroid ids sorted
+    ascending so ties take the lowest id, matching ``ivf_assign``), one
+    matmul against probes, and a routed-cell mask picks which (member,
+    probe) sims to emit. Each corpus vector crosses Arrow once; the HOF
+    path's three joins (assign, route, candidate) collapse into zero
+    shuffles before the final k-row-per-probe ranking.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_rows = corpus.count()
+    cent = ivf_centroids(corpus, id_col, max_cells, n_rows=n_rows)
+    cids, cmat = _collect_probe_matrix(cent, id_col, vec_col)
+    pids, pmat = _collect_probe_matrix(probes, id_col, vec_col)
+    spark = corpus.sparkSession
+    if len(pids) == 0 or len(cids) == 0:
+        return spark.createDataFrame([], _TOPK_LOCAL_SCHEMA + ", rank int")
+    cnorm = np.linalg.norm(cmat, axis=1)
+    pnorm = np.linalg.norm(pmat, axis=1)
+
+    # probe→cell routing, driver-side: same (rounded sim desc, cell_id asc)
+    # order as the HOF path's window over broadcast centroids
+    psim = np.round(
+        (pmat @ cmat.T) / (pnorm[:, None] * cnorm[None, :]), sim_decimals
+    )
+    routed = np.zeros((len(cids), len(pids)), dtype=bool)
+    for j in range(len(pids)):
+        routed[np.lexsort((cids, -psim[j]))[: min(n_probe, len(cids))], j] = True
+
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+        )
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nbr = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            vmat = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
+            vnorm = np.linalg.norm(vmat, axis=1)
+            csim = np.round(
+                (vmat @ cmat.T) / (vnorm[:, None] * cnorm[None, :]), sim_decimals
+            )
+            cell_idx = np.argmax(csim, axis=1)  # first max = lowest cell id
+            allow = routed[cell_idx] & (nbr[:, None] != pids[None, :])
+            bi, pj = np.nonzero(allow)
+            if len(bi) == 0:
+                continue
+            sims = np.round(
+                (vmat @ pmat.T) / (vnorm[:, None] * pnorm[None, :]), sim_decimals
+            )
+            yield pd.DataFrame(
+                {"probe_id": pids[pj], "neighbor_id": nbr[bi], "sim": sims[bi, pj]}
+            )
+
+    return _finish_topk(c.mapInPandas(score, _TOPK_LOCAL_SCHEMA), k)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -391,24 +391,45 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # numpy pairwise summation differs from the HOF sequential sum in
     # the last ulp, so no cross-engine hash oracle; equivalence to the HOF
     # path is asserted in tests/test_similarity_kernels.py
-    doc="IVF-cell ANN with the Arrow-batched numpy cosine kernel — the "
-    "production scoring path (same plan shape as embedding_ivf_ann)",
+    doc="IVF-cell ANN, block-matmul kernel: assignment + routed scoring fused "
+    "into one mapInPandas corpus pass (centroids+probes in the UDF closure) — "
+    "the production scoring path, same logical result as embedding_ivf_ann",
 )
 def embedding_ivf_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import ivf_ann_topk_blocked
+
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_ann_topk(emb, probes, k=5, n_probe=2, kernel="pandas")
+    return ivf_ann_topk_blocked(emb, probes, k=5, n_probe=2)
 
 
 @register(
     "embedding_lsh_ann_fast",
     None,
-    doc="LSH bucketed ANN with the Arrow-batched numpy cosine kernel",
+    doc="LSH bucketed ANN, block-matmul kernel: JVM bucketing (bit-identical "
+    "to embedding_lsh_ann) + one mapInPandas scoring pass with a bucket mask",
 )
 def embedding_lsh_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import lsh_ann_topk_blocked
+
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_ann_topk(emb, probes, dim=64, k=5, kernel="pandas")
+    return lsh_ann_topk_blocked(emb, probes, dim=64, k=5)
+
+
+@register(
+    "embedding_cosine_topk_fast",
+    None,  # same last-ulp caveat as the other blocked kernels
+    doc="brute-force cosine top-5, block-matmul kernel: one corpus scan, one "
+    "BLAS matmul per Arrow batch, lossless per-partition top-k prune — the "
+    "production exact-search path, same logical result as embedding_cosine_topk",
+)
+def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import brute_force_topk_blocked
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk_blocked(emb, probes, k=5)
 
 
 _AUG_EMB_SQL = """

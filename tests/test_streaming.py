@@ -173,6 +173,38 @@ def test_tumbling_metrics_stream_matches_batch(spark, stream_dir):
     assert len(got) == 4  # (win0,s1),(win0,s2),(win1,s1),(win1,s2)
 
 
+def test_min_throughput_gate(spark, stream_dir):
+    """F5 publish-worthiness gate: metrics rows below the throughput floor
+    are suppressed, matching the reference's skip-publish-when-zero
+    (``metrics_reporter.py:170-172``) generalized to a configurable floor.
+
+    Window is 10 s, so 1 event -> throughput 0.1, 2 events -> 0.2; a 0.15
+    floor keeps exactly the 2-event groups. Checked in both the streaming
+    and batch forms of the same code path.
+    """
+    batches = [
+        make_events(spark, [(1, 1, 1.0, 1), (1, 2, 3.0, 2), (2, 1, 4.0, 0)]),
+        flush_events(spark),
+    ]
+    src = f"{stream_dir}/events"
+    write_batches(batches, src)
+    stream = replay_events_stream(spark, f"{src}/*", DETECTION_EVENT_SCHEMA)
+    got = [
+        (r["source_id"], r["n_events"])
+        for r in run_stream(
+            tumbling_metrics_stream(stream, min_throughput=0.15), stream_dir
+        ).collect()
+        if r["window_start"] < ts(1000)
+    ]
+    assert got == [(1, 2)]  # source 2's single-event window gated out
+
+    batch = tumbling_metrics_stream(batches[0], min_throughput=0.15).collect()
+    assert [(r["source_id"], r["n_events"]) for r in batch] == [(1, 2)]
+    # default (None) leaves every group visible — the library default path
+    ungated = tumbling_metrics_stream(batches[0]).collect()
+    assert sorted(r["source_id"] for r in ungated) == [1, 2]
+
+
 def test_session_windows_stream(spark, stream_dir):
     batches = [
         make_events(spark, [(1, 1, 1.0, 1), (1, 2, 10.0, 1)]),  # one session (gap 30s)

@@ -156,24 +156,17 @@ def minhash_signature(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(
+def lsh_band_membership(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
     band_cap: int = 64,
 ) -> DataFrame:
-    """Banding: docs sharing any band of the signature become a candidate
-    pair. Equi-join on (band_idx, band_key) — a plain shuffled hash join.
-
-    ``band_cap`` bounds the hot-band blowup: a band bucket holding m docs
-    emits m·(m−1)/2 pairs, so one degenerate bucket (boilerplate text, k
-    identical docs) can dominate the whole job quadratically. Buckets
-    larger than the cap are dropped via an anti-join against the (tiny by
-    construction: ≤ rows/cap keys) hot-bucket set — the standard LSH
-    hot-bucket skip. Members of an over-full bucket are still paired
-    through their other, more selective bands.
-    """
+    """(id, band_idx, band_key) membership rows from a MinHash signature
+    table, with over-full buckets (> ``band_cap`` members) anti-joined
+    away — the shared blocking structure behind both candidate-pair
+    generation and pairless duplicate clustering."""
     bands = F.array(
         *[
             F.struct(
@@ -194,7 +187,28 @@ def lsh_candidates(
         .filter(F.col("n") > band_cap)
         .select("band_idx", "band_key")
     )
-    exploded = exploded.join(hot, ["band_idx", "band_key"], "left_anti")
+    return exploded.join(hot, ["band_idx", "band_key"], "left_anti")
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    band_cap: int = 64,
+) -> DataFrame:
+    """Banding: docs sharing any band of the signature become a candidate
+    pair. Equi-join on (band_idx, band_key) — a plain shuffled hash join.
+
+    ``band_cap`` bounds the hot-band blowup: a band bucket holding m docs
+    emits m·(m−1)/2 pairs, so one degenerate bucket (boilerplate text, k
+    identical docs) can dominate the whole job quadratically. Buckets
+    larger than the cap are dropped via an anti-join against the (tiny by
+    construction: ≤ rows/cap keys) hot-bucket set — the standard LSH
+    hot-bucket skip. Members of an over-full bucket are still paired
+    through their other, more selective bands.
+    """
+    exploded = lsh_band_membership(sigs, id_col, num_hashes, band_size, band_cap)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

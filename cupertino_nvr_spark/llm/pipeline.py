@@ -1,0 +1,297 @@
+"""Training-data pipeline operators: PII scrubbing, duplicate clustering,
+deterministic splits + shard packing, BM25 retrieval.
+
+These are the stages between "raw crawl" and "training shards" that the
+dedup/similarity/text modules feed. All are DataFrame→DataFrame; every one
+except the iterative component loop is pure column expressions.
+
+Scale notes per operator:
+
+- **PII scrub** — regex detect + redact in one projection (codegen,
+  zero shuffles). Patterns are RE2-compatible so the DuckDB oracle runs
+  the identical regexes.
+- **Duplicate clustering** — connected components over the *bipartite*
+  (doc, band-key) membership from MinHash banding. Propagating min-labels
+  doc→key→doc per iteration means cost per round is linear in membership
+  rows (never pair rows), so a hot band of m docs costs m, not m² — the
+  component structure comes out WITHOUT materializing candidate pairs.
+  Iterations = graph diameter in key-hops; each is two shuffles
+  (groupBy key, groupBy doc) with map-side combine on MIN.
+  ``localCheckpoint`` truncates the growing lineage each round.
+- **Split + shard packing** — hash-split (train/val/test) then greedy
+  token-budget packing via a running sum windowed over (split, bucket):
+  bucketing bounds every window partition to ~1/n_buckets of the split,
+  so the packing sort parallelizes instead of serializing per split
+  (the classic single-writer packing bottleneck at 100 TB).
+- **BM25** — query terms are a tiny broadcast side; the posting join
+  prunes the corpus to docs containing a query term BEFORE any scoring,
+  so the expensive explode feeds one semi-joinable equi-join. Stats
+  (N, avgdl) are scalar aggregates broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.llm.text import token_count, ws_tokens
+
+# RE2-compatible (DuckDB) AND java.util.regex-compatible (Spark): no
+# lookaround, no backrefs; \b and bounded repetition work in both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_REDACTIONS = [  # applied in order; email first so its domain dots never
+    # survive into the IP pass
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_RE, "<PHONE>"),
+    (IPV4_RE, "<IP>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)),
+        "n_ips": F.regexp_count(text, F.lit(IPV4_RE)),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    out = text
+    for pattern, placeholder in _REDACTIONS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII audit + redaction: match counts per category, a
+    has_pii flag, and the redacted text plus its fingerprint (the
+    downstream dedup key — redaction collapses docs differing only in
+    the scrubbed spans)."""
+    text = F.col(text_col)
+    counts = pii_counts(text)
+    redacted = redact_pii(text)
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in counts.items()],
+        (sum(counts.values(), F.lit(0)) > 0).alias("has_pii"),
+        F.md5(redacted).alias("clean_fp"),
+        F.length(redacted).alias("clean_len"),
+    )
+
+
+def components_over_keys(
+    nodes: DataFrame,
+    membership: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "band_key",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the bipartite (node, key) graph: two nodes
+    are connected iff they transitively share keys. Returns
+    (id_col, cluster_id) where cluster_id = min node id in the component.
+
+    Alternating min-label propagation — each round pushes labels
+    node→key (min per key) then key→node (min over a node's keys);
+    a round therefore spans two graph hops, and the loop converges in
+    ⌈diameter/2⌉+1 rounds. Work per round is O(|membership|): no pair
+    join ever happens, which is what makes clustering hot bands safe at
+    scale. Raises if ``max_iter`` rounds don't reach the fixpoint —
+    a loud failure beats a silently-wrong clustering.
+    """
+    labels = nodes.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
+    memb = membership.select(F.col(id_col), F.col(key_col)).distinct().localCheckpoint()
+
+    for _ in range(max_iter):
+        key_min = (
+            memb.join(labels, id_col)
+            .groupBy(key_col)
+            .agg(F.min("label").alias("key_label"))
+        )
+        via_keys = (
+            memb.join(key_min, key_col)
+            .groupBy(id_col)
+            .agg(F.min("key_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(via_keys, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), id_col)
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.withColumnRenamed("label", "cluster_id")
+    raise RuntimeError(f"components_over_keys: no fixpoint after {max_iter} rounds")
+
+
+def duplicate_clusters(
+    corpus: DataFrame,
+    membership: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "band_key",
+) -> DataFrame:
+    """Candidate-duplicate clusters from blocking-key membership (MinHash
+    bands, fingerprints, …): every doc labeled with its component's min
+    doc id, plus the cluster size. Docs sharing no key are singletons."""
+    from pyspark.sql import Window
+
+    comp = components_over_keys(corpus, membership, id_col, key_col)
+    w = F.count("*").over(Window.partitionBy("cluster_id"))
+    return comp.select(F.col(id_col), "cluster_id", w.alias("cluster_size"))
+
+
+def train_split(id_hash: Column) -> Column:
+    """80/10/10 deterministic split from a hash residue mod 10."""
+    r = F.pmod(id_hash, F.lit(10))
+    return F.when(r <= 7, "train").when(r == 8, "val").otherwise("test")
+
+
+def shard_pack(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic split + greedy token-budget shard packing.
+
+    Greedy stream packing: docs ordered by id accumulate into a shard
+    until the next doc would start past the budget boundary —
+    ``shard = floor(tokens_before_this_doc / budget)``. The running sum
+    is windowed over (split, bucket) where bucket is a hash residue:
+    every window partition holds ~1/n_buckets of a split, so packing
+    runs parallel per bucket instead of one global sorted stream (at
+    scale, raise n_buckets with the cluster, shards stay
+    deterministic). Output: one packing assignment per doc.
+    """
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    ih = md5_int(F.col(id_col).cast("string"), seed=5)
+    bh = F.pmod(md5_int(F.col(id_col).cast("string"), seed=7), F.lit(n_buckets))
+    base = docs.select(
+        F.col(id_col),
+        train_split(ih).alias("split"),
+        bh.cast("int").alias("bucket"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("split", "bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w).cast("bigint")
+    return base.select(
+        id_col,
+        "split",
+        "bucket",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
+        .cast("bigint")
+        .alias("shard_in_bucket"),
+        cum.alias("cum_tokens"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k docs per query.
+
+    ``queries`` is (query_id, term) — the bounded side, broadcast. The
+    corpus explodes to (doc, term) term frequencies but ONLY terms
+    matching a query term survive the broadcast semi-prune before the
+    heavy groupBy, so scored rows ≈ posting-list sizes of the query
+    vocabulary, not the corpus vocabulary. idf uses the standard
+    ln(1 + (N-df+.5)/(df+.5)) form. Scores are rounded before ranking
+    (cross-engine float-sum order), ties break on doc id.
+    """
+    from pyspark.sql import Window
+
+    terms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    ).withColumn("term", F.lower(F.col("term")))
+    tf = (
+        toks.join(F.broadcast(terms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), token_count(F.col(text_col)).alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(terms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("term_score"), score_decimals).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+__all__ = [
+    "EMAIL_RE",
+    "PHONE_RE",
+    "IPV4_RE",
+    "pii_counts",
+    "redact_pii",
+    "pii_scrub",
+    "components_over_keys",
+    "duplicate_clusters",
+    "train_split",
+    "shard_pack",
+    "bm25_scores",
+]

@@ -595,3 +595,234 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(size), F.size("toks") - F.col("start")).alias("n_chunk_tokens"),
         F.size("toks").alias("n_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline stages (llm/pipeline.py): PII scrub, duplicate
+# clustering, split+shard packing, BM25 retrieval
+# ---------------------------------------------------------------------------
+
+from cupertino_nvr_spark.llm.dedup import lsh_band_membership  # noqa: E402
+from cupertino_nvr_spark.llm.pipeline import (  # noqa: E402
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    bm25_scores,
+    duplicate_clusters,
+    pii_scrub,
+    shard_pack,
+)
+
+# documents with deterministic PII planted (both engines build the same
+# rows): an email every 4th doc, a phone every 5th, an IPv4 every 6th
+_PII_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END AS text
+  FROM documents
+"""
+
+
+def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did * 7 % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+@register(
+    "docs_pii_scrub",
+    f"""
+    WITH pii AS ({_PII_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(text, '{EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{PHONE_RE}'))
+             + len(regexp_extract_all(text, '{IPV4_RE}')) > 0 AS has_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g')) AS clean_fp,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g')) AS clean_len
+    FROM pii
+    """,
+    doc="PII audit + redaction over planted emails/phones/IPv4s: RE2-compatible "
+    "regex detect counts and placeholder redaction, one codegen projection",
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(pii_docs(spark, sf_dir))
+
+
+@register(
+    "docs_dup_clusters",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    based AS (
+      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
+    ),
+    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
+    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id <> b.doc_id
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM aug
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+    doc="near-duplicate clusters: connected components over MinHash band "
+    "membership via pairless alternating min-label propagation (doc->band->doc "
+    "per round, cost linear in membership rows); oracle is the recursive-CTE "
+    "transitive closure of the same band graph",
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    memb = lsh_band_membership(sigs, num_hashes=8, band_size=2, band_cap=64).select(
+        "doc_id",
+        F.concat_ws(":", F.col("band_idx"), F.col("band_key")).alias("bkey"),
+    )
+    return duplicate_clusters(aug, memb, id_col="doc_id", key_col="bkey")
+
+
+@register(
+    "docs_train_shards",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN {_md5_int_sql('CAST(doc_id AS VARCHAR)', 5)} % 10 <= 7 THEN 'train'
+                  WHEN {_md5_int_sql('CAST(doc_id AS VARCHAR)', 5)} % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST({_md5_int_sql('CAST(doc_id AS VARCHAR)', 7)} % 16 AS INT) AS bucket,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, split, bucket, n_tokens,
+           CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / 2048) AS BIGINT)
+             AS shard_in_bucket,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+    FROM base
+    WINDOW w AS (PARTITION BY split, bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="deterministic 80/10/10 hash split + greedy token-budget shard packing "
+    "(budget 2048) windowed per (split, hash-bucket) so packing parallelizes "
+    "across 16 buckets instead of one global sorted stream",
+)
+def docs_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_pack(load_table(spark, "documents", sf_dir))
+
+
+_BM25_QUERIES = [
+    (1, "spark"),
+    (1, "join"),
+    (2, "hash"),
+    (2, "table"),
+    (3, "vector"),
+    (3, "scan"),
+]
+
+
+@register(
+    "docs_bm25_search",
+    f"""
+    WITH q(query_id, term) AS (
+      VALUES {", ".join(f"({qid}, '{t}')" for qid, t in _BM25_QUERIES)}
+    ),
+    toks AS (
+      SELECT doc_id, lower(term) AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS f FROM toks
+      WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (f * 2.25) / (f + 1.25 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+      FROM tf
+      JOIN dft USING (term) JOIN q USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id, round(SUM(term_score), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+    doc="BM25 top-10 retrieval for a 3-query term set: broadcast query terms "
+    "semi-prune the exploded corpus before any aggregation; k1=1.25/b=0.75 are "
+    "exactly-representable doubles so per-term scores are bit-identical "
+    "across engines (only the final sum is order-sensitive, absorbed by round)",
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_scores(
+        load_table(spark, "documents", sf_dir), queries, k1=1.25, b=0.75, top_k=10
+    )

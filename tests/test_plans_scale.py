@@ -46,6 +46,11 @@ ALLOWED_BNLJ = {
     "embedding_ivf_ann",
     "embedding_ivf_ann_fast",
     "embedding_cosine_neardup",
+    # BM25 attaches the single-row (N, avgdl) corpus stats to every scored
+    # row: a broadcast of exactly one row — BroadcastNestedLoopJoin Cross
+    # with a 1-row build side IS the right plan (a shuffle-free scalar
+    # attach), not an accidental blowup
+    "docs_bm25_search",
 }
 
 

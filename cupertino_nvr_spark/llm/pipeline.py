@@ -117,6 +117,9 @@ def components_over_keys(
             .groupBy(id_col)
             .agg(F.min("key_label").alias("nbr_label"))
         )
+        # the change flag rides in the checkpointed frame, so convergence
+        # detection is a column sum over the rows this round materializes
+        # anyway — no extra old-vs-new join per round
         new_labels = (
             labels.join(via_keys, id_col, "left")
             .select(
@@ -124,15 +127,12 @@ def components_over_keys(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).cast("int").alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), id_col)
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = new_labels.drop("_changed")
         if changed == 0:
             return labels.withColumnRenamed("label", "cluster_id")
     raise RuntimeError(f"components_over_keys: no fixpoint after {max_iter} rounds")

@@ -826,3 +826,84 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         load_table(spark, "documents", sf_dir), queries, k1=1.25, b=0.75, top_k=10
     )
+
+
+# per-class keep rates for the deterministic stratified sample: the
+# rebalancing recipe of a training pipeline (downsample the dominant
+# classes, keep the rare ones). Rates are percents of a hash residue so
+# both engines sample the identical rows.
+_STRATA_RATES = {"click": 10, "view": 25, "signup": 50, "error": 75, "purchase": 100}
+
+
+@register(
+    "events_stratified_sample",
+    f"""
+    WITH rated AS (
+      SELECT event_id, event_type, user_id, value,
+             CASE event_type
+               {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRATA_RATES.items()))}
+               ELSE 0 END AS keep_pct,
+             {_md5_int_sql('CAST(event_id AS VARCHAR)', 11)} % 100 AS residue
+      FROM events
+    )
+    SELECT event_id, event_type, user_id, value, keep_pct, residue
+    FROM rated WHERE residue < keep_pct
+    """,
+    doc="deterministic stratified sampling for class rebalancing: per-stratum "
+    "keep rate applied as a hash-residue filter — reproducible across runs and "
+    "engines, no RNG state; one scan, filter fully codegen, no shuffle",
+)
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    ev = load_table(spark, "events", sf_dir)
+    rate = F.lit(None).cast("int")
+    for k, v in sorted(_STRATA_RATES.items()):
+        rate = F.when(F.col("event_type") == k, v).otherwise(rate)
+    residue = F.pmod(md5_int(F.col("event_id").cast("string"), seed=11), F.lit(100))
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            F.coalesce(rate, F.lit(0)).alias("keep_pct"),
+            residue.alias("residue"),
+        )
+        .filter(F.col("residue") < F.col("keep_pct"))
+    )
+
+
+@register(
+    "docs_vocab_topk",
+    """
+    WITH toks AS (
+      SELECT lower(term) AS term FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+    ),
+    counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term)
+    SELECT term, n, rank FROM (
+      SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+      FROM counts) WHERE rank <= 50
+    """,
+    doc="corpus vocabulary top-50: explode + count + global top-k. The "
+    "groupBy partial-aggregates map-side so the shuffle carries one row per "
+    "(partition, term); the final rank is a TakeOrdered over distinct terms, "
+    "never the token stream",
+)
+def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .select(F.lower(F.col("term")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("term", "n", "rank")
+    )

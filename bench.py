@@ -48,6 +48,7 @@ HEADLINE = [
 # the HOF-vs-block-matmul delta is measured on the heaviest scoring load.
 VARIANTS = [
     "embedding_lsh_ann_fast",
+    "embedding_lsh_ann_multiprobe",
     "embedding_ivf_ann_fast",
     "embedding_cosine_topk",
     "embedding_cosine_topk_fast",

@@ -197,23 +197,68 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return weights
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-bit bucket id from ``n_planes`` fixed hyperplanes."""
-    bucket = None
+def lsh_projections(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Array of the ``n_planes`` hyperplane projections of ``vec``."""
+    projs = []
     for p in range(n_planes):
         w = _hyperplane(dim, p)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in w]),
-                lambda v, wt: v * wt,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        projs.append(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in w]),
+                    lambda v, wt: v * wt,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         )
-        bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return F.array(*projs)
+
+
+def _bucket_from_projections(projs: Column, n_planes: int) -> Column:
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(projs[p] >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-bit bucket id from ``n_planes`` fixed hyperplanes."""
+    return _bucket_from_projections(lsh_projections(vec, dim, n_planes), n_planes)
+
+
+def lsh_probe_buckets(vec: Column, dim: int, n_planes: int = 8, n_flip: int = 2) -> Column:
+    """Multi-probe bucket set: the base bucket plus ``n_flip`` neighbors.
+
+    A near-duplicate lands in a different bucket exactly when one of its
+    projections crosses zero — overwhelmingly the plane where |projection|
+    is smallest (the least confident sign bit). Probing the buckets that
+    flip the ``n_flip`` weakest bits recovers most of those misses for
+    (1 + n_flip)× probe-side candidate cost and ZERO extra corpus-side
+    work — the standard multi-probe LSH trade (probe more, hash less).
+    Ties in |projection| break on plane index so the probe set is
+    deterministic. Returns an array of 1 + n_flip bucket ids.
+    """
+    projs = lsh_projections(vec, dim, n_planes)
+    base = _bucket_from_projections(projs, n_planes)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(projs[p]).alias("a"), F.lit(p).alias("plane")
+                )
+                for p in range(n_planes)
+            ]
+        )
+    )  # structs sort lexicographically: weakest |projection| first
+    powers = F.array(*[F.lit(1 << p) for p in range(n_planes)])
+    flips = F.transform(
+        F.slice(ranked, 1, n_flip),
+        lambda s: base.bitwiseXOR(F.element_at(powers, s["plane"] + 1)).cast("int"),
+    )
+    return F.concat(F.array(base), flips)
 
 
 def lsh_ann_topk(
@@ -225,10 +270,19 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 8,
     kernel: str = "hof",
+    n_flip: int = 0,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides, equi-join on bucket, exact
     rerank within candidates. One corpus scan + hash join vs the brute
-    force cross product."""
+    force cross product.
+
+    ``n_flip > 0`` enables multi-probe: each probe also searches the
+    buckets reached by flipping its ``n_flip`` least-confident sign bits
+    (``lsh_probe_buckets``) — recall rises at (1+n_flip)× probe-side
+    candidate cost while the corpus is still bucketed exactly once. A
+    (probe, neighbor) pair can't duplicate: the corpus doc has one bucket
+    and the probe's bucket set is distinct by construction.
+    """
     c = ensure_min_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -238,7 +292,13 @@ def lsh_ann_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         as_double(F.col(vec_col)).alias("pvec"),
-    ).withColumn("bucket", lsh_bucket(F.col("pvec"), dim, n_planes))
+    )
+    if n_flip > 0:
+        p = p.withColumn(
+            "bucket", F.explode(lsh_probe_buckets(F.col("pvec"), dim, n_planes, n_flip))
+        )
+    else:
+        p = p.withColumn("bucket", lsh_bucket(F.col("pvec"), dim, n_planes))
     cand = F.broadcast(p).join(c, on="bucket").filter(
         F.col("probe_id") != F.col("neighbor_id")
     )

@@ -907,3 +907,16 @@ def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .select("term", "n", "rank")
     )
+
+
+@register(
+    "embedding_lsh_ann_multiprobe",
+    None,  # bucketing has no tractable SQL oracle (same as embedding_lsh_ann)
+    doc="multi-probe LSH ANN: each probe also searches the buckets reached by "
+    "flipping its 2 least-confident hyperplane bits — higher recall for 3x "
+    "probe-side candidates, zero extra corpus-side work",
+)
+def embedding_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_ann_topk(emb, probes, dim=64, k=5, n_flip=2)

@@ -55,8 +55,17 @@ def test_ann_finds_planted_near_dups(spark):
     }
     lshp = lsh_ann_topk(aug, pprobes, dim=64, k=5).collect()
     ivfp = ivf_ann_topk(aug, pprobes, k=5, n_probe=2).collect()
-    assert _planted_recall(lshp, planted_pert) >= 0.8
+    single = _planted_recall(lshp, planted_pert)
+    assert single >= 0.8
     assert _planted_recall(ivfp, planted_pert) >= 0.8
+
+    # multi-probe searches a superset of the single-probe buckets, so its
+    # recall can only rise — the flipped weak bits are exactly where a
+    # perturbed copy's sign crosses
+    multi = _planted_recall(
+        lsh_ann_topk(aug, pprobes, dim=64, k=5, n_flip=2).collect(), planted_pert
+    )
+    assert multi >= single
 
 
 def test_natural_recall_floor(spark):

@@ -154,6 +154,42 @@ def duplicate_clusters(
     return comp.select(F.col(id_col), "cluster_id", w.alias("cluster_size"))
 
 
+def dedup_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "text_len",
+) -> DataFrame:
+    """Pick one canonical survivor per duplicate cluster: the doc with the
+    largest ``order_col`` (ties → smallest id). Returns every doc with its
+    cluster and an ``is_survivor`` flag — the materialization a dedup
+    stage feeds downstream (keep survivors, drop or remap the rest).
+
+    Survivor selection is ``max_by`` over a (order, -id) struct — a
+    groupBy with map-side partial aggregation, so a pathological
+    million-doc cluster costs one combine per partition, NOT a
+    per-cluster sort (the window-rank formulation would serialize hot
+    clusters). The flag join back is an equi-join on cluster_id whose
+    right side has one row per cluster.
+    """
+    ranked = clusters.join(docs.select(id_col, order_col), id_col)
+    surv = ranked.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(order_col), (-F.col(id_col)).alias("nid"))
+        ).alias("survivor_id")
+    )
+    return (
+        ranked.join(surv, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            order_col,
+            (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
+        )
+    )
+
+
 def train_split(id_hash: Column) -> Column:
     """80/10/10 deterministic split from a hash residue mod 10."""
     r = F.pmod(id_hash, F.lit(10))

@@ -73,16 +73,30 @@ def main() -> None:
     spark = get_spark("cupertino_nvr_spark-bench")
 
     # warm the JVM, parquet footer caches, and the Python UDF workers
-    # (daemon fork + pandas/pyarrow import) outside the timed region
-    REGISTRY["pricing_summary"].spark(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # (daemon fork + pandas/pyarrow import) outside the timed region.
+    # Failure-isolated per step: one table's format change must cost only
+    # the queries that touch it (as per-query errors below), never rc=1
+    # with zero timings for the whole run (round-3 failure mode).
+    warm_errors: dict[str, str] = {}
+    try:
+        REGISTRY["pricing_summary"].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:
+        warm_errors["warm:pricing_summary"] = repr(exc)[:200]
     for table in ("events", "documents", "embeddings", "orders", "customer"):
-        load_table(spark, table, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            load_table(spark, table, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            warm_errors[f"warm:{table}"] = repr(exc)[:200]
     warm = spark.range(64).selectExpr("id", "cast(id as string) s")
     warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    errors: dict[str, str] = dict(warm_errors)
 
     def timed(name: str, include_build: bool = False) -> float:
         # headline/variants time execution only (py4j plan construction is
@@ -98,24 +112,30 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    timings = {name: timed(name) for name in HEADLINE}
-    variants = {name: timed(name) for name in VARIANTS}
-    extras = {name: timed(name, include_build=True) for name in EXTRAS}
+    def timed_safe(name: str, include_build: bool = False) -> float | None:
+        try:
+            return timed(name, include_build)
+        except Exception as exc:
+            errors[name] = repr(exc)[:200]
+            return None
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "variants": variants,
-                "extras": extras,
-                "sf": float(sf),
-            }
-        )
-    )
+    timings = {name: timed_safe(name) for name in HEADLINE}
+    variants = {name: timed_safe(name) for name in VARIANTS}
+    extras = {name: timed_safe(name, include_build=True) for name in EXTRAS}
+
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "variants": variants,
+        "extras": extras,
+        "sf": float(sf),
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

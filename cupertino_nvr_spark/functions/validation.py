@@ -45,12 +45,13 @@ class CommandValidationError(ValueError):
 # scheme ":" then a non-empty netloc-or-path — the columnar equivalent of
 # urlparse's `scheme and (netloc or path)` check (reference
 # config.py:145-148): "//" must be followed by something ("rtsp://" alone
-# parses to empty netloc AND empty path → invalid), while a plain or
-# single-slash remainder is a path. Alternation, not `(//)?.+`, because the
-# optional group would backtrack and let `.+` swallow the bare slashes.
-# Anchored, so Spark rlike and DuckDB regexp_matches (both partial-match
-# engines) behave as a full match.
-URI_REGEX = "^[A-Za-z][A-Za-z0-9+.-]*:(//.+|/?[^/].*)$"
+# parses to empty netloc AND empty path → invalid), while a plain,
+# bare-slash ("file:/" → path "/", accepted by urlparse), or single-slash
+# remainder is a path. Alternation, not `(//)?.+`, because the optional
+# group would backtrack and let `.+` swallow the bare slashes. Anchored, so
+# Spark rlike and DuckDB regexp_matches (both partial-match engines) behave
+# as a full match.
+URI_REGEX = "^[A-Za-z][A-Za-z0-9+.-]*:(//.+|/|/?[^/].*)$"
 
 
 # -- Python scalar form (driver-side control plane) --------------------------
@@ -83,6 +84,9 @@ def validate_fps(fps: Any) -> float:
 
 def validate_source_id(source_id: Any) -> int:
     """Numeric coercion, truncating like int(); >= 0 (validators.py:136-180).
+
+    Truncation runs BEFORE the negativity check, exactly like the
+    reference's ``int(source_id)`` — so ``-0.5`` truncates to 0 and passes.
 
     Accepts decimal *strings* too (`"3.99"` -> 3) so the scalar and columnar
     forms agree: a column can't distinguish the reference's int("3.99")
@@ -180,14 +184,21 @@ def source_id_num(raw: Column) -> Column:
     return raw.try_cast("double")
 
 
+def source_id_trunc(raw: Column) -> Column:
+    # double→int cast truncates toward zero, same as Python int() — applied
+    # BEFORE the >= 0 check, mirroring the reference's int(source_id)-then-
+    # negativity-test order (validators.py:168-180): -0.5 truncates to 0
+    # and passes, matching the scalar form.
+    return source_id_num(raw).cast("int")
+
+
 def source_id_ok(raw: Column) -> Column:
-    n = source_id_num(raw)
-    return n.isNotNull() & (n >= 0)
+    t = source_id_trunc(raw)
+    return t.isNotNull() & (t >= 0)
 
 
 def source_id_norm(raw: Column) -> Column:
-    # floor == int() truncation on the non-negative values that pass the rule
-    return F.when(source_id_ok(raw), F.floor(source_id_num(raw)).cast("int"))
+    return F.when(source_id_ok(raw), source_id_trunc(raw))
 
 
 def uri_ok(raw: Column) -> Column:
@@ -221,6 +232,7 @@ __all__ = [
     "fps_num",
     "source_id_ok",
     "source_id_num",
+    "source_id_trunc",
     "source_id_norm",
     "uri_ok",
     "port_ok",

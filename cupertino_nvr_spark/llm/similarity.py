@@ -29,6 +29,32 @@ from pyspark.sql import functions as F
 # assignment cost (n · n_cells) against candidate cost (n²/n_cells).
 IVF_MAX_CELLS = 4096
 
+# Hard ceiling on the probe side of the blocked (closure-capture) kernels.
+# Probes ride to every executor in the UDF closure, exactly like a broadcast
+# hash side — 65536 × 64-dim float64 ≈ 32 MiB, the conventional broadcast
+# comfort zone. A caller passing an unbounded frame (e.g. probes=corpus)
+# fails fast on the driver instead of OOMing it mid-collect.
+MAX_PROBES = 65536
+
+
+def _assert_bounded_probes(probes: DataFrame, max_probes: int | None = None) -> None:
+    """Fail fast if the probe side exceeds the closure-capture budget.
+
+    ``limit(max+1).count()`` touches at most max+1 rows — it never scans or
+    counts the full frame, so the guard itself is O(max_probes) not O(N).
+    Reads ``MAX_PROBES`` at call time so tests can lower the budget.
+    """
+    if max_probes is None:
+        max_probes = MAX_PROBES
+    n = probes.limit(max_probes + 1).count()
+    if n > max_probes:
+        raise ValueError(
+            f"probe side exceeds MAX_PROBES={max_probes}; blocked kernels "
+            "collect probes to the driver (closure capture). Pass a bounded "
+            "retrieval batch, or use the distributed HOF kernels "
+            "(brute_force_topk / lsh_ann_topk) for probe sets at corpus scale."
+        )
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right IEEE sum — matches a scalar loop."""
@@ -66,11 +92,8 @@ def cosine_pandas(a: Column, b: Column) -> Column:
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # no pd.Series type hints: `from __future__ import annotations` turns
-    # them into strings the UDF type-inferencer cannot resolve
-    @pandas_udf("double", PandasUDFType.SCALAR)
     def _cos(xs, ys):
         if len(xs) == 0:
             return pd.Series([], dtype="float64")
@@ -80,7 +103,11 @@ def cosine_pandas(a: Column, b: Column) -> Column:
         den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
         return pd.Series(num / den)
 
-    return _cos(a, b)
+    # Real class objects, not inline hints: `from __future__ import
+    # annotations` would stringify inline hints and the lazily-imported
+    # `pd` is not resolvable from module globals.
+    _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")(a, b)
 
 
 def make_cosine(kernel: str):
@@ -327,6 +354,7 @@ def _collect_probe_matrix(df: DataFrame, id_col: str, vec_col: str):
     """
     import numpy as np
 
+    _assert_bounded_probes(df)
     rows = df.select(
         F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pvec")
     ).collect()
@@ -443,6 +471,7 @@ def lsh_ann_topk_blocked(
     import numpy as np
     import pandas as pd
 
+    _assert_bounded_probes(probes)
     prows = (
         probes.select(
             F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pvec")

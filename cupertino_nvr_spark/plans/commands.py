@@ -65,7 +65,9 @@ _SYNTH_SQL = f"""
       SELECT *,
              (raw_model_id IS NOT NULL AND trim(raw_model_id) <> '') AS model_id_ok,
              TRY_CAST(raw_fps AS DOUBLE) AS fps_num,
-             TRY_CAST(raw_source_id AS DOUBLE) AS sid_num,
+             -- TRUNC, not CAST(... AS INT): DuckDB's double->int cast ROUNDS
+             -- while Spark's truncates toward zero like Python int()
+             CAST(TRUNC(TRY_CAST(raw_source_id AS DOUBLE)) AS INT) AS sid_trunc,
              (raw_uri IS NOT NULL
               AND regexp_matches(raw_uri, '{V.URI_REGEX}')) AS uri_ok,
              TRY_CAST(raw_port AS INT) AS port_num,
@@ -77,13 +79,13 @@ _SYNTH_SQL = f"""
              CASE WHEN model_id_ok THEN trim(raw_model_id) END AS model_id,
              (fps_num IS NOT NULL AND fps_num > 0) AS fps_ok,
              CASE WHEN fps_num IS NOT NULL AND fps_num > 0 THEN fps_num END AS max_fps,
-             (sid_num IS NOT NULL AND sid_num >= 0) AS source_id_ok,
-             CASE WHEN sid_num IS NOT NULL AND sid_num >= 0
-                  THEN CAST(FLOOR(sid_num) AS INT) END AS source_id,
+             (sid_trunc IS NOT NULL AND sid_trunc >= 0) AS source_id_ok,
+             CASE WHEN sid_trunc IS NOT NULL AND sid_trunc >= 0
+                  THEN sid_trunc END AS source_id,
              uri_ok,
              (port_num IS NOT NULL AND port_num BETWEEN 1 AND 65535) AS port_ok,
              (conf_num IS NOT NULL AND conf_num BETWEEN 0 AND 1) AS confidence_ok,
-             fps_num, sid_num
+             fps_num, sid_trunc
       FROM checked
     )
     SELECT cmd_id, command, model_id_ok, model_id, fps_ok, max_fps,
@@ -95,12 +97,12 @@ _SYNTH_SQL = f"""
                CASE WHEN fps_num IS NULL THEN 'fps_not_numeric'
                     WHEN fps_num <= 0 THEN 'fps_not_positive' END
              WHEN 'add_stream' THEN
-               CASE WHEN sid_num IS NULL THEN 'source_id_not_numeric'
-                    WHEN sid_num < 0 THEN 'source_id_negative'
+               CASE WHEN sid_trunc IS NULL THEN 'source_id_not_numeric'
+                    WHEN sid_trunc < 0 THEN 'source_id_negative'
                     WHEN NOT uri_ok THEN 'invalid_stream_uri' END
              WHEN 'remove_stream' THEN
-               CASE WHEN sid_num IS NULL THEN 'source_id_not_numeric'
-                    WHEN sid_num < 0 THEN 'source_id_negative' END
+               CASE WHEN sid_trunc IS NULL THEN 'source_id_not_numeric'
+                    WHEN sid_trunc < 0 THEN 'source_id_negative' END
              ELSE
                CASE WHEN NOT port_ok THEN 'invalid_port'
                     WHEN NOT confidence_ok THEN 'confidence_out_of_range' END
@@ -199,7 +201,7 @@ def command_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.port_ok(F.col("raw_port")).alias("port_ok"),
         V.confidence_ok(F.col("raw_confidence")).alias("confidence_ok"),
         V.fps_num(F.col("raw_fps")).alias("_fps_num"),
-        V.source_id_num(F.col("raw_source_id")).alias("_sid_num"),
+        V.source_id_trunc(F.col("raw_source_id")).alias("_sid_trunc"),
     )
 
     reject = (
@@ -215,14 +217,14 @@ def command_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             F.col("command") == "add_stream",
-            F.when(F.col("_sid_num").isNull(), "source_id_not_numeric")
-            .when(F.col("_sid_num") < 0, "source_id_negative")
+            F.when(F.col("_sid_trunc").isNull(), "source_id_not_numeric")
+            .when(F.col("_sid_trunc") < 0, "source_id_negative")
             .when(~F.col("uri_ok"), "invalid_stream_uri"),
         )
         .when(
             F.col("command") == "remove_stream",
-            F.when(F.col("_sid_num").isNull(), "source_id_not_numeric").when(
-                F.col("_sid_num") < 0, "source_id_negative"
+            F.when(F.col("_sid_trunc").isNull(), "source_id_not_numeric").when(
+                F.col("_sid_trunc") < 0, "source_id_negative"
             ),
         )
         .otherwise(

@@ -901,10 +901,14 @@ def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
+    # Top-k first via orderBy().limit() — Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps + driver merge of 50-row heads), so the full
+    # distinct-term set is never funneled through one task. The row_number
+    # window then ranks only the 50 survivors; its single partition is trivial.
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(50)
     w = Window.orderBy(F.col("n").desc(), F.col("term"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(w))
         .select("term", "n", "rank")
     )
 

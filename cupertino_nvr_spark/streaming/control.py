@@ -56,6 +56,9 @@ class EngineConfig:
         if self.max_fps is not None:
             validate_fps(self.max_fps)
         validate_metrics_interval(self.metrics_interval_s)
+        # reference config.py:107-108: a streamless engine is a config error
+        if not self.streams:
+            raise ValueError("stream_uris cannot be empty")
         for uri in self.streams:
             if not is_valid_uri(uri):
                 raise ValueError(f"Invalid stream URI: {uri!r}")

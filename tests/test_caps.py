@@ -39,6 +39,31 @@ def test_shingle_df_cap_suppresses_boilerplate(spark):
     assert (1000, 1001) in got
 
 
+def test_blocked_kernels_reject_oversized_probe_side(spark, monkeypatch):
+    """The blocked ANN kernels collect() the probe side into the UDF closure;
+    an unbounded probe frame (e.g. probes=corpus) must fail fast on the
+    driver instead of OOMing it mid-collect."""
+    import pytest
+
+    from cupertino_nvr_spark.llm import similarity as S
+
+    emb = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.array([(F.col("id") * 7 + i).cast("double") % 13 for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    monkeypatch.setattr(S, "MAX_PROBES", 8)
+    with pytest.raises(ValueError, match="MAX_PROBES"):
+        S.brute_force_topk_blocked(emb, emb, k=2)
+    with pytest.raises(ValueError, match="MAX_PROBES"):
+        S.lsh_ann_topk_blocked(emb, emb, dim=4, k=2)
+    # a bounded batch under the cap still runs on both kernels
+    small = emb.filter(F.col("vec_id") < 3)
+    assert S.brute_force_topk_blocked(emb, small, k=2).count() > 0
+    assert S.lsh_ann_topk_blocked(emb, small, dim=4, k=2).count() >= 0
+
+
 def test_band_cap_suppresses_hot_buckets(spark):
     docs = _corpus(spark)
     sigs = minhash_signature(docs, num_hashes=8)

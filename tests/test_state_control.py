@@ -216,6 +216,8 @@ def make_plane(**cfg):
         built.append(config)
         return FakeQuery()
 
+    # a streamless config is a validation error (reference config.py:107-108)
+    cfg.setdefault("streams", ("rtsp://cam:8554/1",))
     plane = ControlPlane("i1", EngineConfig(**cfg), query_factory=factory)
     plane.start()
     return plane, built

@@ -39,16 +39,33 @@ def test_source_id_examples():
     assert V.validate_source_id("10") == 10
     assert V.validate_source_id(0) == 0
     assert V.validate_source_id(3.14) == 3
+    # int() truncation toward zero runs BEFORE the negativity check, exactly
+    # like the reference's int(source_id): -0.5 -> 0, accepted
+    assert V.validate_source_id(-0.5) == 0
     for bad in [-1, "not a number", None]:
         with pytest.raises(V.CommandValidationError):
             V.validate_source_id(bad)
 
 
 def test_uri_shape_examples():
-    for ok in ["rtsp://localhost:8554/live/3", "file:///tmp/clip.mp4", "a:b", "synthetic://0"]:
+    # "file:/" parses to scheme="file", path="/" — urlparse (reference
+    # config.py:145-148) accepts it, so the regex must too
+    for ok in ["rtsp://localhost:8554/live/3", "file:///tmp/clip.mp4", "a:b",
+               "synthetic://0", "file:/"]:
         assert V.is_valid_uri(ok), ok
     for bad in ["not a uri", "rtsp://", "", None, 7]:
         assert not V.is_valid_uri(bad), bad
+    # pin the regex against the reference's actual urlparse predicate on the
+    # full corpus of shapes both tests exercise
+    from urllib.parse import urlparse
+
+    for uri in ["rtsp://localhost:8554/live/3", "file:///tmp/clip.mp4", "a:b",
+                "synthetic://0", "file:/", "not a uri", "rtsp://", "",
+                "scheme:", "s:///x", "s://h"]:
+        parsed = urlparse(uri)
+        assert V.is_valid_uri(uri) == bool(
+            parsed.scheme and (parsed.netloc or parsed.path)
+        ), uri
 
 
 def test_port_and_confidence_and_interval():
@@ -82,9 +99,9 @@ def test_columnar_rules_match_scalar(spark):
     raws = [
         "", "  yolov11x-640  ", None, "yolov8x-3",       # model ids
         "0", "-1.5", "not a number", "0.5", "5", "17",   # fps
-        "-1", "x9", "3.99", "12",                        # source ids
+        "-1", "x9", "3.99", "12", "-0.5", "-0.9",        # source ids
         "rtsp://localhost:8554/live/3", "not a uri", "rtsp://",
-        "file:///tmp/clip.mp4", "rtsp://go2rtc:8554/7",  # uris
+        "file:///tmp/clip.mp4", "rtsp://go2rtc:8554/7", "file:/",  # uris
     ]
     df = spark.createDataFrame([Row(raw=r) for r in raws]).select(
         "raw",
@@ -116,7 +133,7 @@ def _acks(plane, command):
 
 
 def test_bad_params_error_ack_config_unchanged():
-    plane = ControlPlane("p0", EngineConfig())
+    plane = ControlPlane("p0", EngineConfig(streams=("rtsp://cam:8554/1",)))
     before = plane.config
     plane.handle_command_row(
         Row(ts=1.0, command="change_model", params={"model_id": "   "}, target_instances=None)
@@ -134,7 +151,7 @@ def test_bad_params_error_ack_config_unchanged():
 
 
 def test_change_model_strip_normalizes():
-    plane = ControlPlane("p0", EngineConfig())
+    plane = ControlPlane("p0", EngineConfig(streams=("rtsp://cam:8554/1",)))
     plane.handle_command_row(
         Row(
             ts=1.0,
@@ -151,3 +168,9 @@ def test_config_uri_validation():
     with pytest.raises(ValueError):
         EngineConfig(streams=("not a uri",)).validated()
     EngineConfig(streams=("rtsp://cam:8554/1",)).validated()
+
+
+def test_config_empty_streams_rejected():
+    # reference config.py:107-108: "stream_uris cannot be empty"
+    with pytest.raises(ValueError, match="cannot be empty"):
+        EngineConfig(streams=()).validated()

@@ -64,6 +64,10 @@ EXTRAS = [
     "docs_vocab_topk",
     "events_stratified_sample",
     "command_validation",
+    "docs_repetition_quality",
+    "docs_unigram_lm_score",
+    "docs_lang_balanced_sample",
+    "docs_contamination",
 ]
 
 

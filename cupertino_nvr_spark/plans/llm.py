@@ -924,3 +924,229 @@ def embedding_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_ann_topk(emb, probes, dim=64, k=5, n_flip=2)
+
+
+# lowered whitespace token list, shared by the repetition / LM / contamination
+# oracles (mirrors ws_tokens(F.lower(text)))
+_LTOK_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "docs_repetition_quality",
+    f"""
+    WITH toked AS (SELECT doc_id, {_LTOK_SQL} AS t FROM documents),
+    gramd AS (
+      SELECT doc_id, t,
+             list_transform(range(1, greatest(len(t), 1)),
+                            i -> t[i] || ' ' || t[i+1]) AS g2
+      FROM toked
+    )
+    SELECT doc_id,
+           len(t) AS n_tok,
+           len(list_distinct(t)) * 1.0 / len(t) AS distinct_token_ratio,
+           list_max(list_transform(list_distinct(t),
+                    u -> len(list_filter(t, x -> x = u)))) * 1.0 / len(t)
+             AS top_token_frac,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) END
+             AS dup_2gram_ratio,
+           (len(list_distinct(t)) * 1.0 / len(t) >= 0.2
+            AND list_max(list_transform(list_distinct(t),
+                         u -> len(list_filter(t, x -> x = u)))) * 1.0 / len(t) <= 0.2
+            AND (CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) END) <= 0.6)
+             AS passes_repetition_rules
+    FROM gramd
+    """,
+    doc="repetition-based quality rules in the style published for the Gopher "
+    "corpus pipeline: distinct-token ratio, most-frequent-token fraction, and "
+    "duplicate-2-gram ratio, plus a pass/fail gate. Pure per-row array "
+    "expressions — a projection with NO shuffle, so the filter runs at scan "
+    "speed on any corpus size; all ratios are exact small-integer divisions, "
+    "bit-identical across engines",
+)
+def docs_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.lower(F.col("text")))
+    docs = docs.select("doc_id", toks.alias("t"))
+    t = F.col("t")
+    # non-distinct 2-grams: duplicate ratio needs occurrence counts
+    g2 = F.transform(
+        _shingle_spans(F.size(t), 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    docs = docs.select("doc_id", t.alias("t"), g2.alias("g2"))
+    n_tok = F.size(t)
+    distinct_ratio = F.size(F.array_distinct(t)) / n_tok
+    # per-token occurrence counts over the distinct set: O(|vocab|·n) per doc,
+    # but doc length is bounded, so this stays a linear scan-side projection
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda u: F.size(F.filter(t, lambda x: x == u)),
+            )
+        )
+        / n_tok
+    )
+    dup2 = F.when(F.size(F.col("g2")) == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(F.col("g2"))) / F.size(F.col("g2"))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        top_frac.alias("top_token_frac"),
+        dup2.alias("dup_2gram_ratio"),
+        ((distinct_ratio >= 0.2) & (top_frac <= 0.2) & (dup2 <= 0.6)).alias(
+            "passes_repetition_rules"
+        ),
+    )
+
+
+@register(
+    "docs_unigram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_LTOK_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+    tot AS (SELECT SUM(tf) AS n_total FROM tf)
+    SELECT doc_id, COUNT(*) AS n_tok,
+           ROUND(AVG(-ln(tf * 1.0 / n_total)), 6) AS avg_neg_logp
+    FROM toks JOIN tf USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="corpus-trained unigram language-model score (perplexity proxy): "
+    "p(term) = tf/N over the whole corpus, per-doc mean negative log-prob. "
+    "The classic cheap fluency filter for pretraining data. Three keyed "
+    "shuffles (term counts with map-side combine, token->tf join on term, "
+    "per-doc agg); the 1-row total rides a broadcast cross join. Rounded to "
+    "6 decimals to absorb summation-order ulps between engines",
+)
+def docs_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n_total"))
+    return (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.avg(-F.log(F.col("tf") / F.col("n_total"))), 6).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
+
+
+# temperature exponent for language rebalancing: keep_rate(lang) =
+# (min_lang_count / lang_count) ** ALPHA — 1.0 for the rarest language,
+# sublinear downsampling for dominant ones (alpha=0.5 is the common
+# multilingual-training choice)
+_LANG_ALPHA = 0.5
+
+
+@register(
+    "docs_lang_balanced_sample",
+    f"""
+    WITH lc AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n_l) AS min_n FROM lc),
+    rates AS (
+      SELECT lang, n_l,
+             CAST(FLOOR(SQRT(min_n * 1.0 / n_l) * 1000000) AS BIGINT) AS keep_ppm
+      FROM lc CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.lang, r.n_l AS lang_total, r.keep_ppm,
+           {_md5_int_sql("CAST(doc_id AS VARCHAR)", 29)} % 1000000 AS residue
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {_md5_int_sql("CAST(doc_id AS VARCHAR)", 29)} % 1000000 < r.keep_ppm
+    """,
+    doc="temperature-based language rebalancing (alpha=0.5): per-language "
+    "keep rate (min_n/n_l)^alpha applied as a deterministic hash-residue "
+    "filter, so both engines (and any two cluster runs) keep the identical "
+    "rows — no RNG state. The 5-row rate table broadcasts; the corpus side "
+    "is one scan + codegen filter, no shuffle of document rows. sqrt and "
+    "multiply are IEEE correctly-rounded, so the ppm thresholds are "
+    "bit-identical across engines",
+)
+def docs_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    docs = load_table(spark, "documents", sf_dir)
+    lc = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    mn = lc.agg(F.min("n_l").alias("min_n"))
+    rates = lc.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.col("n_l").alias("lang_total"),
+        F.floor(F.sqrt(F.col("min_n") / F.col("n_l")) * 1000000)
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    residue = F.pmod(md5_int(F.col("doc_id").cast("string"), seed=29), F.lit(1000000))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", "lang_total", "keep_ppm", residue.alias("residue"))
+        .filter(F.col("residue") < F.col("keep_ppm"))
+    )
+
+
+@register(
+    "docs_contamination",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 3, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4])) AS grams
+      FROM (SELECT doc_id, {_LTOK_SQL} AS t FROM documents)
+    ),
+    corpus AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      FROM g WHERE doc_id % 23 <> 0
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 23 = 0)
+    SELECT doc_id, n_grams, COUNT(*) AS n_contaminated,
+           COUNT(*) * 1.0 / n_grams AS contamination_ratio
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc_id, n_grams
+    """,
+    doc="benchmark-contamination check: flag training docs sharing any "
+    "5-gram with a held-out benchmark set (here the deterministic doc_id%23 "
+    "slice stands in for the benchmark). The benchmark gram set is DISTINCT "
+    "and small by definition, so it broadcasts — the corpus side is one "
+    "explode + broadcast-hash join (no corpus shuffle) + per-doc agg. The "
+    "standard decontamination pass run before every pretraining job",
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.select(
+        "doc_id", word_shingles(F.lower(F.col("text")), k=5).alias("grams")
+    )
+    corpus = g.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
+    bench = (
+        g.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_contaminated"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_grams")).alias("contamination_ratio"),
+        )
+    )

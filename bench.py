@@ -68,6 +68,8 @@ EXTRAS = [
     "docs_unigram_lm_score",
     "docs_lang_balanced_sample",
     "docs_contamination",
+    "docs_hot_ngram_coverage",
+    "embedding_int8_quant",
 ]
 
 

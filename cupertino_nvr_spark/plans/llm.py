@@ -1098,6 +1098,174 @@ def docs_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_hot_ngram_coverage",
+    f"""
+    WITH toked AS (SELECT doc_id, {_LTOK_SQL} AS t FROM documents),
+    gramd AS (
+      SELECT doc_id, len(t) AS n_tok,
+             list_transform(range(1, greatest(len(t), 1)),
+                            i -> t[i] || ' ' || t[i+1]) AS g2
+      FROM toked
+    ),
+    pos AS (
+      SELECT doc_id, n_tok, unnest(g2) AS gram,
+             unnest(range(1, len(g2) + 1)) AS s
+      FROM gramd
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    hot AS (
+      SELECT gram FROM pos CROSS JOIN n
+      GROUP BY gram, n_docs HAVING COUNT(DISTINCT doc_id) * 20 >= n_docs
+    )
+    SELECT doc_id, n_tok, COUNT(*) AS n_hot_grams,
+           len(list_distinct(flatten(list_transform(list(s), x -> [x, x + 1]))))
+             AS covered_tok,
+           len(list_distinct(flatten(list_transform(list(s), x -> [x, x + 1]))))
+             * 1.0 / n_tok AS coverage_ratio
+    FROM pos JOIN hot USING (gram)
+    GROUP BY doc_id, n_tok
+    """,
+    doc="memorization-risk audit in the spirit of exact-substring dedup "
+    "(Lee et al. 2021, arXiv:2107.06499) at n-gram granularity: find "
+    "boilerplate 2-grams whose document frequency reaches 5% of the corpus "
+    "(df*20 >= n_docs — integer arithmetic, no float threshold), then "
+    "report per doc how many token positions those grams cover. One "
+    "corpus-wide df aggregation; the hot set is small by construction so it "
+    "broadcasts and the corpus side joins without shuffling; coverage is a "
+    "per-doc interval-union over start positions, all integer ops",
+)
+def docs_hot_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = ws_tokens(F.lower(F.col("text")))
+    gramd = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.transform(
+            _shingle_spans(F.size(t), 2),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ).alias("g2"),
+    )
+    pos = gramd.select(
+        "doc_id",
+        "n_tok",
+        F.posexplode("g2").alias("p0", "gram"),
+    ).select("doc_id", "n_tok", "gram", (F.col("p0") + 1).alias("s"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    hot = (
+        pos.crossJoin(F.broadcast(n_docs))
+        .groupBy("gram", "n_docs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") * 20 >= F.col("n_docs"))
+        .select("gram")
+    )
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.collect_list("s"), lambda x: F.array(x, x + F.lit(1))
+                )
+            )
+        )
+    )
+    return (
+        pos.join(F.broadcast(hot), "gram")
+        .groupBy("doc_id", "n_tok")
+        .agg(F.count("*").alias("n_hot_grams"), covered.alias("covered_tok"))
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_hot_grams",
+            "covered_tok",
+            (F.col("covered_tok") / F.col("n_tok")).alias("coverage_ratio"),
+        )
+    )
+
+
+@register(
+    "embedding_int8_quant",
+    """
+    WITH dims AS (
+      SELECT unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
+      FROM dims GROUP BY dim
+    ),
+    packed AS (
+      SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs
+      FROM stats
+    )
+    SELECT vec_id,
+           list_transform(range(1, len(embedding) + 1),
+             i -> CASE WHEN maxs[i] = mins[i] THEN 0
+                  ELSE CAST(ROUND((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                  * 255.0 / (maxs[i] - mins[i])) AS INT) END)
+             AS q,
+           ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> POWER(CAST(embedding[i] AS DOUBLE)
+                  - (mins[i] + (CASE WHEN maxs[i] = mins[i] THEN 0
+                       ELSE CAST(ROUND((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                       * 255.0 / (maxs[i] - mins[i])) AS INT) END)
+                     * (maxs[i] - mins[i]) / 255.0), 2)))
+             / len(embedding), 6) AS mse
+    FROM embeddings CROSS JOIN packed
+    """,
+    doc="per-dimension affine int8 quantization of the embedding corpus — "
+    "the standard 4x memory compression applied before ANN serving. "
+    "Per-dim min/max is one 64-group aggregation with map-side combine "
+    "(shuffle carries partitions x dims rows, not vectors); the 1-row "
+    "packed stats frame broadcasts and quantization is a pure projection. "
+    "Quantized codes are exact integers; the reconstruction MSE is rounded "
+    "to absorb summation ulps",
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(F.posexplode("embedding").alias("p0", "v")).select(
+        (F.col("p0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    packed = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+        ).alias("maxs"),
+    )
+    idx = F.sequence(F.lit(1), F.size("embedding"))
+    x = lambda i: F.element_at(F.col("embedding"), i).cast("double")  # noqa: E731
+    mn = lambda i: F.element_at(F.col("mins"), i)  # noqa: E731
+    mx = lambda i: F.element_at(F.col("maxs"), i)  # noqa: E731
+    qcode = lambda i: F.when(mx(i) == mn(i), F.lit(0)).otherwise(  # noqa: E731
+        F.round((x(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).cast("int")
+    )
+    q = F.transform(idx, qcode)
+    mse = F.round(
+        F.aggregate(
+            F.transform(
+                idx,
+                lambda i: F.pow(
+                    x(i) - (mn(i) + qcode(i) * (mx(i) - mn(i)) / 255.0), F.lit(2)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / F.size("embedding"),
+        6,
+    )
+    return emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id", q.alias("q"), mse.alias("mse")
+    )
+
+
+@register(
     "docs_contamination",
     f"""
     WITH g AS (

@@ -51,6 +51,13 @@ ALLOWED_BNLJ = {
     # with a 1-row build side IS the right plan (a shuffle-free scalar
     # attach), not an accidental blowup
     "docs_bm25_search",
+    # same 1-row-stats attach shape: corpus token total (unigram LM),
+    # min-language count (temperature sampling), corpus doc count
+    # (hot-gram df threshold), packed per-dim min/max arrays (int8 quant)
+    "docs_unigram_lm_score",
+    "docs_lang_balanced_sample",
+    "docs_hot_ngram_coverage",
+    "embedding_int8_quant",
 }
 
 
@@ -77,12 +84,36 @@ def test_column_pruning_reaches_scan(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["revenue_by_nation", "shipping_priority", "nation_region_broadcast", "embedding_lsh_ann"],
+    [
+        "revenue_by_nation",
+        "shipping_priority",
+        "nation_region_broadcast",
+        "embedding_lsh_ann",
+        # bounded-by-construction sides: benchmark gram set, per-lang rate
+        # table, hot boilerplate-gram set
+        "docs_contamination",
+        "docs_lang_balanced_sample",
+        "docs_hot_ngram_coverage",
+    ],
 )
 def test_dimension_joins_broadcast(spark, name):
     """Joins against bounded-size sides must be broadcast, not shuffled."""
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_vocab_topk_takeordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    never an unpartitioned window over the full distinct-term set."""
+    plan = plan_of(spark, "docs_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_quality_no_shuffle(spark):
+    """The repetition rules are pure per-row array math — the plan must be
+    a zero-Exchange projection that runs at scan speed."""
+    plan = plan_of(spark, "docs_repetition_quality")
+    assert "Exchange" not in plan
 
 
 def test_partial_aggregation_present(spark):

@@ -52,6 +52,7 @@ VARIANTS = [
     "embedding_ivf_ann_fast",
     "embedding_cosine_topk",
     "embedding_cosine_topk_fast",
+    "embedding_int8_ann",
 ]
 
 # also timed outside the headline total: queries added after round 1
@@ -70,6 +71,7 @@ EXTRAS = [
     "docs_contamination",
     "docs_hot_ngram_coverage",
     "embedding_int8_quant",
+    "docs_bigram_lm_score",
 ]
 
 

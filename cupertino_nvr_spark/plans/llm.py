@@ -1266,6 +1266,173 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_bigram_lm_score",
+    f"""
+    WITH toked AS (SELECT doc_id, {_LTOK_SQL} AS t FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+                            i -> t[i] || ' ' || t[i+1])) AS bigram,
+             unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i])) AS w1
+      FROM toked
+    ),
+    bf AS (SELECT bigram, COUNT(*) AS bf FROM bi GROUP BY bigram),
+    uf AS (SELECT w1, COUNT(*) AS uf FROM bi GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT bigram) AS vsize FROM bi)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln((bf + 1.0) / (uf + vsize))), 6) AS avg_neg_logp
+    FROM bi JOIN bf USING (bigram) JOIN uf USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    doc="bigram language-model fluency score with add-one (Laplace) "
+    "smoothing: p(w2|w1) = (count(w1 w2)+1)/(count(w1 ·)+|V|), per-doc mean "
+    "negative log-prob — the next step up from the unigram filter and still "
+    "pure joins+aggs: bigram and left-unigram counts are two map-side- "
+    "combined shuffles, the 1-row vocabulary size broadcasts, and scoring "
+    "is one equi-join per table. Rounded to absorb summation-order ulps",
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = ws_tokens(F.lower(F.col("text")))
+    toked = docs.select("doc_id", t.alias("t"))
+    tc = F.col("t")
+    pairs = F.transform(
+        _shingle_spans(F.size(tc), 2),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.element_at(tc, i), F.element_at(tc, i + 1)
+            ).alias("bigram"),
+            F.element_at(tc, i).alias("w1"),
+        ),
+    )
+    bi = toked.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1")
+    )
+    bf = bi.groupBy("bigram").agg(F.count("*").alias("bf"))
+    uf = bi.groupBy("w1").agg(F.count("*").alias("uf"))
+    v = bi.agg(F.countDistinct("bigram").alias("vsize"))
+    return (
+        bi.join(bf, "bigram")
+        .join(uf, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log((F.col("bf") + 1.0) / (F.col("uf") + F.col("vsize")))
+                ),
+                6,
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+@register(
+    "embedding_int8_ann",
+    """
+    WITH dims AS (
+      SELECT unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
+      FROM dims GROUP BY dim
+    ),
+    packed AS (
+      SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs
+      FROM stats
+    ),
+    deq AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> mins[i] + (CASE WHEN maxs[i] = mins[i] THEN 0
+                    ELSE CAST(ROUND((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                    * 255.0 / (maxs[i] - mins[i])) AS INT) END)
+                    * (maxs[i] - mins[i]) / 255.0) AS dq,
+             embedding
+      FROM embeddings CROSS JOIN packed
+    ),
+    probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM deq WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(range(1, len(c.dq) + 1),
+                        i -> c.dq[i] * CAST(p.pvec[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(c.dq, x -> x * x)))
+                  * SQRT(list_sum(list_transform(p.pvec,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      FROM probes p, deq c
+      WHERE p.probe_id <> c.vec_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+      SELECT probe_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="asymmetric-distance ANN over the int8-quantized corpus: corpus "
+    "vectors are scored in DEQUANTIZED form against full-precision float "
+    "probes (the standard asymmetric trick — the probe never loses "
+    "precision, only the stored side). Same plan skeleton as "
+    "embedding_cosine_topk (bounded probe side x corpus scan, per-probe "
+    "top-k window); the per-dim stats broadcast as one packed row. "
+    "Companion to embedding_int8_quant: proves 4x-compressed storage "
+    "still retrieves",
+)
+def embedding_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(F.posexplode("embedding").alias("p0", "v")).select(
+        (F.col("p0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    stats = dims.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    packed = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+        ).alias("maxs"),
+    )
+    idx = F.sequence(F.lit(1), F.size("embedding"))
+    x = lambda i: F.element_at(F.col("embedding"), i).cast("double")  # noqa: E731
+    mn = lambda i: F.element_at(F.col("mins"), i)  # noqa: E731
+    mx = lambda i: F.element_at(F.col("maxs"), i)  # noqa: E731
+    qcode = lambda i: F.when(mx(i) == mn(i), F.lit(0)).otherwise(  # noqa: E731
+        F.round((x(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).cast("int")
+    )
+    dq = F.transform(idx, lambda i: mn(i) + qcode(i) * (mx(i) - mn(i)) / 255.0)
+    deq = emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id", dq.alias("dq"), F.col("embedding").cast("array<double>").alias("fvec")
+    )
+    probes = deq.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("fvec").alias("pvec")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(deq.select("vec_id", "dq"))
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("dq"), F.col("pvec")), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )
+
+
+@register(
     "docs_contamination",
     f"""
     WITH g AS (

@@ -58,6 +58,11 @@ ALLOWED_BNLJ = {
     "docs_lang_balanced_sample",
     "docs_hot_ngram_coverage",
     "embedding_int8_quant",
+    # 1-row smoothing-denominator attach (bigram LM) and the asymmetric
+    # int8 exact-scoring baseline (all-pairs over a bounded probe side by
+    # definition, like embedding_cosine_topk)
+    "docs_bigram_lm_score",
+    "embedding_int8_ann",
 }
 
 

@@ -745,6 +745,78 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_dedup_survivors",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    based AS (
+      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
+    ),
+    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
+    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id <> b.doc_id
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM aug
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp
+    ),
+    withlen AS (
+      SELECT s.doc_id, s.cluster_id, s.cluster_size, length(a.text) AS text_len
+      FROM sized s JOIN aug a USING (doc_id)
+    ),
+    mx AS (SELECT cluster_id, MAX(text_len) AS max_len
+           FROM withlen GROUP BY cluster_id),
+    surv AS (
+      SELECT w.cluster_id, MIN(w.doc_id) AS survivor_id
+      FROM withlen w JOIN mx USING (cluster_id)
+      WHERE w.text_len = mx.max_len
+      GROUP BY w.cluster_id
+    )
+    SELECT w.doc_id, w.cluster_id, w.cluster_size, w.text_len,
+           (w.doc_id = s.survivor_id) AS is_survivor
+    FROM withlen w JOIN surv s USING (cluster_id)
+    """,
+    doc="the dedup stage's final materialization: every doc tagged with its "
+    "near-dup cluster and an is_survivor flag (longest text wins, ties -> "
+    "smallest id). Survivor selection is max_by over a (len, -id) struct — "
+    "map-side partial aggregation, so a pathological million-doc cluster "
+    "costs one combine per partition, never a per-cluster sort. Downstream "
+    "keeps survivors and drops or remaps the rest",
+)
+def docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.pipeline import dedup_survivors
+
+    aug = augmented_docs(spark, sf_dir)
+    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    memb = lsh_band_membership(sigs, num_hashes=8, band_size=2, band_cap=64).select(
+        "doc_id",
+        F.concat_ws(":", F.col("band_idx"), F.col("band_key")).alias("bkey"),
+    )
+    clusters = duplicate_clusters(aug, memb, id_col="doc_id", key_col="bkey")
+    docs = aug.select("doc_id", F.length("text").alias("text_len"))
+    return dedup_survivors(docs, clusters)
+
+
+@register(
     "docs_train_shards",
     f"""
     WITH base AS (

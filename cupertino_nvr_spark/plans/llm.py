@@ -1210,20 +1210,29 @@ def docs_hot_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.dedup import _shingle_spans
 
     docs = load_table(spark, "documents", sf_dir)
-    t = ws_tokens(F.lower(F.col("text")))
-    gramd = docs.select(
-        "doc_id",
-        F.size(t).alias("n_tok"),
-        F.transform(
-            _shingle_spans(F.size(t), 2),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        ).alias("g2"),
+    # materialize tokens as a real column FIRST: element_at references
+    # inside the shingle lambda must hit a computed array attribute, not an
+    # inlined split() subtree re-evaluated per element (see shingle_rows).
+    # The (start, gram) struct is built inside the SAME transform and
+    # exploded in the SAME select: exploding an array column computed by an
+    # earlier projection makes Generate re-evaluate that transform once per
+    # OUTPUT row (measured 13x slower at sf0.1).
+    toked = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_toks")
     )
-    pos = gramd.select(
-        "doc_id",
-        "n_tok",
-        F.posexplode("g2").alias("p0", "gram"),
-    ).select("doc_id", "n_tok", "gram", (F.col("p0") + 1).alias("s"))
+    t = F.col("_toks")
+    pairs = F.transform(
+        _shingle_spans(F.size(t), 2),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)).alias(
+                "gram"
+            ),
+        ),
+    )
+    pos = toked.select(
+        "doc_id", F.size(t).alias("n_tok"), F.explode(pairs).alias("p")
+    ).select("doc_id", "n_tok", F.col("p.gram").alias("gram"), F.col("p.s").alias("s"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     hot = (
         pos.crossJoin(F.broadcast(n_docs))
@@ -1532,24 +1541,46 @@ def embedding_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "standard decontamination pass run before every pretraining job",
 )
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cupertino_nvr_spark.llm.dedup import word_shingles
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
 
     docs = load_table(spark, "documents", sf_dir)
-    g = docs.select(
-        "doc_id", word_shingles(F.lower(F.col("text")), k=5).alias("grams")
+    # two-step projection (see shingle_rows): tokens land as a real column
+    # so the 5 element_at references per gram hit one computed array, not
+    # five re-evaluated split() subtrees; the explode runs in the SAME
+    # select that builds the gram array (exploding a prior projection's
+    # array re-evaluates it per output row — measured 13x slower)
+    toked = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_toks")
     )
-    corpus = g.filter(F.col("doc_id") % 23 != 0).select(
-        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    t = F.col("_toks")
+    grams5 = F.array_distinct(
+        F.transform(
+            _shingle_spans(F.size(t), 5),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(5)]
+            ),
+        )
+    )
+    corpus = toked.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id", F.explode(grams5).alias("gram")
     )
     bench = (
-        g.filter(F.col("doc_id") % 23 == 0)
-        .select(F.explode("grams").alias("gram"))
+        toked.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(grams5).alias("gram"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
+    # grams are distinct per doc, so count(*) = n_grams and count(hit) =
+    # contaminated grams — one left broadcast join + one agg, no size()
+    # recomputation of the gram array
     return (
-        corpus.join(F.broadcast(bench), "gram")
-        .groupBy("doc_id", "n_grams")
-        .agg(F.count("*").alias("n_contaminated"))
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
         .select(
             "doc_id",
             "n_grams",

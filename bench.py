@@ -99,10 +99,13 @@ def main() -> None:
             ).save()
         except Exception as exc:
             warm_errors[f"warm:{table}"] = repr(exc)[:200]
-    warm = spark.range(64).selectExpr("id", "cast(id as string) s")
-    warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        warm = spark.range(64).selectExpr("id", "cast(id as string) s")
+        warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:
+        warm_errors["warm:python_udf_workers"] = repr(exc)[:200]
 
     errors: dict[str, str] = dict(warm_errors)
 

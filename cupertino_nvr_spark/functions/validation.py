@@ -87,6 +87,8 @@ def validate_source_id(source_id: Any) -> int:
 
     Truncation runs BEFORE the negativity check, exactly like the
     reference's ``int(source_id)`` — so ``-0.5`` truncates to 0 and passes.
+    NaN and infinities are rejected (int() raises on both; OverflowError
+    for inf is folded into the same client-safe error).
 
     Accepts decimal *strings* too (`"3.99"` -> 3) so the scalar and columnar
     forms agree: a column can't distinguish the reference's int("3.99")
@@ -95,7 +97,7 @@ def validate_source_id(source_id: Any) -> int:
     """
     try:
         source_id_int = int(float(source_id))
-    except (ValueError, TypeError) as e:
+    except (ValueError, TypeError, OverflowError) as e:
         raise CommandValidationError(
             f"Invalid source_id: must be numeric, got {source_id!r}"
         ) from e
@@ -185,11 +187,20 @@ def source_id_num(raw: Column) -> Column:
 
 
 def source_id_trunc(raw: Column) -> Column:
-    # double→int cast truncates toward zero, same as Python int() — applied
-    # BEFORE the >= 0 check, mirroring the reference's int(source_id)-then-
-    # negativity-test order (validators.py:168-180): -0.5 truncates to 0
-    # and passes, matching the scalar form.
-    return source_id_num(raw).cast("int")
+    # double→bigint cast truncates toward zero, same as Python int() —
+    # applied BEFORE the >= 0 check, mirroring the reference's
+    # int(source_id)-then-negativity-test order (validators.py:168-180):
+    # -0.5 truncates to 0 and passes, matching the scalar form. NaN and
+    # the infinities are nulled FIRST: Spark's non-ANSI NaN.cast(int) is
+    # 0 and inf clamps, where the scalar int() raises — both forms must
+    # reject. The bound is the double just below 2^63 (DuckDB's bigint
+    # cast errors past it; the scalar form has no bound, but ids beyond
+    # 2^63 are out of any protocol's range).
+    n = source_id_num(raw)
+    return F.when(
+        ~F.isnan(n) & n.between(-9.223372036854775e18, 9.223372036854775e18),
+        n.cast("bigint"),
+    )
 
 
 def source_id_ok(raw: Column) -> Column:

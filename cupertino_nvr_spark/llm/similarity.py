@@ -37,23 +37,27 @@ IVF_MAX_CELLS = 4096
 MAX_PROBES = 65536
 
 
-def _assert_bounded_probes(probes: DataFrame, max_probes: int | None = None) -> None:
-    """Fail fast if the probe side exceeds the closure-capture budget.
+def _collect_bounded(probes: DataFrame, max_probes: int | None = None) -> list:
+    """Collect the probe side under the closure-capture budget, in ONE job.
 
-    ``limit(max+1).count()`` touches at most max+1 rows — it never scans or
-    counts the full frame, so the guard itself is O(max_probes) not O(N).
-    Reads ``MAX_PROBES`` at call time so tests can lower the budget.
+    ``limit(max+1).collect()`` touches at most max+1 rows — it never scans
+    the full frame — and doubles as the guard: more than ``max_probes``
+    rows back means the caller passed an unbounded frame (e.g.
+    probes=corpus), which must fail fast instead of OOMing the driver.
+    Under the cap, limit(max+1) returns every row, so the collected set is
+    complete. Reads ``MAX_PROBES`` at call time so tests can lower it.
     """
     if max_probes is None:
         max_probes = MAX_PROBES
-    n = probes.limit(max_probes + 1).count()
-    if n > max_probes:
+    rows = probes.limit(max_probes + 1).collect()
+    if len(rows) > max_probes:
         raise ValueError(
             f"probe side exceeds MAX_PROBES={max_probes}; blocked kernels "
             "collect probes to the driver (closure capture). Pass a bounded "
             "retrieval batch, or use the distributed HOF kernels "
             "(brute_force_topk / lsh_ann_topk) for probe sets at corpus scale."
         )
+    return rows
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -354,10 +358,9 @@ def _collect_probe_matrix(df: DataFrame, id_col: str, vec_col: str):
     """
     import numpy as np
 
-    _assert_bounded_probes(df)
-    rows = df.select(
-        F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pvec")
-    ).collect()
+    rows = _collect_bounded(
+        df.select(F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pvec"))
+    )
     rows.sort(key=lambda r: r["pid"])
     ids = np.array([r["pid"] for r in rows], dtype=np.int64)
     mat = np.array([list(r["pvec"]) for r in rows], dtype=np.float64)
@@ -471,13 +474,10 @@ def lsh_ann_topk_blocked(
     import numpy as np
     import pandas as pd
 
-    _assert_bounded_probes(probes)
-    prows = (
+    prows = _collect_bounded(
         probes.select(
             F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pvec")
-        )
-        .withColumn("pbucket", lsh_bucket(F.col("pvec"), dim, n_planes))
-        .collect()
+        ).withColumn("pbucket", lsh_bucket(F.col("pvec"), dim, n_planes))
     )
     spark = corpus.sparkSession
     if not prows:

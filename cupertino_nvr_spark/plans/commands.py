@@ -39,8 +39,9 @@ _SYNTH_SQL = f"""
            WHEN 0 THEN '0' WHEN 1 THEN '-1.5' WHEN 2 THEN 'not a number'
            WHEN 3 THEN '0.5' WHEN 4 THEN '5'
            ELSE CAST(CAST(user_id % 30 + 1 AS INT) AS VARCHAR) END AS raw_fps,
-         CASE event_id % 4
+         CASE event_id % 8
            WHEN 0 THEN '-1' WHEN 1 THEN 'x9' WHEN 2 THEN '3.99'
+           WHEN 3 THEN 'NaN' WHEN 4 THEN 'inf' WHEN 5 THEN '3e9'
            ELSE CAST(CAST(user_id % 16 AS INT) AS VARCHAR) END AS raw_source_id,
          CASE event_id % 5
            WHEN 0 THEN 'rtsp://localhost:8554/live/3' WHEN 1 THEN 'not a uri'
@@ -65,9 +66,17 @@ _SYNTH_SQL = f"""
       SELECT *,
              (raw_model_id IS NOT NULL AND trim(raw_model_id) <> '') AS model_id_ok,
              TRY_CAST(raw_fps AS DOUBLE) AS fps_num,
-             -- TRUNC, not CAST(... AS INT): DuckDB's double->int cast ROUNDS
-             -- while Spark's truncates toward zero like Python int()
-             CAST(TRUNC(TRY_CAST(raw_source_id AS DOUBLE)) AS INT) AS sid_trunc,
+             -- TRUNC, not a bare int cast: DuckDB's double->int cast ROUNDS
+             -- while Spark's truncates toward zero like Python int(). NaN
+             -- and +/-inf are nulled first (DuckDB's bigint cast ERRORS on
+             -- them; Spark's non-ANSI cast silently maps NaN to 0) — the
+             -- guard matches functions/validation.py:source_id_trunc.
+             CASE WHEN TRY_CAST(raw_source_id AS DOUBLE) IS NOT NULL
+                   AND NOT isnan(TRY_CAST(raw_source_id AS DOUBLE))
+                   AND TRY_CAST(raw_source_id AS DOUBLE)
+                       BETWEEN -9.223372036854775e18 AND 9.223372036854775e18
+                  THEN CAST(TRUNC(TRY_CAST(raw_source_id AS DOUBLE)) AS BIGINT)
+             END AS sid_trunc,
              (raw_uri IS NOT NULL
               AND regexp_matches(raw_uri, '{V.URI_REGEX}')) AS uri_ok,
              TRY_CAST(raw_port AS INT) AS port_num,
@@ -126,7 +135,7 @@ def command_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     m5 = F.col("event_id") % 5
     m7 = F.col("event_id") % 7
     m6 = F.col("event_id") % 6
-    m4 = F.col("event_id") % 4
+    m4s = F.col("event_id") % 8
     m9 = F.col("event_id") % 9
     m8 = F.col("event_id") % 8
     u = lambda mod: (F.col("user_id") % mod).cast("int").cast("string")  # noqa: E731
@@ -153,7 +162,13 @@ def command_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("user_id") % 30 + 1).cast("int").cast("string"))
     )
     raw_source_id = (
-        F.when(m4 == 0, "-1").when(m4 == 1, "x9").when(m4 == 2, "3.99").otherwise(u(16))
+        F.when(m4s == 0, "-1")
+        .when(m4s == 1, "x9")
+        .when(m4s == 2, "3.99")
+        .when(m4s == 3, "NaN")
+        .when(m4s == 4, "inf")
+        .when(m4s == 5, "3e9")
+        .otherwise(u(16))
     )
     raw_uri = (
         F.when(m5 == 0, "rtsp://localhost:8554/live/3")

@@ -110,6 +110,38 @@ def _ivf_params_sql(corpus: str) -> str:
 # hash-sampled centroid predicate (mirrors llm.similarity.ivf_centroids)
 _CENT_PRED_SQL = f"{_md5_int_sql('CAST(vec_id AS VARCHAR)', 0)} % stride = 0"
 
+# shared LSH-band connected-components chain (oracle side), used by BOTH
+# docs_dup_clusters and docs_dedup_survivors so the cluster definition
+# (8 hashes, band_size 2, band_cap 64, md5 seed 0) can never drift between
+# the two verification queries
+_CLUSTER_CTE_SQL = f"""aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    based AS (
+      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
+    ),
+    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
+    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id <> b.doc_id
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM aug
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
 
 @register(
     "docs_exact_dedup",
@@ -695,36 +727,23 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(pii_docs(spark, sf_dir))
 
 
+def _dup_cluster_frames(spark: SparkSession, sf_dir: str):
+    """(augmented corpus, cluster assignments) with the SAME LSH parameters
+    the _CLUSTER_CTE_SQL oracle pins — single Spark-side definition for
+    docs_dup_clusters and docs_dedup_survivors."""
+    aug = augmented_docs(spark, sf_dir)
+    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    memb = lsh_band_membership(sigs, num_hashes=8, band_size=2, band_cap=64).select(
+        "doc_id",
+        F.concat_ws(":", F.col("band_idx"), F.col("band_key")).alias("bkey"),
+    )
+    return aug, duplicate_clusters(aug, memb, id_col="doc_id", key_col="bkey")
+
+
 @register(
     "docs_dup_clusters",
     f"""
-    WITH RECURSIVE aug AS ({_AUG_SQL}),
-    sh AS ({_SHINGLE_SQL}),
-    based AS (
-      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
-      FROM based GROUP BY doc_id
-    ),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
-    ),
-    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
-    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
-    edges AS (
-      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      FROM kept a JOIN kept b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id <> b.doc_id
-    ),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS lbl FROM aug
-      UNION
-      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    WITH RECURSIVE {_CLUSTER_CTE_SQL}
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM comp
@@ -735,45 +754,13 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transitive closure of the same band graph",
 )
 def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = augmented_docs(spark, sf_dir)
-    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
-    memb = lsh_band_membership(sigs, num_hashes=8, band_size=2, band_cap=64).select(
-        "doc_id",
-        F.concat_ws(":", F.col("band_idx"), F.col("band_key")).alias("bkey"),
-    )
-    return duplicate_clusters(aug, memb, id_col="doc_id", key_col="bkey")
+    return _dup_cluster_frames(spark, sf_dir)[1]
 
 
 @register(
     "docs_dedup_survivors",
     f"""
-    WITH RECURSIVE aug AS ({_AUG_SQL}),
-    sh AS ({_SHINGLE_SQL}),
-    based AS (
-      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
-      FROM based GROUP BY doc_id
-    ),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
-    ),
-    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
-    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
-    edges AS (
-      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      FROM kept a JOIN kept b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id <> b.doc_id
-    ),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS lbl FROM aug
-      UNION
-      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    WITH RECURSIVE {_CLUSTER_CTE_SQL},
     sized AS (
       SELECT doc_id, cluster_id,
              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
@@ -805,13 +792,7 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.pipeline import dedup_survivors
 
-    aug = augmented_docs(spark, sf_dir)
-    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
-    memb = lsh_band_membership(sigs, num_hashes=8, band_size=2, band_cap=64).select(
-        "doc_id",
-        F.concat_ws(":", F.col("band_idx"), F.col("band_key")).alias("bkey"),
-    )
-    clusters = duplicate_clusters(aug, memb, id_col="doc_id", key_col="bkey")
+    aug, clusters = _dup_cluster_frames(spark, sf_dir)
     docs = aug.select("doc_id", F.length("text").alias("text_len"))
     return dedup_survivors(docs, clusters)
 
@@ -1264,10 +1245,12 @@ def docs_hot_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_int8_quant",
-    """
-    WITH dims AS (
+# -- int8 quantization codebook, shared by embedding_int8_quant and
+# embedding_int8_ann: ONE definition of the per-dim stats and the
+# quantize/dequantize expressions per engine, so the ANN baseline can never
+# drift from the codebook the quantizer reports.
+
+_INT8_STATS_SQL = """dims AS (
       SELECT unnest(embedding) AS v,
              unnest(range(1, len(embedding) + 1)) AS dim
       FROM embeddings
@@ -1279,19 +1262,54 @@ def docs_hot_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed AS (
       SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs
       FROM stats
+    )"""
+
+_INT8_QCODE_SQL = (
+    "CASE WHEN maxs[i] = mins[i] THEN 0"
+    " ELSE CAST(ROUND((CAST(embedding[i] AS DOUBLE) - mins[i])"
+    " * 255.0 / (maxs[i] - mins[i])) AS INT) END"
+)
+_INT8_DQ_SQL = f"mins[i] + ({_INT8_QCODE_SQL}) * (maxs[i] - mins[i]) / 255.0"
+
+
+def _int8_packed(emb: DataFrame) -> DataFrame:
+    """1-row (mins, maxs) per-dimension codebook frame (broadcastable)."""
+    dims = emb.select(F.posexplode("embedding").alias("p0", "v")).select(
+        (F.col("p0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
     )
+    stats = dims.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    return stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+        ).alias("maxs"),
+    )
+
+
+def _int8_exprs():
+    """(x, mn, mx, qcode, dq) column-builder lambdas over a frame that has
+    ``embedding`` plus the packed ``mins``/``maxs`` arrays."""
+    x = lambda i: F.element_at(F.col("embedding"), i).cast("double")  # noqa: E731
+    mn = lambda i: F.element_at(F.col("mins"), i)  # noqa: E731
+    mx = lambda i: F.element_at(F.col("maxs"), i)  # noqa: E731
+    qcode = lambda i: F.when(mx(i) == mn(i), F.lit(0)).otherwise(  # noqa: E731
+        F.round((x(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).cast("int")
+    )
+    dq = lambda i: mn(i) + qcode(i) * (mx(i) - mn(i)) / 255.0  # noqa: E731
+    return x, mn, mx, qcode, dq
+
+
+@register(
+    "embedding_int8_quant",
+    f"""
+    WITH {_INT8_STATS_SQL}
     SELECT vec_id,
            list_transform(range(1, len(embedding) + 1),
-             i -> CASE WHEN maxs[i] = mins[i] THEN 0
-                  ELSE CAST(ROUND((CAST(embedding[i] AS DOUBLE) - mins[i])
-                                  * 255.0 / (maxs[i] - mins[i])) AS INT) END)
-             AS q,
+             i -> {_INT8_QCODE_SQL}) AS q,
            ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
-             i -> POWER(CAST(embedding[i] AS DOUBLE)
-                  - (mins[i] + (CASE WHEN maxs[i] = mins[i] THEN 0
-                       ELSE CAST(ROUND((CAST(embedding[i] AS DOUBLE) - mins[i])
-                                       * 255.0 / (maxs[i] - mins[i])) AS INT) END)
-                     * (maxs[i] - mins[i]) / 255.0), 2)))
+             i -> POWER(CAST(embedding[i] AS DOUBLE) - ({_INT8_DQ_SQL}), 2)))
              / len(embedding), 6) AS mse
     FROM embeddings CROSS JOIN packed
     """,
@@ -1305,36 +1323,13 @@ def docs_hot_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    dims = emb.select(F.posexplode("embedding").alias("p0", "v")).select(
-        (F.col("p0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
-    )
-    stats = dims.groupBy("dim").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
-    )
-    packed = stats.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
-        ).alias("mins"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
-        ).alias("maxs"),
-    )
+    packed = _int8_packed(emb)
+    x, _, _, qcode, dq = _int8_exprs()
     idx = F.sequence(F.lit(1), F.size("embedding"))
-    x = lambda i: F.element_at(F.col("embedding"), i).cast("double")  # noqa: E731
-    mn = lambda i: F.element_at(F.col("mins"), i)  # noqa: E731
-    mx = lambda i: F.element_at(F.col("maxs"), i)  # noqa: E731
-    qcode = lambda i: F.when(mx(i) == mn(i), F.lit(0)).otherwise(  # noqa: E731
-        F.round((x(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).cast("int")
-    )
     q = F.transform(idx, qcode)
     mse = F.round(
         F.aggregate(
-            F.transform(
-                idx,
-                lambda i: F.pow(
-                    x(i) - (mn(i) + qcode(i) * (mx(i) - mn(i)) / 255.0), F.lit(2)
-                ),
-            ),
+            F.transform(idx, lambda i: F.pow(x(i) - dq(i), F.lit(2))),
             F.lit(0.0),
             lambda acc, e: acc + e,
         )
@@ -1358,18 +1353,19 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bf AS (SELECT bigram, COUNT(*) AS bf FROM bi GROUP BY bigram),
     uf AS (SELECT w1, COUNT(*) AS uf FROM bi GROUP BY w1),
-    v AS (SELECT COUNT(DISTINCT bigram) AS vsize FROM bi)
+    v AS (SELECT COUNT(DISTINCT w1) AS vsize FROM bi)
     SELECT doc_id, COUNT(*) AS n_bigrams,
            ROUND(AVG(-ln((bf + 1.0) / (uf + vsize))), 6) AS avg_neg_logp
     FROM bi JOIN bf USING (bigram) JOIN uf USING (w1) CROSS JOIN v
     GROUP BY doc_id
     """,
     doc="bigram language-model fluency score with add-one (Laplace) "
-    "smoothing: p(w2|w1) = (count(w1 w2)+1)/(count(w1 ·)+|V|), per-doc mean "
-    "negative log-prob — the next step up from the unigram filter and still "
-    "pure joins+aggs: bigram and left-unigram counts are two map-side- "
-    "combined shuffles, the 1-row vocabulary size broadcasts, and scoring "
-    "is one equi-join per table. Rounded to absorb summation-order ulps",
+    "smoothing: p(w2|w1) = (count(w1 w2)+1)/(count(w1 ·)+|V|), where |V| is "
+    "the distinct left-context vocabulary, per-doc mean negative log-prob — "
+    "the next step up from the unigram filter and still pure joins+aggs: "
+    "bigram and left-unigram counts are two map-side-combined shuffles, the "
+    "1-row vocabulary size broadcasts, and scoring is one equi-join per "
+    "table. Rounded to absorb summation-order ulps",
 )
 def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.dedup import _shingle_spans
@@ -1392,7 +1388,7 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bf = bi.groupBy("bigram").agg(F.count("*").alias("bf"))
     uf = bi.groupBy("w1").agg(F.count("*").alias("uf"))
-    v = bi.agg(F.countDistinct("bigram").alias("vsize"))
+    v = bi.agg(F.countDistinct("w1").alias("vsize"))
     return (
         bi.join(bf, "bigram")
         .join(uf, "w1")
@@ -1412,27 +1408,12 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_int8_ann",
-    """
-    WITH dims AS (
-      SELECT unnest(embedding) AS v,
-             unnest(range(1, len(embedding) + 1)) AS dim
-      FROM embeddings
-    ),
-    stats AS (
-      SELECT dim, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
-      FROM dims GROUP BY dim
-    ),
-    packed AS (
-      SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs
-      FROM stats
-    ),
+    f"""
+    WITH {_INT8_STATS_SQL},
     deq AS (
       SELECT vec_id,
              list_transform(range(1, len(embedding) + 1),
-               i -> mins[i] + (CASE WHEN maxs[i] = mins[i] THEN 0
-                    ELSE CAST(ROUND((CAST(embedding[i] AS DOUBLE) - mins[i])
-                                    * 255.0 / (maxs[i] - mins[i])) AS INT) END)
-                    * (maxs[i] - mins[i]) / 255.0) AS dq,
+               i -> {_INT8_DQ_SQL}) AS dq,
              embedding
       FROM embeddings CROSS JOIN packed
     ),
@@ -1460,33 +1441,19 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "precision, only the stored side). Same plan skeleton as "
     "embedding_cosine_topk (bounded probe side x corpus scan, per-probe "
     "top-k window); the per-dim stats broadcast as one packed row. "
-    "Companion to embedding_int8_quant: proves 4x-compressed storage "
-    "still retrieves",
+    "Companion to embedding_int8_quant — same codebook constants by "
+    "construction (shared _INT8_* builders) — proving 4x-compressed "
+    "storage still retrieves",
 )
 def embedding_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from cupertino_nvr_spark.llm.similarity import cosine
 
     emb = load_table(spark, "embeddings", sf_dir)
-    dims = emb.select(F.posexplode("embedding").alias("p0", "v")).select(
-        (F.col("p0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
-    )
-    stats = dims.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-    packed = stats.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
-        ).alias("mins"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
-        ).alias("maxs"),
-    )
-    idx = F.sequence(F.lit(1), F.size("embedding"))
-    x = lambda i: F.element_at(F.col("embedding"), i).cast("double")  # noqa: E731
-    mn = lambda i: F.element_at(F.col("mins"), i)  # noqa: E731
-    mx = lambda i: F.element_at(F.col("maxs"), i)  # noqa: E731
-    qcode = lambda i: F.when(mx(i) == mn(i), F.lit(0)).otherwise(  # noqa: E731
-        F.round((x(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).cast("int")
-    )
-    dq = F.transform(idx, lambda i: mn(i) + qcode(i) * (mx(i) - mn(i)) / 255.0)
+    packed = _int8_packed(emb)
+    _, _, _, _, dq_i = _int8_exprs()
+    dq = F.transform(F.sequence(F.lit(1), F.size("embedding")), dq_i)
     deq = emb.crossJoin(F.broadcast(packed)).select(
         "vec_id", dq.alias("dq"), F.col("embedding").cast("array<double>").alias("fvec")
     )
@@ -1503,16 +1470,12 @@ def embedding_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("dq"), F.col("pvec")), 6).alias("sim"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", "sim", "rank")
     )
-
-
 @register(
     "docs_contamination",
     f"""

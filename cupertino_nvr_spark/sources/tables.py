@@ -53,20 +53,28 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
             # Normalize to TIMESTAMP so the full scalar surface
-            # (unix_micros, to_utc_timestamp, ...) resolves. Pin the session
-            # to UTC first: the cast then maps each naive value to the same
-            # UTC instant DuckDB's naive read implies, keeping the two
-            # engines (and the pre-NTZ round-2 behavior) value-identical.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # (unix_micros, to_utc_timestamp, ...) resolves. Under the UTC
+            # session tz load_table pins, the cast maps each naive value to
+            # the same UTC instant DuckDB's naive read implies, keeping the
+            # two engines (and the pre-NTZ round-2 behavior) value-identical.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Read one named table from a scale-factor directory."""
+    """Read one named table from a scale-factor directory.
+
+    Pins the session timezone to UTC on EVERY call — not just for events —
+    so timestamp literals, date functions, and the NTZ->TIMESTAMP cast all
+    resolve identically to DuckDB's timezone-naive reads regardless of the
+    order in which tables are loaded or what tz the caller's session was
+    built with. (An events-only pin would make unrelated queries' results
+    depend on whether events had been loaded earlier in the session.)
+    """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in BATCH_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {BATCH_TABLES}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _read_events(spark, path)

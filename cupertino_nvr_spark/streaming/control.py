@@ -253,10 +253,16 @@ class ControlPlane:
 
     def _apply_config(self, new_config: EngineConfig, restart: bool) -> None:
         with self._lock:
+            # validate FIRST, before backup/status/mutation (reference
+            # command_handlers.py:506-510 step 1): a validation failure —
+            # e.g. removing the last stream — needs no rollback and must
+            # not restart the healthy running query; it surfaces as an
+            # error ack with status untouched
+            validated = new_config.validated()
             backup = self.config
             self._set_status("reconfiguring")
             try:
-                self.config = new_config.validated()
+                self.config = validated
                 if restart:
                     self._restart_query()
                 self._set_status("running")

@@ -47,21 +47,24 @@ def test_blocked_kernels_reject_oversized_probe_side(spark, monkeypatch):
 
     from cupertino_nvr_spark.llm import similarity as S
 
-    emb = spark.range(12).select(
+    # id 0 and id 12 share the identical vector (id%12 folds them), so the
+    # LSH kernel is guaranteed at least one same-bucket neighbor pair
+    emb = spark.range(13).select(
         F.col("id").alias("vec_id"),
-        F.array([(F.col("id") * 7 + i).cast("double") % 13 for i in range(4)]).alias(
-            "embedding"
-        ),
+        F.array(
+            [((F.col("id") % 12) * 7 + i).cast("double") % 13 for i in range(4)]
+        ).alias("embedding"),
     )
     monkeypatch.setattr(S, "MAX_PROBES", 8)
     with pytest.raises(ValueError, match="MAX_PROBES"):
         S.brute_force_topk_blocked(emb, emb, k=2)
     with pytest.raises(ValueError, match="MAX_PROBES"):
         S.lsh_ann_topk_blocked(emb, emb, dim=4, k=2)
-    # a bounded batch under the cap still runs on both kernels
+    # a bounded batch under the cap still runs on both kernels and finds
+    # real neighbors (vec 0's identical twin guarantees an LSH hit)
     small = emb.filter(F.col("vec_id") < 3)
     assert S.brute_force_topk_blocked(emb, small, k=2).count() > 0
-    assert S.lsh_ann_topk_blocked(emb, small, dim=4, k=2).count() >= 0
+    assert S.lsh_ann_topk_blocked(emb, small, dim=4, k=2).count() > 0
 
 
 def test_band_cap_suppresses_hot_buckets(spark):

@@ -259,30 +259,47 @@ def test_change_model_restarts_query():
 
 
 def test_bad_config_rolls_back():
-    # set_confidence with a bad value is rejected at the handler edge by
-    # the validators (validators.py parity) — error ack, reconfig never
-    # starts; update_config bypasses per-param validation, so the bad
-    # value reaches EngineConfig.validated() and exercises the
-    # backup -> mutate -> rollback path (command_handlers.py:480-565).
+    # Validation failures surface BEFORE any mutation (reference
+    # command_handlers.py:506-510 step 1): error ack, status untouched, no
+    # restart — whether caught at the handler edge (set_confidence) or in
+    # EngineConfig.validated() (update_config bypasses per-param checks).
     plane, built = make_plane(confidence_threshold=0.5)
-    plane.handle_command_row(
-        Row(
-            ts=1.0,
-            command="set_confidence",
-            params={"confidence_threshold": "7.5"},  # out of [0,1]
-            target_instances=None,
+    for cmd in ("set_confidence", "update_config"):
+        n_before = len(built)
+        plane.handle_command_row(
+            Row(
+                ts=1.0,
+                command=cmd,
+                params={"confidence_threshold": "7.5"},  # out of [0,1]
+                target_instances=None,
+            )
         )
-    )
-    assert plane.config.confidence_threshold == 0.5  # never mutated
-    assert plane.acks[-1]["ack_status"] == "error"
-    assert plane.status == "running"  # reconfig never started
+        assert plane.config.confidence_threshold == 0.5  # never mutated
+        assert plane.acks[-1]["ack_status"] == "error"
+        assert plane.status == "running"  # healthy query never restarted
+        assert len(built) == n_before
 
+    # A failure DURING the restart itself (config valid, query factory
+    # throws) exercises the backup -> mutate -> rollback path
+    # (command_handlers.py:528-565): config restored, the query restarted
+    # under the restored config, status error.
+    boom = {"armed": False}
+    orig_factory = plane._query_factory
+
+    def flaky_factory(config):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("executor lost")
+        return orig_factory(config)
+
+    plane._query_factory = flaky_factory
+    boom["armed"] = True
     n_before = len(built)
     plane.handle_command_row(
         Row(
             ts=2.0,
             command="update_config",
-            params={"confidence_threshold": "7.5"},
+            params={"confidence_threshold": "0.9"},  # valid value
             target_instances=None,
         )
     )
@@ -292,6 +309,21 @@ def test_bad_config_rolls_back():
     # rollback restarted the query under the restored config
     assert built[-1].confidence_threshold == 0.5
     assert len(built) > n_before
+
+
+def test_remove_last_stream_rejected_without_restart():
+    # removing the only stream would produce an invalid (streamless)
+    # config: rejected pre-flight with an error ack; the healthy query is
+    # NOT restarted and the stream stays attached
+    plane, built = make_plane(streams=("rtsp://only",))
+    n_before = len(built)
+    plane.handle_command_row(
+        Row(ts=1.0, command="remove_stream", params={"uri": "rtsp://only"}, target_instances=None)
+    )
+    assert plane.acks[-1]["ack_status"] == "error"
+    assert plane.config.streams == ("rtsp://only",)
+    assert plane.status == "running"
+    assert len(built) == n_before
 
 
 def test_stream_add_remove_and_pause_resume():

@@ -72,6 +72,7 @@ EXTRAS = [
     "docs_hot_ngram_coverage",
     "embedding_int8_quant",
     "docs_bigram_lm_score",
+    "docs_cdc_chunk_dedup",
 ]
 
 

@@ -983,6 +983,116 @@ def embedding_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles (mirrors ws_tokens(F.lower(text)))
 _LTOK_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
 
+# content-defined chunking: a boundary opens before token i when the 3-gram
+# starting at i hashes to 0 mod _CDC_DIV — expected chunk length ~_CDC_DIV
+# tokens, and (the point of CDC) boundaries depend only on LOCAL content,
+# so an insertion re-chunks one neighborhood instead of shifting every
+# fixed-width window downstream
+_CDC_DIV = 16
+
+
+@register(
+    "docs_cdc_chunk_dedup",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    toked AS (SELECT doc_id, {_LTOK_SQL} AS t FROM aug),
+    bounded AS (
+      SELECT doc_id, t,
+             list_concat([1], list_filter(range(2, greatest(len(t) - 1, 2)),
+               i -> {_md5_int_sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]", 17)}
+                    % {_CDC_DIV} = 0)) AS starts
+      FROM toked
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(starts) + 1),
+               j -> md5(array_to_string(
+                      t[starts[j]:(CASE WHEN j < len(starts)
+                                   THEN starts[j+1] - 1 ELSE len(t) END)],
+                      ' ')))) AS digest
+      FROM bounded
+    ),
+    df AS (SELECT digest, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY digest)
+    SELECT c.doc_id, COUNT(*) AS n_chunks,
+           SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_chunks,
+           SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             AS shared_chunk_ratio
+    FROM chunks c JOIN df USING (digest)
+    GROUP BY c.doc_id
+    """,
+    doc="content-defined chunk dedup (gear-hash CDC at token granularity, "
+    "the rsync/LBFS trick): chunk boundaries open where a local 3-gram hash "
+    "is 0 mod 16, so insertions re-chunk one neighborhood instead of "
+    "shifting every downstream window — the augmented corpus's tail-marker "
+    "near-copies share all but their final chunk. Per-doc shared-chunk "
+    "ratio via one chunk-digest df aggregation and a keyed join; boundary "
+    "selection and digests are integer/md5-exact across engines",
+)
+def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    aug = augmented_docs(spark, sf_dir)
+    toked = aug.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
+    gram3 = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+    )
+    # interior 3-gram starts: 2..n-2, empty for n < 4 (guarded — sequence
+    # auto-reverses when end < start; matches the oracle's exclusive range)
+    interior = F.when(n >= 4, F.sequence(F.lit(2), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.filter(
+            interior,
+            lambda i: F.pmod(md5_int(gram3(i), seed=17), F.lit(_CDC_DIV)) == 0,
+        ),
+    )
+    bounded = toked.select("doc_id", t.alias("_toks"), starts.alias("starts"))
+    s = F.col("starts")
+    tt = F.col("_toks")
+    # chunk j spans starts[j] .. (starts[j+1]-1 | n); digest the joined text.
+    # Built and exploded in ONE select — exploding a prior projection's
+    # array re-evaluates it per output row (see docs_contamination).
+    digests = F.transform(
+        F.sequence(F.lit(1), F.size(s)),
+        lambda j: F.md5(
+            F.array_join(
+                F.slice(
+                    tt,
+                    F.element_at(s, j),
+                    F.when(
+                        j < F.size(s),
+                        F.element_at(s, j + 1) - F.element_at(s, j),
+                    ).otherwise(F.size(tt) - F.element_at(s, j) + 1),
+                ),
+                " ",
+            )
+        ),
+    )
+    chunks = bounded.select("doc_id", F.explode(digests).alias("digest"))
+    df_tbl = chunks.groupBy("digest").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        chunks.join(df_tbl, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            (F.col("n_shared_chunks") / F.col("n_chunks")).alias(
+                "shared_chunk_ratio"
+            ),
+        )
+    )
+
 
 @register(
     "docs_repetition_quality",

@@ -1587,6 +1587,43 @@ def embedding_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", "sim", "rank")
     )
 @register(
+    "docs_mixture_weights",
+    f"""
+    WITH lt AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len({_LTOK_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(SQRT(n_tokens)) AS s FROM lt)
+    SELECT lang, n_docs, n_tokens,
+           ROUND(SQRT(n_tokens) / s, 6) AS weight
+    FROM lt CROSS JOIN tot
+    """,
+    doc="static training-mixture weights per language: weight proportional "
+    "to tokens^0.5 (the square-root tempering used for multilingual "
+    "mixtures), normalized. One tiny grouped aggregation plus a 1-row "
+    "normalizer broadcast; sqrt is IEEE correctly-rounded so the "
+    "unnormalized masses are bit-identical across engines and the rounded "
+    "normalized weights match",
+)
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    lt = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.lower(F.col("text"))))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    tot = lt.agg(F.sum(F.sqrt(F.col("n_tokens"))).alias("s"))
+    return lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens")) / F.col("s"), 6).alias("weight"),
+    )
+
+
+@register(
     "docs_contamination",
     f"""
     WITH g AS (

@@ -63,6 +63,8 @@ ALLOWED_BNLJ = {
     # definition, like embedding_cosine_topk)
     "docs_bigram_lm_score",
     "embedding_int8_ann",
+    # 1-row mixture normalizer attach
+    "docs_mixture_weights",
 }
 
 

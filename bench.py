@@ -73,6 +73,7 @@ EXTRAS = [
     "embedding_int8_quant",
     "docs_bigram_lm_score",
     "docs_cdc_chunk_dedup",
+    "docs_mixture_weights",
 ]
 
 

@@ -355,10 +355,56 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, probes, k=5)
 
 
+# The LSH hyperplanes are a pure integer formula (llm/similarity.py
+# _hyperplane: w[p][d] = ((p*1000003 + d*7919 + 12345) % 2003)/1001 - 1),
+# so DuckDB can derive the identical planes and bucket assignment — the
+# bucketing DOES have an exact SQL oracle (verified bit-identical at
+# sf0.001/sf0.01). Projections are only sign-tested, so cross-engine
+# summation-order ulps cannot flip a bucket unless a projection sits
+# within ~1e-15 of zero.
+_LSH_PROJ_SQL = (
+    "list_transform(range(0, 8), p -> list_sum(list_transform(range(1, 65), "
+    "d -> e[d] * ((((p * 1000003 + (d-1) * 7919 + 12345) % 2003) / 1001.0) - 1.0))))"
+)
+_LSH_BUCKET_SQL = (
+    "CAST(list_sum(list_transform(range(0, 8), p -> "
+    "CASE WHEN projs[p+1] >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS INT)"
+)
+_LSH_BASE_SQL = f"""
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    proj AS (SELECT vec_id, e, {_LSH_PROJ_SQL} AS projs FROM vecs),
+    bucketed AS (
+      SELECT vec_id, e, {_LSH_BUCKET_SQL} AS bucket, projs FROM proj
+    )"""
+_LSH_RERANK_SQL = """,
+    cand AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.pvec, c.e), 6) AS sim
+      FROM pbuckets p JOIN bucketed c USING (bucket)
+      WHERE p.probe_id <> c.vec_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+      SELECT probe_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand) WHERE rank <= 5"""
+
+
 @register(
     "embedding_lsh_ann",
-    None,  # bucketing has no tractable SQL oracle; driver does rows-only
-    doc="LSH(8 hyperplanes) bucketed ANN: candidates from bucket equi-join, exact rerank",
+    f"""
+    WITH {_LSH_BASE_SQL},
+    pbuckets AS (
+      SELECT vec_id AS probe_id, e AS pvec, bucket
+      FROM bucketed WHERE vec_id % 100 = 0
+    )
+    {_LSH_RERANK_SQL}
+    """,
+    doc="LSH(8 hyperplanes) bucketed ANN: candidates from bucket equi-join, "
+    "exact rerank. Hyperplanes are a pure integer formula, so the oracle "
+    "replays the identical bucketing in SQL",
 )
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -426,6 +472,7 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF-cell ANN, block-matmul kernel: assignment + routed scoring fused "
     "into one mapInPandas corpus pass (centroids+probes in the UDF closure) — "
     "the production scoring path, same logical result as embedding_ivf_ann",
+    bench_only=True,
 )
 def embedding_ivf_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.similarity import ivf_ann_topk_blocked
@@ -437,9 +484,10 @@ def embedding_ivf_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_lsh_ann_fast",
-    None,
+    None,  # numpy kernel, same last-ulp caveat as embedding_ivf_ann_fast
     doc="LSH bucketed ANN, block-matmul kernel: JVM bucketing (bit-identical "
     "to embedding_lsh_ann) + one mapInPandas scoring pass with a bucket mask",
+    bench_only=True,
 )
 def embedding_lsh_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.similarity import lsh_ann_topk_blocked
@@ -455,6 +503,7 @@ def embedding_lsh_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="brute-force cosine top-5, block-matmul kernel: one corpus scan, one "
     "BLAS matmul per Arrow batch, lossless per-partition top-k prune — the "
     "production exact-search path, same logical result as embedding_cosine_topk",
+    bench_only=True,
 )
 def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.similarity import brute_force_topk_blocked
@@ -968,10 +1017,29 @@ def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_lsh_ann_multiprobe",
-    None,  # bucketing has no tractable SQL oracle (same as embedding_lsh_ann)
+    f"""
+    WITH {_LSH_BASE_SQL},
+    pr AS (
+      SELECT vec_id AS probe_id, e AS pvec, bucket,
+             list_sort(list_transform(range(0, 8),
+                 p -> {{'a': abs(projs[p+1]), 'plane': p}})) AS ranked
+      FROM bucketed WHERE vec_id % 100 = 0
+    ),
+    pbuckets AS (
+      SELECT probe_id, pvec,
+             unnest([bucket,
+                     CAST(xor(bucket, CAST(1 AS BIGINT) << ranked[1].plane) AS INT),
+                     CAST(xor(bucket, CAST(1 AS BIGINT) << ranked[2].plane) AS INT)])
+               AS bucket
+      FROM pr
+    )
+    {_LSH_RERANK_SQL}
+    """,
     doc="multi-probe LSH ANN: each probe also searches the buckets reached by "
     "flipping its 2 least-confident hyperplane bits — higher recall for 3x "
-    "probe-side candidates, zero extra corpus-side work",
+    "probe-side candidates, zero extra corpus-side work. The flip choice "
+    "(weakest |projection|, plane-index tiebreak) is replayed exactly by the "
+    "oracle's struct sort",
 )
 def embedding_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1014,7 +1082,8 @@ _CDC_DIV = 16
     ),
     df AS (SELECT digest, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY digest)
     SELECT c.doc_id, COUNT(*) AS n_chunks,
-           SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_chunks,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
            SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
              AS shared_chunk_ratio
     FROM chunks c JOIN df USING (digest)

@@ -21,24 +21,47 @@ class QuerySpec:
     spark: SparkQuery
     oracle: str | None  # None => non-SQL-expressible, rows-only check
     doc: str = ""
+    # bench_only entries are alternative physical kernels (or sketch
+    # estimators) whose results are impl-defined at the last ulp, so no
+    # cross-engine hash oracle exists. They stay in REGISTRY for bench.py
+    # and the local test suite but are NOT declared to the driver: the
+    # driver scores every declared query against oracle_sql(), and a
+    # declared query without an oracle is a guaranteed red row
+    # (user_value_sketches, rounds 1-4).
+    bench_only: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
+def register(
+    name: str, oracle: str | None, doc: str = "", bench_only: bool = False
+) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            spark=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            bench_only=bench_only,
+        )
         return fn
 
     return deco
 
 
 def all_queries() -> dict[str, SparkQuery]:
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    """Driver-declared queries: every entry has an oracle_sql() twin."""
+    return {
+        name: spec.spark for name, spec in REGISTRY.items() if not spec.bench_only
+    }
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None and not spec.bench_only
+    }

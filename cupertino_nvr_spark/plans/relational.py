@@ -660,13 +660,19 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_value_sketches",
-    None,  # sketch results are impl-defined; rows-only here, with the
-    # relative-error bound vs exact asserted in tests/test_sketches.py
+    None,  # sketch estimates are impl-defined (HLL register layout, GK
+    # quantile compaction) and cannot hash-match another engine, so this
+    # stays OUT of the driver-declared set (bench_only) — a declared
+    # no-oracle query is an automatic red whenever sampled (rounds 1-4).
+    # The relative-error bound vs exact is asserted in
+    # tests/test_sketches.py; the exact oracle-checked companion is
+    # user_value_exact_stats below.
     doc="scale-path cardinality/quantile sketches: approx_count_distinct "
     "(HLL) and percentile_approx per group — constant memory per group vs "
     "the exact shuffles, the right trade at 100 TB. Quantiles are emitted "
     "as scalar p50/p90 columns: the driver's canonicalizer cannot sort "
     "array-typed output (CORRECTNESS_r01 harness err).",
+    bench_only=True,
 )
 def user_value_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -683,4 +689,32 @@ def user_value_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("_q", 1).alias("value_p50"),
         F.element_at("_q", 2).alias("value_p90"),
         "n_events",
+    )
+
+
+@register(
+    "user_value_exact_stats",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS value_p90
+    FROM events GROUP BY event_type
+    """,
+    doc="exact companion to user_value_sketches: per-group exact distinct "
+    "cardinality and exact interpolated quantiles (Spark `percentile` and "
+    "DuckDB `quantile_cont` both interpolate at rank p*(n-1), so the "
+    "results hash-match after rounding). This is the oracle-checked row; "
+    "the sketch variant stays bench-only with its error bound pinned in "
+    "tests/test_sketches.py — at 100 TB the sketches are the right plan "
+    "(constant memory per group vs the exact distinct/percentile sorts).",
+)
+def user_value_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("value_p90"),
     )

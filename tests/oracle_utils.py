@@ -58,6 +58,22 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, float_ulp_report: bool = True) -
     assert len(got) == len(exp), f"row count differs: {len(got)} vs {len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]
+        g_num = pd.api.types.is_numeric_dtype(g) and not pd.api.types.is_bool_dtype(g)
+        e_num = pd.api.types.is_numeric_dtype(e) and not pd.api.types.is_bool_dtype(e)
+        if g_num and e_num and (
+            pd.api.types.is_float_dtype(g) != pd.api.types.is_float_dtype(e)
+        ):
+            # The driver hashes value representations, so a Spark bigint
+            # against a DuckDB HUGEINT (surfaced as float64 by pandas, e.g.
+            # un-cast SUM(CASE...)) fails its gate even when the values are
+            # numerically identical. Be at least as strict here: require
+            # int-kind vs float-kind parity, forcing explicit CASTs in the
+            # oracle SQL instead of silently coercing.
+            raise AssertionError(
+                f"column {c!r}: dtype-kind mismatch — spark={g.dtype} vs "
+                f"oracle={e.dtype}; cast the oracle output (e.g. "
+                f"CAST(SUM(...) AS BIGINT)) or the Spark side so both agree"
+            )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
             g = pd.to_numeric(g, errors="coerce").astype(float)
             e = pd.to_numeric(e, errors="coerce").astype(float)

@@ -9,13 +9,24 @@ import os
 
 import pytest
 
-from cupertino_nvr_spark.plans import REGISTRY
+from cupertino_nvr_spark.plans import REGISTRY, all_oracles, all_queries
 from tests.oracle_utils import compare, duckdb_run
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 ORACLE_SPECS = sorted(name for name, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_SPECS = sorted(name for name, s in REGISTRY.items() if s.oracle is None)
+
+
+def test_every_declared_query_has_an_oracle():
+    """Driver contract: a declared query without an oracle is recorded as
+    `err: no_oracle` — a guaranteed red row whenever sampled (this was
+    user_value_sketches, rounds 1-4). Everything without an oracle must be
+    bench_only."""
+    assert set(all_queries()) == set(all_oracles())
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            assert spec.bench_only, f"{name} has no oracle but is driver-declared"
 
 
 @pytest.mark.parametrize("name", ORACLE_SPECS)

@@ -74,6 +74,8 @@ EXTRAS = [
     "docs_bigram_lm_score",
     "docs_cdc_chunk_dedup",
     "docs_mixture_weights",
+    "embedding_int8_ivf_ann",
+    "user_value_exact_stats",
 ]
 
 
@@ -136,7 +138,13 @@ def main() -> None:
     variants = {name: timed_safe(name) for name in VARIANTS}
     extras = {name: timed_safe(name, include_build=True) for name in EXTRAS}
 
-    total = round(sum(t for t in timings.values() if t is not None), 3)
+    # a degraded total (some headline query errored) must not be mistaken
+    # for an improvement in round-over-round comparisons: emit null + an
+    # explicit partial flag instead of a silently-shrunken sum
+    partial = any(t is None for t in timings.values())
+    total = (
+        None if partial else round(sum(t for t in timings.values()), 3)
+    )
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -146,6 +154,8 @@ def main() -> None:
         "extras": extras,
         "sf": float(sf),
     }
+    if partial:
+        result["partial"] = True
     if errors:
         result["errors"] = errors
     print(json.dumps(result))

@@ -94,13 +94,23 @@ def validate_source_id(source_id: Any) -> int:
     forms agree: a column can't distinguish the reference's int("3.99")
     (raises) from int(3.99) (truncates), so both forms take the permissive
     branch.
+
+    Finite doubles beyond ±2^63 are rejected, matching the columnar form's
+    bigint range (``source_id_trunc``): ids past 2^63 are out of any
+    protocol's range, and accepting them only in the scalar form was a
+    latent scalar/columnar parity gap.
     """
     try:
-        source_id_int = int(float(source_id))
+        source_id_float = float(source_id)
+        source_id_int = int(source_id_float)
     except (ValueError, TypeError, OverflowError) as e:
         raise CommandValidationError(
             f"Invalid source_id: must be numeric, got {source_id!r}"
         ) from e
+    if not -9.223372036854775e18 <= source_id_float <= 9.223372036854775e18:
+        raise CommandValidationError(
+            f"Invalid source_id: out of 64-bit range, got {source_id!r}"
+        )
     if source_id_int < 0:
         raise CommandValidationError(
             f"Invalid source_id: cannot be negative, got {source_id_int}"

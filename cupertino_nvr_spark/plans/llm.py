@@ -1212,14 +1212,29 @@ def docs_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.select("doc_id", t.alias("t"), g2.alias("g2"))
     n_tok = F.size(t)
     distinct_ratio = F.size(F.array_distinct(t)) / n_tok
-    # per-token occurrence counts over the distinct set: O(|vocab|·n) per doc,
-    # but doc length is bounded, so this stays a linear scan-side projection
+    # max token multiplicity = longest run in the SORTED token array: one
+    # sort + one linear run-length pass, O(n log n) per doc. (The naive
+    # re-scan per distinct token is O(n·|vocab|) and a long low-diversity
+    # doc makes it the dominant cost of the whole projection.)
     top_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(t),
-                lambda u: F.size(F.filter(t, lambda x: x == u)),
-            )
+        F.aggregate(
+            F.array_sort(t),
+            F.struct(
+                F.lit(0).alias("best"),
+                F.lit(0).alias("run"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(
+                    acc.best,
+                    F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                x.alias("prev"),
+            ),
+            lambda acc: acc.best,
         )
         / n_tok
     )
@@ -1429,6 +1444,15 @@ def docs_hot_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantize/dequantize expressions per engine, so the ANN baseline can never
 # drift from the codebook the quantizer reports.
 
+# Deterministic probe-side bound for the exact int8 baseline: probes are
+# vec_id % 100 == 0 AND vec_id below this, so the broadcast side holds at
+# most MAX_PROBES (65536) rows NO MATTER the corpus size — same budget the
+# blocked kernels enforce via _collect_bounded (llm/similarity.py). A
+# predicate (not limit()) keeps the probe set deterministic, so the oracle
+# replays it exactly; below 6.5M corpus rows it selects every %100 probe
+# and the result is unchanged.
+_INT8_PROBE_BOUND = 65536 * 100
+
 _INT8_STATS_SQL = """dims AS (
       SELECT unnest(embedding) AS v,
              unnest(range(1, len(embedding) + 1)) AS dim
@@ -1596,7 +1620,8 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              embedding
       FROM embeddings CROSS JOIN packed
     ),
-    probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM deq WHERE vec_id % 100 = 0),
+    probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM deq
+               WHERE vec_id % 100 = 0 AND vec_id < {_INT8_PROBE_BOUND}),
     scored AS (
       SELECT p.probe_id, c.vec_id AS neighbor_id,
              ROUND(
@@ -1619,10 +1644,13 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probes (the standard asymmetric trick — the probe never loses "
     "precision, only the stored side). Same plan skeleton as "
     "embedding_cosine_topk (bounded probe side x corpus scan, per-probe "
-    "top-k window); the per-dim stats broadcast as one packed row. "
-    "Companion to embedding_int8_quant — same codebook constants by "
-    "construction (shared _INT8_* builders) — proving 4x-compressed "
-    "storage still retrieves",
+    "top-k window); the per-dim stats broadcast as one packed row, and the "
+    "probe side is hard-bounded by the _INT8_PROBE_BOUND predicate so the "
+    "broadcast cannot grow with the corpus. Exact-scoring BASELINE — the "
+    "scale path is embedding_int8_ivf_ann below. Companion to "
+    "embedding_int8_quant — same codebook constants by construction "
+    "(shared _INT8_* builders) — proving 4x-compressed storage still "
+    "retrieves",
 )
 def embedding_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1636,9 +1664,9 @@ def embedding_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deq = emb.crossJoin(F.broadcast(packed)).select(
         "vec_id", dq.alias("dq"), F.col("embedding").cast("array<double>").alias("fvec")
     )
-    probes = deq.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("fvec").alias("pvec")
-    )
+    probes = deq.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _INT8_PROBE_BOUND)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("fvec").alias("pvec"))
     scored = (
         F.broadcast(probes)
         .crossJoin(deq.select("vec_id", "dq"))
@@ -1655,6 +1683,83 @@ def embedding_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", "sim", "rank")
     )
+
+
+@register(
+    "embedding_int8_ivf_ann",
+    f"""
+    WITH {_INT8_STATS_SQL},
+    deq AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> {_INT8_DQ_SQL}) AS e,
+             embedding
+      FROM embeddings CROSS JOIN packed
+    ),
+    params AS ({{IVF_PARAMS}}),
+    cent AS (SELECT vec_id AS cell_id, e AS centvec FROM deq, params
+             WHERE {_CENT_PRED_SQL}),
+    vecs AS (SELECT vec_id AS member_id, e AS mvec FROM deq),
+    assign AS (
+      SELECT member_id, cell_id FROM (
+        SELECT member_id, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY member_id
+                 ORDER BY round(list_cosine_similarity(mvec, centvec), 6) DESC, cell_id
+               ) AS r
+        FROM vecs CROSS JOIN cent) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    routed AS (
+      SELECT probe_id, pvec, cell_id FROM (
+        SELECT probe_id, pvec, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY probe_id
+                 ORDER BY round(list_cosine_similarity(pvec, centvec), 6) DESC, cell_id
+               ) AS r
+        FROM probes CROSS JOIN cent) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT DISTINCT probe_id, a.member_id AS neighbor_id,
+             round(list_cosine_similarity(pvec, mvec), 6) AS sim
+      FROM routed r JOIN assign a USING (cell_id)
+      JOIN vecs v ON v.member_id = a.member_id
+      WHERE a.member_id <> probe_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+      SELECT probe_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """.replace("{IVF_PARAMS}", _ivf_params_sql("deq")),
+    doc="the SCALE PATH for int8-compressed retrieval: the dequantized "
+    "corpus is routed through IVF cells (hash-sampled sqrt(n)-capped "
+    "centroids, exactly embedding_ivf_ann's index) while probes stay "
+    "full-precision (asymmetric distance). Candidates come from a cell_id "
+    "equi-join — cost n_probe/n_cells of the exact baseline — and every "
+    "broadcast side is bounded by construction (1-row packed codebook, "
+    "<=IVF_MAX_CELLS centroids), unlike embedding_int8_ann's "
+    "linear-in-corpus probe product. Proves 4x-compressed storage plugs "
+    "into the bucketed index without a dedicated int8 kernel",
+)
+def embedding_int8_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import ivf_ann_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    packed = _int8_packed(emb)
+    _, _, _, _, dq_i = _int8_exprs()
+    dq = F.transform(F.sequence(F.lit(1), F.size("embedding")), dq_i)
+    deq = emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id", dq.alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ivf_ann_topk(deq, probes, k=5, n_probe=2)
+
+
 @register(
     "docs_mixture_weights",
     f"""

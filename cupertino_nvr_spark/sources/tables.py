@@ -41,11 +41,20 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
         # Older driver data: parquet TIMESTAMP(NANOS) fails schema inference
-        # unless the legacy conf maps it to long. Retry once with it set.
+        # unless the legacy conf maps it to long. Retry once with it set —
+        # but ONLY for that failure: an unrelated error (missing/corrupt
+        # file) must surface as itself, not as the retry's error, and must
+        # not mutate session config as a side effect.
+        if "NANOS" not in str(exc).upper():
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            raise exc
     if "ts" in df.columns:
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):

@@ -60,9 +60,14 @@ ALLOWED_BNLJ = {
     "embedding_int8_quant",
     # 1-row smoothing-denominator attach (bigram LM) and the asymmetric
     # int8 exact-scoring baseline (all-pairs over a bounded probe side by
-    # definition, like embedding_cosine_topk)
+    # definition, like embedding_cosine_topk; probe side hard-bounded by
+    # the _INT8_PROBE_BOUND predicate)
     "docs_bigram_lm_score",
     "embedding_int8_ann",
+    # int8 scale path: its BNLJ stages are the bounded attaches only —
+    # 1-row packed codebook and <=IVF_MAX_CELLS centroid routing; the
+    # candidate scoring itself is a cell_id equi-join (asserted below)
+    "embedding_int8_ivf_ann",
     # 1-row mixture normalizer attach
     "docs_mixture_weights",
 }
@@ -107,6 +112,25 @@ def test_dimension_joins_broadcast(spark, name):
     """Joins against bounded-size sides must be broadcast, not shuffled."""
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_int8_ivf_candidates_are_equi_join(spark):
+    """embedding_int8_ivf_ann's candidate generation must stay a cell_id
+    equi-join (cost n_probe/n_cells of brute force) — the whole point of
+    routing the dequantized corpus through the IVF index instead of the
+    exact baseline's probe x corpus product."""
+    plan = plan_of(spark, "embedding_int8_ivf_ann")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\n.*cell_id", plan) or re.search(
+        r"keys.*\[cell_id", plan
+    ), "cell_id equi-join missing from the int8 IVF plan"
+
+
+def test_int8_ann_probe_bound_filter(spark):
+    """The exact int8 baseline's probe side must carry the deterministic
+    _INT8_PROBE_BOUND predicate so its broadcast cannot grow with the
+    corpus."""
+    plan = plan_of(spark, "embedding_int8_ann")
+    assert "6553600" in plan, "probe bound predicate missing from int8 ANN plan"
 
 
 def test_vocab_topk_takeordered(spark):

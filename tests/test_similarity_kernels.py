@@ -68,6 +68,30 @@ def test_ann_finds_planted_near_dups(spark):
     assert multi >= single
 
 
+def test_int8_ivf_planted_recall(spark):
+    """The int8 SCALE path (dequantized corpus routed through IVF cells,
+    full-precision probes — embedding_int8_ivf_ann's shape) must surface
+    planted exact copies at top rank: quantization noise (<0.4% of each
+    dim's range) cannot eject an identical vector from the probe's routed
+    cells at n_probe=2."""
+    from cupertino_nvr_spark.plans.llm import (
+        _int8_exprs,
+        _int8_packed,
+        augmented_embeddings,
+    )
+
+    aug = augmented_embeddings(spark, SF)
+    packed = _int8_packed(aug)
+    _, _, _, _, dq_i = _int8_exprs()
+    dq = F.transform(F.sequence(F.lit(1), F.size("embedding")), dq_i)
+    deq = aug.crossJoin(F.broadcast(packed)).select("vec_id", dq.alias("embedding"))
+    probes = aug.filter((F.col("vec_id") % 9 == 0) & (F.col("vec_id") < 1000000))
+    planted = {r.vec_id: r.vec_id + 1000000 for r in probes.select("vec_id").collect()}
+    assert planted
+    got = ivf_ann_topk(deq, probes, k=5, n_probe=2).collect()
+    assert _planted_recall(got, planted) == 1.0
+
+
 def test_natural_recall_floor(spark):
     bf = {
         (r.probe_id, r.neighbor_id)

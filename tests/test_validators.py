@@ -101,6 +101,7 @@ def test_columnar_rules_match_scalar(spark):
         "0", "-1.5", "not a number", "0.5", "5", "17",   # fps
         "-1", "x9", "3.99", "12", "-0.5", "-0.9",        # source ids
         "NaN", "inf", "-inf", "3e9",                     # non-finite / huge
+        "1e19", "-1e19", "9e18",                         # around the 2^63 bound
         "rtsp://localhost:8554/live/3", "not a uri", "rtsp://",
         "file:///tmp/clip.mp4", "rtsp://go2rtc:8554/7", "file:/",  # uris
     ]

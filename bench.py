@@ -76,6 +76,12 @@ EXTRAS = [
     "docs_mixture_weights",
     "embedding_int8_ivf_ann",
     "user_value_exact_stats",
+    "forecast_revenue",
+    "market_share",
+    "product_profit",
+    "docs_ngram_novelty",
+    "docs_length_band_filter",
+    "embedding_prefix_rerank_ann",
 ]
 
 

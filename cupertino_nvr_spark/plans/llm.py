@@ -1872,3 +1872,171 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_contaminated") / F.col("n_grams")).alias("contamination_ratio"),
         )
     )
+
+
+@register(
+    "docs_ngram_novelty",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_seen,
+           1.0 - CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) AS novelty_ratio
+    FROM sh JOIN firsts USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="per-document n-gram novelty (the dedup-adjacent curation score: "
+    "what fraction of a doc's distinct 3-gram shingles first appeared in "
+    "an EARLIER doc_id — planted +1M exact copies score novelty 0, the "
+    "+2M tail-marker near-copies keep only their tail grams novel). One "
+    "min-agg over the shingle stream and one shingle-keyed join back — "
+    "both shuffles on the same key, so the exchange is reusable; per-doc "
+    "rollup is the only other shuffle. The ratio is an exact small-integer "
+    "division, bit-identical across engines",
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import shingle_rows
+
+    aug = augmented_docs(spark, sf_dir)
+    sh = shingle_rows(aug)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(seen).alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_seen",
+            (F.lit(1.0) - F.col("n_seen").cast("double") / F.col("n_shingles")).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "docs_length_band_filter",
+    """
+    SELECT doc_id, lang, n_chars,
+           PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+             AS len_pr,
+           PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+             BETWEEN 0.05 AND 0.95 AS kept
+    FROM documents
+    """,
+    doc="per-language length-outlier trimming (the standard curation step "
+    "that drops the shortest/longest tails before training): percent_rank "
+    "over (lang) partitions keyed on the stored n_chars with doc_id "
+    "tiebreak, keep the middle 90% band. The window is partitioned by "
+    "language — each partition sorts independently, no global sort — and "
+    "percent_rank's (rank-1)/(n-1) is exact integer arithmetic until one "
+    "deterministic division",
+)
+def docs_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        pr.alias("len_pr"),
+        pr.between(0.05, 0.95).alias("kept"),
+    )
+
+
+@register(
+    "embedding_prefix_rerank_ann",
+    """
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, e AS pvec, list_slice(e, 1, 16) AS ppref
+      FROM vecs WHERE vec_id % 100 = 0 AND vec_id < 6553600
+    ),
+    coarse AS (
+      SELECT probe_id, pvec, c.vec_id AS neighbor_id, c.e AS cvec,
+             ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY round(list_cosine_similarity(ppref, list_slice(c.e, 1, 16)), 6)
+                          DESC, c.vec_id
+             ) AS crank
+      FROM probes p JOIN vecs c ON p.probe_id <> c.vec_id
+    ),
+    rerank AS (
+      SELECT probe_id, neighbor_id,
+             round(list_cosine_similarity(pvec, cvec), 6) AS sim
+      FROM coarse WHERE crank <= 20
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+      SELECT probe_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM rerank) WHERE rank <= 5
+    """,
+    doc="two-stage prefix rerank (the Matryoshka/truncated-embedding "
+    "retrieval trick): stage 1 scores only the FIRST 16 of 64 dimensions — "
+    "4x less arithmetic per candidate pair — and keeps 20 survivors per "
+    "probe; stage 2 pays full-dimension cosine for just those 20. Probe "
+    "side carries the same deterministic bound as the int8 baseline so "
+    "its broadcast stays fixed-size; candidates never materialize beyond "
+    "stage 1's per-probe top-20",
+)
+def embedding_prefix_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import as_double, cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    probes = vecs.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _INT8_PROBE_BOUND)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pvec"),
+        F.slice(F.col("e"), 1, 16).alias("ppref"),
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("cvec"),
+        F.slice(F.col("e"), 1, 16).alias("cpref"),
+    )
+    coarse = (
+        F.broadcast(probes)
+        .join(corpus, F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "pvec",
+            "neighbor_id",
+            "cvec",
+            F.round(cosine(F.col("ppref"), F.col("cpref")), 6).alias("csim"),
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("csim").desc(), F.col("neighbor_id")
+    )
+    survivors = coarse.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= 20
+    )
+    rerank = survivors.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(cosine(F.col("pvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )

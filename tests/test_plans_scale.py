@@ -68,6 +68,9 @@ ALLOWED_BNLJ = {
     # 1-row packed codebook and <=IVF_MAX_CELLS centroid routing; the
     # candidate scoring itself is a cell_id equi-join (asserted below)
     "embedding_int8_ivf_ann",
+    # two-stage exact baseline: bounded-probe x corpus coarse scoring by
+    # definition (probe side carries the same hard bound as int8_ann)
+    "embedding_prefix_rerank_ann",
     # 1-row mixture normalizer attach
     "docs_mixture_weights",
 }
@@ -86,6 +89,19 @@ def test_filter_pushdown_reaches_scan(spark):
     assert re.search(r"PushedFilters: \[.*l_shipdate", plan), "shipdate filter not pushed"
 
 
+def test_forecast_revenue_all_predicates_pushed(spark):
+    """The Q6 shape exists to prove scan-level pruning: all three
+    predicates (shipdate range, discount band, quantity cap) must reach
+    the parquet scan, and the plan must contain no join."""
+    plan = plan_of(spark, "forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m, "no pushed filters at all"
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to scan"
+    assert "Join" not in plan
+
+
 def test_column_pruning_reaches_scan(spark):
     # pricing_summary never touches partkey/suppkey; the scan schema must
     # not include them (ReadSchema pruning)
@@ -100,6 +116,8 @@ def test_column_pruning_reaches_scan(spark):
         "revenue_by_nation",
         "shipping_priority",
         "nation_region_broadcast",
+        "market_share",
+        "product_profit",
         "embedding_lsh_ann",
         # bounded-by-construction sides: benchmark gram set, per-lang rate
         # table, hot boilerplate-gram set

@@ -82,6 +82,13 @@ EXTRAS = [
     "docs_ngram_novelty",
     "docs_length_band_filter",
     "embedding_prefix_rerank_ann",
+    "events_funnel",
+    "events_retention_cohorts",
+    "docs_tfidf_topterms",
+    "embedding_dim_stats",
+    "events_sliding_throughput",
+    "events_path_signatures",
+    "docs_perplexity_buckets",
 ]
 
 

@@ -1293,6 +1293,67 @@ def docs_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_LTOK_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+    tot AS (SELECT SUM(tf) AS n_total FROM tf),
+    scored AS (
+      SELECT doc_id, lang, ROUND(AVG(-ln(tf * 1.0 / n_total)), 6) AS avg_neg_logp
+      FROM toks JOIN tf USING (term) CROSS JOIN tot
+      GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, avg_neg_logp,
+           NTILE(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id)
+             AS bucket,
+           CASE NTILE(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+    FROM scored
+    """,
+    doc="CCNet-style perplexity bucketing: per-language head/middle/tail "
+    "terciles of the corpus-unigram fluency score (head = most fluent, the "
+    "slice CCNet keeps preferentially). NTILE partitions by language so "
+    "each partition sorts independently — no global sort; the score chain "
+    "is the unigram-LM plan (term counts + token-term join + per-doc agg) "
+    "with lang carried through. Ties broken by doc_id so the tercile "
+    "boundary is deterministic in both engines",
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.avg(-F.log(F.col("tf") / F.col("n_total"))), 6).alias(
+                "avg_neg_logp"
+            )
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_neg_logp",
+        bucket.alias("bucket"),
+        F.when(bucket == 1, "head")
+        .when(bucket == 2, "middle")
+        .otherwise("tail")
+        .alias("band"),
+    )
+
+
 # temperature exponent for language rebalancing: keep_rate(lang) =
 # (min_lang_count / lang_count) ** ALPHA — 1.0 for the rarest language,
 # sublinear downsampling for dominant ones (alpha=0.5 is the common
@@ -2039,4 +2100,145 @@ def embedding_prefix_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", "sim", "rank")
+    )
+
+
+@register(
+    "docs_tfidf_topterms",
+    """
+    WITH tf AS (
+      SELECT doc_id, lower(term) AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY doc_id, lower(term)
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    doc="TF-IDF keyword extraction: top-3 terms per doc by smoothed "
+    "tf-idf (idf = ln((N+1)/(df+1)) + 1, sklearn-style). The (doc, term) "
+    "count, the term df agg and the term join all partial-aggregate "
+    "map-side and share the term key back-to-back; the corpus-size scalar "
+    "broadcasts as one row. df is vocab-sized so the scoring join is a "
+    "keyed equi-join, never a broadcast; the per-doc top-3 is the only "
+    "doc_id shuffle",
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction over the raw corpus. tfidf is a
+    per-row scalar (no cross-row float sum), so round(,6) closes the
+    cross-engine ulp gap; within a doc (tfidf, term) is unique, making the
+    rank deterministic in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .select("doc_id", F.lower(F.col("term")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT s.i AS dim,
+             CAST(FLOOR(CAST(s.v AS DOUBLE) * 1000000.0) AS BIGINT) AS vq,
+             CAST(s.v AS DOUBLE) AS v
+      FROM (SELECT unnest(list_transform(range(0, len(embedding)),
+                     i -> {'i': i, 'v': embedding[i + 1]})) AS s
+            FROM embeddings)
+    )
+    SELECT dim, COUNT(*) AS n,
+           round(CAST(SUM(vq) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_q,
+           round(SQRT((CAST(SUM(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE)
+                         / 1000000000000.0
+                       - (CAST(SUM(vq) AS DOUBLE) / 1000000.0)
+                         * (CAST(SUM(vq) AS DOUBLE) / 1000000.0)
+                         / CAST(COUNT(*) AS DOUBLE))
+                      / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS std_q,
+           round(MIN(v), 6) AS min_v,
+           round(MAX(v), 6) AS max_v
+    FROM ex GROUP BY dim
+    """,
+    doc="per-dimension embedding profile (mean/std/min/max): posexplode + "
+    "one dim-keyed agg with map-side combine (64 groups). Sums go through "
+    "fixed-point bigint (floor(v*1e6)) because IEEE float addition is "
+    "order-dependent and Spark/DuckDB aggregate in different orders — "
+    "integer sums are associative, so both engines land on identical "
+    "doubles; min/max are exact and need no quantization",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column profiling (the step before quantizer/normalizer design).
+    The variance uses the exact sum/sum-of-squares identity on the
+    quantized values; every double op mirrors the oracle's expression tree
+    left-to-right, so the final doubles are bit-identical before round."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v0")).select(
+        "dim", F.col("v0").cast("double").alias("v")
+    )
+    ex = ex.select(
+        "dim", "v", F.floor(F.col("v") * 1000000.0).cast("bigint").alias("vq")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias("ss"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s_d / 1000000.0 / n_d, 6).alias("mean_q"),
+        F.round(
+            F.sqrt(
+                (
+                    ss_d / 1000000000000.0
+                    - (s_d / 1000000.0) * (s_d / 1000000.0) / n_d
+                )
+                / (n_d - 1.0)
+            ),
+            6,
+        ).alias("std_q"),
+        F.round(F.col("mn"), 6).alias("min_v"),
+        F.round(F.col("mx"), 6).alias("max_v"),
     )

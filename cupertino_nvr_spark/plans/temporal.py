@@ -154,6 +154,237 @@ def uptime_and_latency_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_view_prev
+      FROM events
+    ), seq2 AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type = 'click' AND seen_view_prev IS NOT NULL
+                  THEN ts END AS qual_click_ts
+      FROM seq
+    ), seq3 AS (
+      SELECT user_id, event_type, qual_click_ts,
+             MIN(qual_click_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_qclick_prev
+      FROM seq2
+    ), per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS rv,
+             MAX(CASE WHEN qual_click_ts IS NOT NULL THEN 1 ELSE 0 END) AS rc,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND seen_qclick_prev IS NOT NULL THEN 1 ELSE 0 END) AS rp
+      FROM seq3 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(rv) AS BIGINT) AS n_reached_view,
+           CAST(SUM(rc) AS BIGINT) AS n_reached_click,
+           CAST(SUM(rp) AS BIGINT) AS n_reached_purchase,
+           round(CAST(SUM(rc) AS BIGINT) / nullif(CAST(SUM(rv) AS BIGINT), 0), 6)
+             AS view_to_click_rate,
+           round(CAST(SUM(rp) AS BIGINT) / nullif(CAST(SUM(rc) AS BIGINT), 0), 6)
+             AS click_to_purchase_rate
+    FROM per_user
+    """,
+    doc="ordered funnel view->click->purchase: a click counts only after a "
+    "view, a purchase only after a qualified click (strictly-earlier rows "
+    "via ROWS ... 1 PRECEDING frames). Both window levels and the per-user "
+    "agg share the single user_id shuffle; the final one-row rollup is "
+    "map-side partial",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-order funnel over the event stream. Both engines order
+    steps by (ts, event_id) so concurrent-timestamp ties are deterministic;
+    the 'strictly earlier' rule is the frame bound (1 PRECEDING), not a
+    timestamp comparison, so equal-ts chains still count in arrival order.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(wp)
+        .alias("seen_view_prev"),
+    )
+    seq2 = seq.withColumn(
+        "qual_click_ts",
+        F.when(
+            (F.col("event_type") == "click") & F.col("seen_view_prev").isNotNull(),
+            F.col("ts"),
+        ),
+    )
+    seq3 = seq2.withColumn("seen_qclick_prev", F.min("qual_click_ts").over(wp))
+    per_user = seq3.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("rv"),
+        F.max(F.when(F.col("qual_click_ts").isNotNull(), 1).otherwise(0)).alias("rc"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("seen_qclick_prev").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("rp"),
+    )
+    rv, rc, rp = (F.sum(c).cast("bigint") for c in ("rv", "rc", "rp"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        rv.alias("n_reached_view"),
+        rc.alias("n_reached_click"),
+        rp.alias("n_reached_purchase"),
+        F.round(F.try_divide(rc, F.nullif(rv, F.lit(0))), 6).alias(
+            "view_to_click_rate"
+        ),
+        F.round(F.try_divide(rp, F.nullif(rc, F.lit(0))), 6).alias(
+            "click_to_purchase_rate"
+        ),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(activity_day) AS cohort_day FROM act GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_day
+    ),
+    joined AS (
+      SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, a.activity_day) AS INT) AS day_offset
+      FROM act a JOIN firsts f USING (user_id)
+    ),
+    per AS (
+      SELECT cohort_day, day_offset, COUNT(*) AS n_active
+      FROM joined GROUP BY cohort_day, day_offset
+    )
+    SELECT p.cohort_day, p.day_offset, p.n_active, s.cohort_size,
+           round(p.n_active * 1.0 / s.cohort_size, 6) AS retention
+    FROM per p JOIN sizes s USING (cohort_day)
+    """,
+    doc="cohort retention matrix: users bucketed by first-active day, "
+    "distinct-active counts at each day offset, rate vs cohort size. The "
+    "distinct, first-day agg and act-to-firsts join all share the user_id "
+    "key (no re-shuffle between them under AQE); sizes is days-sized and "
+    "broadcast",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("activity_day")
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("activity_day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    joined = act.join(firsts, "user_id").select(
+        "cohort_day",
+        F.datediff("activity_day", "cohort_day").alias("day_offset"),
+    )
+    per = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    return per.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+@register(
+    "events_sliding_throughput",
+    """
+    SELECT date_trunc('day', ts) - k * INTERVAL 1 DAY AS win_start,
+           date_trunc('day', ts) - k * INTERVAL 1 DAY + INTERVAL 2 DAY AS win_end,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           round(COUNT(*) / 48.0, 6) AS events_per_hour
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+    GROUP BY 1, 2
+    """,
+    doc="sliding-window throughput (2-day window, 1-day slide): each event "
+    "lands in exactly width/slide = 2 epoch-aligned buckets, so the "
+    "expansion factor is a compile-time constant, the groupBy partial-"
+    "aggregates map-side, and the shuffle carries #windows rows per "
+    "partition — the standard sliding-window posture (T4's batch analog "
+    "with overlap)",
+)
+def events_sliding_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window with a slide assigns each row to width/slide buckets; the
+    oracle replays that as an explicit 2-row offset cross join against the
+    same epoch-aligned day truncation."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.count("*") / 48.0, 6).alias("events_per_hour"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "n_users",
+            "events_per_hour",
+        )
+    )
+
+
+@register(
+    "events_path_signatures",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           array_to_string(
+             list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>')
+             AS path_head,
+           md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS path_sig,
+           first(event_type ORDER BY ts, event_id) AS first_type,
+           last(event_type ORDER BY ts, event_id) AS last_type
+    FROM events GROUP BY user_id
+    """,
+    doc="per-user behavioral path: ordered event-type sequence fingerprint "
+    "(md5 of the full path), first-5-step head, entry/exit types. Order "
+    "determinism comes from sorting structs keyed (ts, event_id) — "
+    "collect_list alone is partition-order-dependent and would never "
+    "hash-match. One user_id shuffle; per-key state bounded by "
+    "events-per-user (inherent to sequence analysis)",
+)
+def events_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    types = F.transform(F.col("seq"), lambda s: s["event_type"])
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), seq.alias("seq"))
+        .select(
+            "user_id",
+            "n_events",
+            F.array_join(F.slice(types, 1, 5), ">").alias("path_head"),
+            F.md5(F.array_join(types, ">")).alias("path_sig"),
+            F.element_at(types, 1).alias("first_type"),
+            F.element_at(types, -1).alias("last_type"),
+        )
+    )
+
+
+@register(
     "rate_limited_events",
     """
     SELECT user_id, bucket_start, event_id AS kept_event_id, n_dropped FROM (

@@ -55,6 +55,7 @@ ALLOWED_BNLJ = {
     # min-language count (temperature sampling), corpus doc count
     # (hot-gram df threshold), packed per-dim min/max arrays (int8 quant)
     "docs_unigram_lm_score",
+    "docs_perplexity_buckets",  # same unigram-LM 1-row n_total attach
     "docs_lang_balanced_sample",
     "docs_hot_ngram_coverage",
     "embedding_int8_quant",
@@ -73,6 +74,9 @@ ALLOWED_BNLJ = {
     "embedding_prefix_rerank_ann",
     # 1-row mixture normalizer attach
     "docs_mixture_weights",
+    # 1-row corpus-size (N for idf) attach; the df scoring join itself is
+    # a term equi-join (vocab-sized side, never broadcast by construction)
+    "docs_tfidf_topterms",
 }
 
 
@@ -124,6 +128,8 @@ def test_column_pruning_reaches_scan(spark):
         "docs_contamination",
         "docs_lang_balanced_sample",
         "docs_hot_ngram_coverage",
+        # cohort-sizes side is bounded by #distinct days
+        "events_retention_cohorts",
     ],
 )
 def test_dimension_joins_broadcast(spark, name):
@@ -163,6 +169,23 @@ def test_repetition_quality_no_shuffle(spark):
     a zero-Exchange projection that runs at scan speed."""
     plan = plan_of(spark, "docs_repetition_quality")
     assert "Exchange" not in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """Both window levels and the per-user agg of events_funnel share one
+    user_id hash partitioning — a second user_id Exchange would mean the
+    sequence pass re-shuffles the event stream (2x shuffle volume at
+    100 TB for zero semantic gain)."""
+    plan = plan_of(spark, "events_funnel")
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+
+
+def test_dim_stats_partial_agg(spark):
+    """embedding_dim_stats must partial-aggregate map-side: the shuffle
+    carries #dims rows per partition, not the exploded element stream."""
+    plan = plan_of(spark, "embedding_dim_stats")
+    assert "Generate" in plan  # posexplode, not a collect
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
 
 
 def test_partial_aggregation_present(spark):

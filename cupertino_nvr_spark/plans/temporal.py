@@ -153,6 +153,47 @@ def uptime_and_latency_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_user_flags(ev: DataFrame) -> DataFrame:
+    """Per-user funnel reach flags (rv/rc/rp), the shared core of the batch
+    funnel query and the streaming state machine's equality test
+    (``streaming/funnel.py``): a click qualifies only strictly after a view,
+    a purchase only strictly after a qualified click, in (ts, event_id)
+    arrival order."""
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(wp)
+        .alias("seen_view_prev"),
+    )
+    seq2 = seq.withColumn(
+        "qual_click_ts",
+        F.when(
+            (F.col("event_type") == "click") & F.col("seen_view_prev").isNotNull(),
+            F.col("ts"),
+        ),
+    )
+    seq3 = seq2.withColumn("seen_qclick_prev", F.min("qual_click_ts").over(wp))
+    return seq3.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("rv"),
+        F.max(F.when(F.col("qual_click_ts").isNotNull(), 1).otherwise(0)).alias("rc"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("seen_qclick_prev").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("rp"),
+    )
+
+
 @register(
     "events_funnel",
     """
@@ -204,39 +245,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp comparison, so equal-ts chains still count in arrival order.
     """
     ev = load_table(spark, "events", sf_dir)
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seq = ev.select(
-        "user_id",
-        "event_type",
-        "ts",
-        "event_id",
-        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-        .over(wp)
-        .alias("seen_view_prev"),
-    )
-    seq2 = seq.withColumn(
-        "qual_click_ts",
-        F.when(
-            (F.col("event_type") == "click") & F.col("seen_view_prev").isNotNull(),
-            F.col("ts"),
-        ),
-    )
-    seq3 = seq2.withColumn("seen_qclick_prev", F.min("qual_click_ts").over(wp))
-    per_user = seq3.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("rv"),
-        F.max(F.when(F.col("qual_click_ts").isNotNull(), 1).otherwise(0)).alias("rc"),
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & F.col("seen_qclick_prev").isNotNull(),
-                1,
-            ).otherwise(0)
-        ).alias("rp"),
-    )
+    per_user = funnel_user_flags(ev)
     rv, rc, rp = (F.sum(c).cast("bigint") for c in ("rv", "rc", "rp"))
     return per_user.agg(
         F.count("*").alias("n_users"),

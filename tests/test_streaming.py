@@ -369,3 +369,61 @@ def test_synthetic_detect_deterministic(spark):
     all_dets = [d for dets in r1.values() for d in dets]
     assert all(0.0 <= d["confidence"] <= 1.0 for d in all_dets)
     assert all(d["bbox"]["width"] >= 16 for d in all_dets)
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming funnel (batch events_funnel's streaming form)
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_stream_matches_batch(spark, stream_dir):
+    """The per-key stage machine must agree with the batch window-function
+    funnel (plans.temporal.funnel_user_flags) on in-order replay, including
+    out-of-funnel-order users and advances that span micro-batches."""
+    from cupertino_nvr_spark.plans.temporal import funnel_user_flags
+    from cupertino_nvr_spark.streaming.funnel import funnel_stage_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(eid, ts(sec), uid, et) for eid, sec, uid, et in rows], schema
+        )
+
+    # u1 completes in one batch; u2's click precedes its view (never
+    # qualifies); u3 spans batches (view in b1, click in b2, purchase in
+    # b3); u4 purchases without any prior step; u5 stalls at click.
+    b1 = mk(
+        [
+            (1, 1.0, 1, "view"),
+            (2, 2.0, 1, "click"),
+            (3, 3.0, 1, "purchase"),
+            (4, 1.5, 2, "click"),
+            (5, 4.0, 3, "view"),
+            (6, 4.5, 4, "purchase"),
+        ]
+    )
+    b2 = mk(
+        [
+            (7, 5.0, 2, "view"),
+            (8, 5.5, 2, "purchase"),
+            (9, 6.0, 3, "click"),
+            (10, 6.5, 5, "view"),
+        ]
+    )
+    b3 = mk([(11, 7.0, 3, "purchase"), (12, 7.5, 5, "click")])
+    write_batches([b1, b2, b3], f"{stream_dir}/ev")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/ev/*")
+    )
+    out = run_stream(funnel_stage_stream(src), stream_dir, output_mode="update")
+    got = {
+        r["user_id"]: r["stage"]
+        for r in out.groupBy("user_id").agg(F.max("stage").alias("stage")).collect()
+    }
+    batch = funnel_user_flags(b1.union(b2).union(b3)).collect()
+    expected = {r["user_id"]: r["rv"] + r["rc"] + r["rp"] for r in batch}
+    assert got == expected
+    assert expected == {1: 3, 2: 1, 3: 3, 4: 0, 5: 2}

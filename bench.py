@@ -89,6 +89,8 @@ EXTRAS = [
     "events_sliding_throughput",
     "events_path_signatures",
     "docs_perplexity_buckets",
+    "events_anomaly_zscore",
+    "nation_yearly_growth",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Training-shard materialization: the sink side of ``shard_pack``.
+
+``docs_train_shards`` (plans/llm.py) computes a deterministic packing
+*assignment*; this module writes the packed corpus to disk in the layout
+a training loader consumes: ``split=train/bucket=3/shard=12/part-*``.
+Parquet for columnar pipelines, JSONL (Spark's ``json`` writer is
+line-delimited) for text-loader pipelines.
+
+Scale posture: the only shuffle is the explicit repartition on the
+partition columns — it co-locates each shard into one task so each shard
+directory holds one file (a training loader wants ~shard-sized files,
+not 32 slivers per shard). Everything else is the write itself. At 100 TB
+raise ``n_buckets`` (shard_pack's parallelism knob) with the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.llm.pipeline import shard_pack
+
+
+def write_train_shards(
+    docs: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Pack ``docs`` into token-budget shards and write them partitioned by
+    (split, bucket, shard). Returns the per-(split, bucket, shard) manifest
+    DataFrame (doc count + token total) so callers can record or validate
+    the layout without re-listing the filesystem.
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    assign = shard_pack(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        token_budget=token_budget,
+        n_buckets=n_buckets,
+    )
+    packed = docs.join(
+        assign.select(
+            id_col,
+            "split",
+            "bucket",
+            F.col("shard_in_bucket").alias("shard"),
+            "n_tokens",
+        ), id_col
+    )
+    (
+        packed.repartition("split", "bucket", "shard")
+        .write.format(fmt)
+        .partitionBy("split", "bucket", "shard")
+        .mode("overwrite")
+        .save(out_dir)
+    )
+    return (
+        packed.groupBy("split", "bucket", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+__all__ = ["write_train_shards"]

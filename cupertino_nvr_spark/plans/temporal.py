@@ -394,6 +394,82 @@ def events_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_id, user_id, ts, value,
+             COUNT(CAST(value AS DECIMAL(18,2))) OVER w AS n_prev,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER w AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+               OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT event_id, user_id, ts, value, n_prev,
+             round(CAST(s1 AS DOUBLE) / n_prev, 6) AS mean_w,
+             (value - CAST(s1 AS DOUBLE) / n_prev)
+               / SQRT((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_prev)
+                      / (n_prev - 1)) AS z
+      FROM stats WHERE n_prev >= 8
+    )
+    SELECT event_id, user_id, ts, value, n_prev, mean_w, round(z, 6) AS z
+    FROM scored WHERE abs(z) >= 3.0
+    """,
+    doc="trailing z-score anomaly detection: each event scored against its "
+    "user's previous <=20 values (strictly-earlier ROWS frame), flagged at "
+    "|z| >= 3. Window sums ride exact decimals (sum + sum-of-squares "
+    "identity) so both engines compute bit-identical doubles — stddev_samp "
+    "directly would diverge because the two engines use different "
+    "streaming-moment algorithms. One user_id shuffle, frame state is 20 "
+    "rows per key",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    n_prev = F.count(dec).over(w)
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum((dec * dec).cast("decimal(38,4)")).over(w).cast("double")
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n_prev.alias("n_prev"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    ).filter(F.col("n_prev") >= 8)
+    mean = F.col("s1") / F.col("n_prev")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_prev")) / (
+        F.col("n_prev") - 1
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        stats.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "n_prev",
+            F.round(mean, 6).alias("mean_w"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select(
+            "event_id", "user_id", "ts", "value", "n_prev", "mean_w",
+            F.round(F.col("z"), 6).alias("z"),
+        )
+    )
+
+
+@register(
     "rate_limited_events",
     """
     SELECT user_id, bucket_start, event_id AS kept_event_id, n_dropped FROM (

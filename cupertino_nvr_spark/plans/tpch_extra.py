@@ -755,3 +755,58 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "nation_yearly_growth",
+    """
+    WITH yearly AS (
+      SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS yr,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+    ), lagged AS (
+      SELECT n_name, yr, rev_dec,
+             LAG(rev_dec) OVER (PARTITION BY n_name ORDER BY yr) AS prev_dec
+      FROM yearly
+    )
+    SELECT n_name, yr, CAST(rev_dec AS DOUBLE) AS revenue,
+           round((CAST(rev_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE))
+                 / CAST(prev_dec AS DOUBLE) * 100.0, 6) AS yoy_pct
+    FROM lagged
+    """,
+    doc="year-over-year revenue growth per nation: grouped yearly revenue "
+    "(exact decimal sums), then LAG over the per-nation year series. The "
+    "time-series growth shape: the lag window runs over #nations x #years "
+    "rows — the aggregate, never the fact table; first year emits NULL "
+    "growth in both engines. Fact-fact shuffle joins + broadcast nation",
+)
+def nation_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    yearly = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    lagged = yearly.withColumn("prev_dec", F.lag("rev_dec").over(w))
+    rev_d = F.col("rev_dec").cast("double")
+    prev_d = F.col("prev_dec").cast("double")
+    return lagged.select(
+        "n_name",
+        "yr",
+        rev_d.alias("revenue"),
+        F.round((rev_d - prev_d) / prev_d * 100.0, 6).alias("yoy_pct"),
+    )

@@ -91,6 +91,8 @@ EXTRAS = [
     "docs_perplexity_buckets",
     "events_anomaly_zscore",
     "nation_yearly_growth",
+    "media_exact_dedup",
+    "media_patch_plan",
 ]
 
 

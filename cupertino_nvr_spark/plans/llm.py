@@ -639,6 +639,131 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_exact_dedup",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             text, octet_length(encode(text)) AS payload_bytes
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END,
+             text, octet_length(encode(text))
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5(text) AS digest, kind,
+           MIN(media_id) AS keeper_id, COUNT(*) AS n_copies,
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes
+    FROM media GROUP BY md5(text), kind
+    """,
+    doc="multimodal exact dedup: content digest over the opaque payload "
+    "bytes, grouped per (digest, kind) — byte-identical media collapse to "
+    "one keeper regardless of modality metadata. Same single map-side-"
+    "combined shuffle as docs_exact_dedup; the digest is computed on the "
+    "binary column (DuckDB md5 hashes the same UTF-8 bytes), so a real "
+    "image corpus swaps the synthesized payload without touching the plan",
+)
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    media = base.unionByName(copies)
+    return (
+        media.select(
+            F.md5(F.col("payload")).alias("digest"),
+            "kind",
+            "media_id",
+            F.octet_length(F.col("payload")).alias("payload_bytes"),
+        )
+        .groupBy("digest", "kind")
+        .agg(
+            F.min("media_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .select("digest", "kind", "keeper_id", "n_copies", "total_bytes")
+    )
+
+
+# ViT-style patch geometry: synthesized image dims (deterministic from
+# doc_id), 16px patches, grid capped 4x4 — the *plan* rows a patch-embed
+# kernel would fan out over, computed entirely from metadata (no decode)
+_PATCH_PX = 16
+
+
+@register(
+    "media_patch_plan",
+    f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             CAST(32 + (doc_id * 7) % 33 AS INT) AS width,
+             CAST(32 + (doc_id * 11) % 33 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, width, height,
+           CAST(r.pr AS INT) AS patch_row, CAST(c.pc AS INT) AS patch_col,
+           CAST(c.pc * {_PATCH_PX} AS INT) AS x0,
+           CAST(r.pr * {_PATCH_PX} AS INT) AS y0
+    FROM imgs,
+         unnest(range(0, least(height // {_PATCH_PX}, 4))) AS r(pr),
+         unnest(range(0, least(width // {_PATCH_PX}, 4))) AS c(pc)
+    """,
+    doc="multimodal patch-grid plan (ViT-style): one row per 16px patch of "
+    "each image, from metadata only — the double explode is JVM-side "
+    "sequence/Generate, so the expensive patch-embed kernel downstream "
+    "starts from an already-partitioned patch list; grid capped 4x4 keeps "
+    "the expansion factor a compile-time constant",
+)
+def media_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    imgs = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        (32 + (F.col("doc_id") * 7) % 33).cast("int").alias("width"),
+        (32 + (F.col("doc_id") * 11) % 33).cast("int").alias("height"),
+    )
+    n_rows = F.least(F.floor(F.col("height") / _PATCH_PX).cast("int"), F.lit(4))
+    n_cols = F.least(F.floor(F.col("width") / _PATCH_PX).cast("int"), F.lit(4))
+    return (
+        imgs.select(
+            "media_id",
+            "width",
+            "height",
+            F.explode(F.sequence(F.lit(0), n_rows - 1)).alias("patch_row"),
+            n_cols.alias("_nc"),
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "patch_row",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("patch_col"),
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "patch_row",
+            "patch_col",
+            (F.col("patch_col") * _PATCH_PX).cast("int").alias("x0"),
+            (F.col("patch_row") * _PATCH_PX).cast("int").alias("y0"),
+        )
+    )
+
+
+@register(
     "docs_chunked",
     """
     SELECT d.doc_id,

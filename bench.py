@@ -93,6 +93,7 @@ EXTRAS = [
     "nation_yearly_growth",
     "media_exact_dedup",
     "media_patch_plan",
+    "docs_curation_report",
 ]
 
 

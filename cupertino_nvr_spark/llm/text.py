@@ -123,3 +123,48 @@ def chunk_spans(toks: Column, stride: int) -> Column:
     return F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )
+
+
+def max_token_run_frac(t: Column) -> Column:
+    """Most-frequent-token fraction via one sort + run-length pass.
+
+    Max token multiplicity = longest equal-run in the SORTED token array:
+    O(n log n) per doc, vs the naive per-distinct-token rescan whose
+    O(n·|vocab|) dominates on long low-diversity docs. Shared by the
+    repetition-quality query and the curation report so the gate can't
+    drift between them.
+    """
+    return (
+        F.aggregate(
+            F.array_sort(t),
+            F.struct(
+                F.lit(0).alias("best"),
+                F.lit(0).alias("run"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(
+                    acc.best,
+                    F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                x.alias("prev"),
+            ),
+            lambda acc: acc.best,
+        )
+        / F.size(t)
+    )
+
+
+def repetition_gate(t: Column, g2: Column) -> Column:
+    """The Gopher-style repetition pass/fail gate: distinct-token ratio
+    >= 0.2, top-token fraction <= 0.2, duplicate-2-gram ratio <= 0.6."""
+    distinct_ratio = F.size(F.array_distinct(t)) / F.size(t)
+    dup2 = F.when(F.size(g2) == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(g2)) / F.size(g2)
+    )
+    return (
+        (distinct_ratio >= 0.2) & (max_token_run_frac(t) <= 0.2) & (dup2 <= 0.6)
+    )

@@ -33,10 +33,12 @@ from cupertino_nvr_spark.llm.text import (
     avg_token_len,
     chunk_spans,
     fingerprint,
+    max_token_run_frac,
     predict_lang,
     punct_ratio,
     quality_score,
     regex_tokens,
+    repetition_gate,
     token_count,
     ws_tokens,
 )
@@ -1337,32 +1339,8 @@ def docs_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.select("doc_id", t.alias("t"), g2.alias("g2"))
     n_tok = F.size(t)
     distinct_ratio = F.size(F.array_distinct(t)) / n_tok
-    # max token multiplicity = longest run in the SORTED token array: one
-    # sort + one linear run-length pass, O(n log n) per doc. (The naive
-    # re-scan per distinct token is O(n·|vocab|) and a long low-diversity
-    # doc makes it the dominant cost of the whole projection.)
-    top_frac = (
-        F.aggregate(
-            F.array_sort(t),
-            F.struct(
-                F.lit(0).alias("best"),
-                F.lit(0).alias("run"),
-                F.lit(None).cast("string").alias("prev"),
-            ),
-            lambda acc, x: F.struct(
-                F.greatest(
-                    acc.best,
-                    F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-                F.when(x.eqNullSafe(acc.prev), acc.run + 1)
-                .otherwise(F.lit(1))
-                .alias("run"),
-                x.alias("prev"),
-            ),
-            lambda acc: acc.best,
-        )
-        / n_tok
-    )
+    # one sort + linear run-length pass (llm.text.max_token_run_frac doc)
+    top_frac = max_token_run_frac(t)
     dup2 = F.when(F.size(F.col("g2")) == 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(F.col("g2"))) / F.size(F.col("g2"))
     )
@@ -2366,4 +2344,130 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("std_q"),
         F.round(F.col("mn"), 6).alias("min_v"),
         F.round(F.col("mx"), 6).alias("max_v"),
+    )
+
+
+# the repetition pass/fail gate as an oracle-side boolean over token list
+# alias `t` and 2-gram list alias `g2` (mirrors llm.text.repetition_gate)
+_REP_GATE_SQL = """(len(list_distinct(t)) * 1.0 / len(t) >= 0.2
+            AND list_max(list_transform(list_distinct(t),
+                         u -> len(list_filter(t, x -> x = u)))) * 1.0 / len(t) <= 0.2
+            AND (CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) END) <= 0.6)"""
+
+_GRAM5_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 3, 1)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] "
+    "|| ' ' || t[i+4]))"
+)
+
+
+@register(
+    "docs_curation_report",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+    toked AS (
+      SELECT a.doc_id, {_LTOK_SQL} AS t
+      FROM aug a JOIN keepers USING (doc_id) WHERE a.doc_id % 23 <> 0
+    ),
+    gramd AS (
+      SELECT doc_id, t,
+             list_transform(range(1, greatest(len(t), 1)),
+                            i -> t[i] || ' ' || t[i+1]) AS g2
+      FROM toked
+    ),
+    qual AS (SELECT doc_id, t FROM gramd WHERE {_REP_GATE_SQL}),
+    qgrams AS (SELECT doc_id, unnest({_GRAM5_SQL}) AS gram FROM qual),
+    bench AS (
+      SELECT DISTINCT unnest({_GRAM5_SQL}) AS gram
+      FROM (SELECT {_LTOK_SQL} AS t FROM aug WHERE doc_id % 23 = 0)
+    ),
+    contam AS (SELECT DISTINCT doc_id FROM qgrams JOIN bench USING (gram))
+    SELECT (SELECT COUNT(*) FROM aug) AS n_raw,
+           (SELECT COUNT(*) FROM keepers) AS n_exact_keepers,
+           (SELECT COUNT(*) FROM toked) AS n_nonbenchmark,
+           (SELECT COUNT(*) FROM qual) AS n_quality_pass,
+           (SELECT COUNT(*) FROM qual) - (SELECT COUNT(*) FROM contam) AS n_clean,
+           round(((SELECT COUNT(*) FROM qual) - (SELECT COUNT(*) FROM contam))
+                 * 100.0 / (SELECT COUNT(*) FROM aug), 6) AS retention_pct
+    """,
+    doc="end-to-end curation funnel as ONE declarative plan: raw corpus -> "
+    "exact-dedup keepers -> benchmark-slice exclusion -> Gopher repetition "
+    "gate -> 5-gram decontamination, reported as per-stage survivor counts "
+    "+ overall retention. Composes the same definitions the individual "
+    "stage queries use (shared repetition_gate / shingle builders), so the "
+    "report can't drift from the stages. Shuffles: digest groupBy, keeper "
+    "join (doc_id-keyed), contamination gram join (benchmark side "
+    "broadcast); the five counts are 1-row aggregates cross-joined at the "
+    "end — driver-side cost is five scalars",
+)
+def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+
+    aug = augmented_docs(spark, sf_dir)
+    keepers = (
+        aug.groupBy(F.md5(F.col("text")).alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toked = (
+        aug.join(keepers, "doc_id")
+        .filter(F.col("doc_id") % 23 != 0)
+        .select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("t"))
+    )
+    t = F.col("t")
+    g2 = F.transform(
+        _shingle_spans(F.size(t), 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    gramd = toked.select("doc_id", "t", g2.alias("g2"))
+    qual = gramd.filter(repetition_gate(F.col("t"), F.col("g2"))).select(
+        "doc_id", "t"
+    )
+
+    def grams5(frame: DataFrame) -> DataFrame:
+        tt = F.col("t")
+        g5 = F.transform(
+            _shingle_spans(F.size(tt), 5),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tt, i + j) for j in range(5)]
+            ),
+        )
+        return frame.select(
+            *[c for c in frame.columns if c != "t"],
+            F.explode(F.array_distinct(g5)).alias("gram"),
+        )
+
+    qgrams = grams5(qual.select("doc_id", "t"))
+    bench = grams5(
+        aug.filter(F.col("doc_id") % 23 == 0).select(
+            ws_tokens(F.lower(F.col("text"))).alias("t")
+        )
+    ).distinct()
+    contam = qgrams.join(F.broadcast(bench), "gram").select("doc_id").distinct()
+
+    n_raw = aug.agg(F.count("*").alias("n_raw"))
+    n_keep = keepers.agg(F.count("*").alias("n_exact_keepers"))
+    n_nonb = toked.agg(F.count("*").alias("n_nonbenchmark"))
+    n_qual = qual.agg(F.count("*").alias("n_quality_pass"))
+    n_cont = contam.agg(F.count("*").alias("_n_contam"))
+    return (
+        n_raw.crossJoin(F.broadcast(n_keep))
+        .crossJoin(F.broadcast(n_nonb))
+        .crossJoin(F.broadcast(n_qual))
+        .crossJoin(F.broadcast(n_cont))
+        .select(
+            "n_raw",
+            "n_exact_keepers",
+            "n_nonbenchmark",
+            "n_quality_pass",
+            (F.col("n_quality_pass") - F.col("_n_contam")).alias("n_clean"),
+            F.round(
+                (F.col("n_quality_pass") - F.col("_n_contam"))
+                * 100.0
+                / F.col("n_raw"),
+                6,
+            ).alias("retention_pct"),
+        )
     )

@@ -77,6 +77,9 @@ ALLOWED_BNLJ = {
     # 1-row corpus-size (N for idf) attach; the df scoring join itself is
     # a term equi-join (vocab-sized side, never broadcast by construction)
     "docs_tfidf_topterms",
+    # five 1-row stage-count aggregates cross-joined into the report row;
+    # every data-sized join inside (keepers, contamination) is equi-keyed
+    "docs_curation_report",
 }
 
 

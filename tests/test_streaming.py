@@ -427,3 +427,71 @@ def test_funnel_stream_matches_batch(spark, stream_dir):
     expected = {r["user_id"]: r["rv"] + r["rc"] + r["rp"] for r in batch}
     assert got == expected
     assert expected == {1: 3, 2: 1, 3: 3, 4: 0, 5: 2}
+
+
+def test_anomaly_zscore_stream_matches_batch(spark, stream_dir):
+    """The streaming ring-buffer scorer must agree with the batch
+    window-function z-score (same strictly-earlier trailing-20 frame) on
+    in-order replay, including windows spanning micro-batches."""
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.streaming.anomaly import anomaly_zscore_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = []
+    eid = 0
+    # u1: steady 10.0 +- small wiggle, then a 60.0 spike at the end;
+    # u2: too few events to ever score; u3: alternating but in-band
+    for i in range(30):
+        eid += 1
+        rows.append((eid, float(i), 1, "view", 10.0 + (i % 3) * 0.5))
+    eid += 1
+    rows.append((eid, 30.0, 1, "view", 60.0))  # the anomaly
+    for i in range(5):
+        eid += 1
+        rows.append((eid, float(i), 2, "view", 5.0 + i))
+    for i in range(25):
+        eid += 1
+        rows.append((eid, float(i), 3, "view", 20.0 + (i % 5)))
+
+    def mk(chunk):
+        return spark.createDataFrame(
+            [(e, ts(sec), u, et, v) for e, sec, u, et, v in chunk], schema
+        )
+
+    chunks = [rows[:20], rows[20:40], rows[40:]]
+    write_batches([mk(c) for c in chunks], f"{stream_dir}/ev")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/ev/*")
+    )
+    out = run_stream(
+        anomaly_zscore_stream(src), stream_dir, output_mode="update"
+    ).collect()
+    got = {
+        r["event_id"]: (r["n_prev"], round(r["z"], 6) if r["z"] is not None else None)
+        for r in out
+    }
+    got_anom = {r["event_id"] for r in out if r["is_anomaly"]}
+
+    # batch replica of the registry query's scoring (pre-anomaly-filter)
+    ev = mk(rows)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    n_prev = F.count("value").over(w)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    mean = s1 / n_prev
+    var = (s2 - s1 * s1 / n_prev) / (n_prev - 1)
+    z = F.when(n_prev >= 8, (F.col("value") - mean) / F.sqrt(var))
+    batch = ev.select(
+        "event_id", n_prev.alias("n_prev"), F.round(z, 6).alias("z")
+    ).collect()
+    expected = {r["event_id"]: (r["n_prev"], r["z"]) for r in batch}
+    expected_anom = {
+        r["event_id"] for r in batch if r["z"] is not None and abs(r["z"]) >= 3.0
+    }
+
+    assert got == expected
+    assert got_anom == expected_anom
+    assert len(expected_anom) >= 1  # the planted spike fires

@@ -94,6 +94,7 @@ EXTRAS = [
     "media_exact_dedup",
     "media_patch_plan",
     "docs_curation_report",
+    "embedding_pq_quant",
 ]
 
 

@@ -2471,3 +2471,134 @@ def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_pct"),
         )
     )
+
+
+# Product quantization: 4 subspaces x 16 dims, codewords hash-sampled from
+# the corpus itself (same bounded-stride rule as the IVF centroids, capped
+# at _PQ_CW_CAP per subspace) — deterministic, replayable in SQL, and the
+# codebook stays a broadcastable constant at any corpus size
+_PQ_NSUB = 4
+_PQ_SUBDIM = 16
+_PQ_CW_CAP = 16
+_PQ_SEED = 13
+
+
+@register(
+    "embedding_pq_quant",
+    f"""
+    WITH params AS (
+      SELECT GREATEST(1, COUNT(*) // GREATEST(
+               LEAST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT), {_PQ_CW_CAP}), 1))
+               AS stride
+      FROM embeddings
+    ),
+    cw AS (
+      SELECT vec_id AS cw_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings, params
+      WHERE {_md5_int_sql("CAST(vec_id AS VARCHAR)", _PQ_SEED)} % stride = 0
+    ),
+    cwsub AS (
+      SELECT cw_id, u.s AS sub_idx,
+             list_slice(e, u.s * {_PQ_SUBDIM} + 1, (u.s + 1) * {_PQ_SUBDIM}) AS csub
+      FROM cw, unnest(range(0, {_PQ_NSUB})) AS u(s)
+    ),
+    vsub AS (
+      SELECT vec_id, u.s AS sub_idx,
+             list_slice(CAST(embedding AS DOUBLE[]),
+                        u.s * {_PQ_SUBDIM} + 1, (u.s + 1) * {_PQ_SUBDIM}) AS vs
+      FROM embeddings, unnest(range(0, {_PQ_NSUB})) AS u(s)
+    ),
+    ranked AS (
+      SELECT vec_id, sub_idx, cw_id, csub,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub_idx
+               ORDER BY round(list_cosine_similarity(vs, csub), 6) DESC, cw_id
+             ) AS r
+      FROM vsub JOIN cwsub USING (sub_idx)
+    ),
+    best AS (SELECT vec_id, sub_idx, cw_id, csub FROM ranked WHERE r = 1),
+    agg AS (
+      SELECT vec_id,
+             list(cw_id ORDER BY sub_idx) AS codes,
+             flatten(list(csub ORDER BY sub_idx)) AS recon
+      FROM best GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.recon), 6)
+             AS recon_cos
+    FROM embeddings e JOIN agg a ON e.vec_id = a.vec_id
+    """,
+    doc="product quantization (4 subspaces x 16 dims): each subvector maps "
+    "to its most-cosine-similar codeword from a hash-sampled, "
+    "cap-16-per-subspace codebook — 64 floats compress to 4 code ids, the "
+    "compression step past int8. Codebook sampling reuses the IVF bounded-"
+    "stride rule so the broadcast side can't grow with the corpus; "
+    "assignment is corpus x 4 x <=16 rows (linear, broadcast-joined); "
+    "reconstruction quality is reported as full-vector cosine to the "
+    "concatenated codewords. Argmax ties break on codeword id so both "
+    "engines pick identical codes",
+)
+def embedding_pq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.dedup import md5_int
+    from cupertino_nvr_spark.llm.similarity import as_double, cosine, ivf_stride
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    stride = ivf_stride(emb.count(), max_cells=_PQ_CW_CAP)
+    cw = emb.filter(
+        F.pmod(md5_int(F.col("vec_id").cast("string"), _PQ_SEED), F.lit(stride)) == 0
+    ).select(F.col("vec_id").alias("cw_id"), as_double(F.col("embedding")).alias("e"))
+
+    subs = F.sequence(F.lit(0), F.lit(_PQ_NSUB - 1))
+    cwsub = cw.select(
+        "cw_id", F.explode(subs).alias("sub_idx"), "e"
+    ).select(
+        "cw_id",
+        "sub_idx",
+        F.slice(F.col("e"), F.col("sub_idx") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+            "csub"
+        ),
+    )
+    vsub = emb.select(
+        "vec_id", F.explode(subs).alias("sub_idx"), as_double(F.col("embedding")).alias("e")
+    ).select(
+        "vec_id",
+        "sub_idx",
+        F.slice(F.col("e"), F.col("sub_idx") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("vs"),
+    )
+    w = Window.partitionBy("vec_id", "sub_idx").orderBy(
+        F.round(cosine(F.col("vs"), F.col("csub")), 6).desc(), F.col("cw_id")
+    )
+    best = (
+        vsub.join(F.broadcast(cwsub), "sub_idx")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "sub_idx", "cw_id", "csub")
+    )
+    agg = best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_idx", "cw_id"))),
+            lambda s: s.cw_id,
+        ).alias("codes"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "csub"))),
+                lambda s: s.csub,
+            )
+        ).alias("recon"),
+    )
+    return (
+        emb.join(agg, "vec_id")
+        .select(
+            "vec_id",
+            F.element_at("codes", 1).alias("c0"),
+            F.element_at("codes", 2).alias("c1"),
+            F.element_at("codes", 3).alias("c2"),
+            F.element_at("codes", 4).alias("c3"),
+            F.round(
+                cosine(as_double(F.col("embedding")), F.col("recon")), 6
+            ).alias("recon_cos"),
+        )
+    )

@@ -95,6 +95,7 @@ EXTRAS = [
     "media_patch_plan",
     "docs_curation_report",
     "embedding_pq_quant",
+    "embedding_pq_ann",
 ]
 
 

@@ -2483,10 +2483,10 @@ _PQ_CW_CAP = 16
 _PQ_SEED = 13
 
 
-@register(
-    "embedding_pq_quant",
-    f"""
-    WITH params AS (
+# shared PQ assignment chain (oracle side), used by BOTH embedding_pq_quant
+# and embedding_pq_ann so the codebook/assignment definition cannot drift
+# between the quantizer and the serving path
+_PQ_CHAIN_SQL = f"""params AS (
       SELECT GREATEST(1, COUNT(*) // GREATEST(
                LEAST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT), {_PQ_CW_CAP}), 1))
                AS stride
@@ -2516,36 +2516,18 @@ _PQ_SEED = 13
              ) AS r
       FROM vsub JOIN cwsub USING (sub_idx)
     ),
-    best AS (SELECT vec_id, sub_idx, cw_id, csub FROM ranked WHERE r = 1),
-    agg AS (
-      SELECT vec_id,
-             list(cw_id ORDER BY sub_idx) AS codes,
-             flatten(list(csub ORDER BY sub_idx)) AS recon
-      FROM best GROUP BY vec_id
-    )
-    SELECT e.vec_id,
-           codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.recon), 6)
-             AS recon_cos
-    FROM embeddings e JOIN agg a ON e.vec_id = a.vec_id
-    """,
-    doc="product quantization (4 subspaces x 16 dims): each subvector maps "
-    "to its most-cosine-similar codeword from a hash-sampled, "
-    "cap-16-per-subspace codebook — 64 floats compress to 4 code ids, the "
-    "compression step past int8. Codebook sampling reuses the IVF bounded-"
-    "stride rule so the broadcast side can't grow with the corpus; "
-    "assignment is corpus x 4 x <=16 rows (linear, broadcast-joined); "
-    "reconstruction quality is reported as full-vector cosine to the "
-    "concatenated codewords. Argmax ties break on codeword id so both "
-    "engines pick identical codes",
-)
-def embedding_pq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best AS (SELECT vec_id, sub_idx, cw_id, csub FROM ranked WHERE r = 1)"""
+
+
+def _pq_assignment(emb: DataFrame):
+    """(cwsub, best): the per-subspace codebook and each vector's winning
+    codeword per subspace — the shared core of the quantizer and the ANN
+    serving path (mirrors the oracle's ``_PQ_CHAIN_SQL``)."""
     from pyspark.sql import Window
 
     from cupertino_nvr_spark.llm.dedup import md5_int
     from cupertino_nvr_spark.llm.similarity import as_double, cosine, ivf_stride
 
-    emb = load_table(spark, "embeddings", sf_dir)
     stride = ivf_stride(emb.count(), max_cells=_PQ_CW_CAP)
     cw = emb.filter(
         F.pmod(md5_int(F.col("vec_id").cast("string"), _PQ_SEED), F.lit(stride)) == 0
@@ -2577,6 +2559,40 @@ def embedding_pq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("vec_id", "sub_idx", "cw_id", "csub")
     )
+    return cwsub, best
+
+
+@register(
+    "embedding_pq_quant",
+    f"""
+    WITH {_PQ_CHAIN_SQL},
+    agg AS (
+      SELECT vec_id,
+             list(cw_id ORDER BY sub_idx) AS codes,
+             flatten(list(csub ORDER BY sub_idx)) AS recon
+      FROM best GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.recon), 6)
+             AS recon_cos
+    FROM embeddings e JOIN agg a ON e.vec_id = a.vec_id
+    """,
+    doc="product quantization (4 subspaces x 16 dims): each subvector maps "
+    "to its most-cosine-similar codeword from a hash-sampled, "
+    "cap-16-per-subspace codebook — 64 floats compress to 4 code ids, the "
+    "compression step past int8. Codebook sampling reuses the IVF bounded-"
+    "stride rule so the broadcast side can't grow with the corpus; "
+    "assignment is corpus x 4 x <=16 rows (linear, broadcast-joined); "
+    "reconstruction quality is reported as full-vector cosine to the "
+    "concatenated codewords. Argmax ties break on codeword id so both "
+    "engines pick identical codes",
+)
+def embedding_pq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import as_double, cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, best = _pq_assignment(emb)
     agg = best.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub_idx", "cw_id"))),
@@ -2601,4 +2617,136 @@ def embedding_pq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine(as_double(F.col("embedding")), F.col("recon")), 6
             ).alias("recon_cos"),
         )
+    )
+
+
+@register(
+    "embedding_pq_ann",
+    f"""
+    WITH {_PQ_CHAIN_SQL},
+    codesagg AS (
+      SELECT vec_id, list(cw_id ORDER BY sub_idx) AS codes
+      FROM best GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_INT8_PROBE_BOUND}
+    ),
+    psub AS (
+      SELECT probe_id, u.s AS sub_idx,
+             list_slice(p, u.s * {_PQ_SUBDIM} + 1, (u.s + 1) * {_PQ_SUBDIM}) AS ps,
+             sqrt(list_inner_product(p, p)) AS pnorm
+      FROM probes, unnest(range(0, {_PQ_NSUB})) AS u(s)
+    ),
+    simtab AS (
+      SELECT probe_id, sub_idx, cw_id,
+             list_inner_product(ps, csub) AS d,
+             list_inner_product(csub, csub) AS cn2, pnorm
+      FROM psub JOIN cwsub USING (sub_idx)
+    ),
+    s0 AS (SELECT probe_id, cw_id, d, cn2, pnorm FROM simtab WHERE sub_idx = 0),
+    s1 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 1),
+    s2 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 2),
+    s3 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 3),
+    scored AS (
+      SELECT s0.probe_id, c.vec_id AS neighbor_id,
+             round((s0.d + s1.d + s2.d + s3.d)
+                   / (sqrt(s0.cn2 + s1.cn2 + s2.cn2 + s3.cn2) * s0.pnorm), 6)
+               AS score
+      FROM codesagg c
+      JOIN s0 ON s0.cw_id = c.codes[1]
+      JOIN s1 ON s1.cw_id = c.codes[2] AND s1.probe_id = s0.probe_id
+      JOIN s2 ON s2.cw_id = c.codes[3] AND s2.probe_id = s0.probe_id
+      JOIN s3 ON s3.cw_id = c.codes[4] AND s3.probe_id = s0.probe_id
+      WHERE c.vec_id <> s0.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="PQ asymmetric-distance ANN (the PQ serving path): probes stay full "
+    "precision, the corpus is its 4 code ids, and scoring is pure LOOKUP — "
+    "a per-probe (subspace, codeword) inner-product table (probes x 4 x "
+    "<=16 rows, broadcast) joined onto the code columns, summed in fixed "
+    "subspace order so both engines produce identical doubles. No vector "
+    "math per (probe, corpus) pair and no scoring shuffle: four broadcast "
+    "equi-joins + a probe-partitioned top-5 window. At 100 TB, compose "
+    "with the IVF cell routing (embedding_int8_ivf_ann pattern) to prune "
+    "the scan; the probe side carries the same hard bound as the int8 "
+    "baselines",
+)
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import as_double, dot
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cwsub, best = _pq_assignment(emb)
+    codesagg = best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_idx", "cw_id"))),
+            lambda s: s.cw_id,
+        ).alias("codes")
+    )
+    probes = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _INT8_PROBE_BOUND)
+    ).select(F.col("vec_id").alias("probe_id"), as_double(F.col("embedding")).alias("p"))
+    psub = probes.select(
+        "probe_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_NSUB - 1))).alias("sub_idx"),
+        "p",
+    ).select(
+        "probe_id",
+        "sub_idx",
+        F.slice(F.col("p"), F.col("sub_idx") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("ps"),
+        F.sqrt(dot(F.col("p"), F.col("p"))).alias("pnorm"),
+    )
+    simtab = psub.join(cwsub, "sub_idx").select(
+        "probe_id",
+        "sub_idx",
+        "cw_id",
+        dot(F.col("ps"), F.col("csub")).alias("d"),
+        dot(F.col("csub"), F.col("csub")).alias("cn2"),
+        "pnorm",
+    )
+    sl = [
+        simtab.filter(F.col("sub_idx") == s).select(
+            F.col("probe_id").alias(f"p{s}"),
+            F.col("cw_id").alias(f"k{s}"),
+            F.col("d").alias(f"d{s}"),
+            F.col("cn2").alias(f"n{s}"),
+            *([F.col("pnorm")] if s == 0 else []),
+        )
+        for s in range(_PQ_NSUB)
+    ]
+    j = codesagg.join(
+        F.broadcast(sl[0]), F.element_at("codes", 1) == F.col("k0")
+    )
+    for s in (1, 2, 3):
+        j = j.join(
+            F.broadcast(sl[s]),
+            (F.element_at("codes", s + 1) == F.col(f"k{s}"))
+            & (F.col(f"p{s}") == F.col("p0")),
+        )
+    score = F.round(
+        (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"))
+        / (
+            F.sqrt(F.col("n0") + F.col("n1") + F.col("n2") + F.col("n3"))
+            * F.col("pnorm")
+        ),
+        6,
+    )
+    scored = j.filter(F.col("vec_id") != F.col("p0")).select(
+        F.col("p0").alias("probe_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "score", "rank")
     )

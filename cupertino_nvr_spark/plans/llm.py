@@ -2396,11 +2396,14 @@ _GRAM5_SQL = (
     "exact-dedup keepers -> benchmark-slice exclusion -> Gopher repetition "
     "gate -> 5-gram decontamination, reported as per-stage survivor counts "
     "+ overall retention. Composes the same definitions the individual "
-    "stage queries use (shared repetition_gate / shingle builders), so the "
-    "report can't drift from the stages. Shuffles: digest groupBy, keeper "
-    "join (doc_id-keyed), contamination gram join (benchmark side "
-    "broadcast); the five counts are 1-row aggregates cross-joined at the "
-    "end — driver-side cost is five scalars",
+    "stage queries use (shared repetition_gate / shingle builders), so "
+    "the report can't drift from the stages. Spark side is a SINGLE PASS: "
+    "every aug doc carries monotone stage flags (keeper, non-benchmark, "
+    "quality, clean) and one final aggregate sums them - five chained "
+    "1-row-aggregate cross joins would re-execute the whole upstream "
+    "chain once per stage count (measured 35 s vs single-pass at sf0.1). "
+    "Shuffles: digest groupBy, keeper join (doc_id-keyed), contamination "
+    "gram join (benchmark side broadcast)",
 )
 def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.dedup import _shingle_spans
@@ -2409,66 +2412,89 @@ def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = (
         aug.groupBy(F.md5(F.col("text")).alias("digest"))
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    toked = (
-        aug.join(keepers, "doc_id")
-        .filter(F.col("doc_id") % 23 != 0)
-        .select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("t"))
+        .select("doc_id", F.lit(True).alias("is_keeper"))
     )
     t = F.col("t")
     g2 = F.transform(
         _shingle_spans(F.size(t), 2),
         lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
     )
-    gramd = toked.select("doc_id", "t", g2.alias("g2"))
-    qual = gramd.filter(repetition_gate(F.col("t"), F.col("g2"))).select(
-        "doc_id", "t"
+    flagged = (
+        aug.join(keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
+            ws_tokens(F.lower(F.col("text"))).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "is_keeper",
+            "t",
+            (F.col("is_keeper") & (F.col("doc_id") % 23 != 0)).alias("is_nonbench"),
+        )
+        .select(
+            "doc_id",
+            "is_keeper",
+            "is_nonbench",
+            "t",
+            (F.col("is_nonbench") & repetition_gate(t, g2)).alias("is_qual"),
+        )
     )
 
-    def grams5(frame: DataFrame) -> DataFrame:
-        tt = F.col("t")
-        g5 = F.transform(
-            _shingle_spans(F.size(tt), 5),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tt, i + j) for j in range(5)]
-            ),
-        )
-        return frame.select(
-            *[c for c in frame.columns if c != "t"],
-            F.explode(F.array_distinct(g5)).alias("gram"),
-        )
-
-    qgrams = grams5(qual.select("doc_id", "t"))
-    bench = grams5(
-        aug.filter(F.col("doc_id") % 23 == 0).select(
-            ws_tokens(F.lower(F.col("text"))).alias("t")
-        )
-    ).distinct()
-    contam = qgrams.join(F.broadcast(bench), "gram").select("doc_id").distinct()
-
-    n_raw = aug.agg(F.count("*").alias("n_raw"))
-    n_keep = keepers.agg(F.count("*").alias("n_exact_keepers"))
-    n_nonb = toked.agg(F.count("*").alias("n_nonbenchmark"))
-    n_qual = qual.agg(F.count("*").alias("n_quality_pass"))
-    n_cont = contam.agg(F.count("*").alias("_n_contam"))
+    g5 = F.transform(
+        _shingle_spans(F.size(t), 5),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(5)]),
+    )
+    # TRAP (measured 17 s vs 3 s at sf0.1): `flagged.filter(is_qual)` lets
+    # PushDownPredicates substitute the gate's full expression below the
+    # token projection, re-evaluating ws_tokens once per token reference —
+    # filter pushdown has no duplicate-expensive-expression guard the way
+    # CollapseProject does. Keep the gate OUT of any Filter: explode an
+    # empty array for non-qual rows inside the same projection instead.
+    qgrams = flagged.select(
+        "doc_id",
+        F.explode(
+            F.when(F.col("is_qual"), F.array_distinct(g5)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        aug.filter(F.col("doc_id") % 23 == 0)
+        .select(ws_tokens(F.lower(F.col("text"))).alias("t"))
+        .select(F.explode(F.array_distinct(g5)).alias("gram"))
+        .distinct()
+    )
+    contam = (
+        qgrams.join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    final = flagged.join(contam, "doc_id", "left").select(
+        "is_keeper",
+        "is_nonbench",
+        "is_qual",
+        (F.col("is_qual") & F.col("is_contam").isNull()).alias("is_clean"),
+    )
+    flag = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
     return (
-        n_raw.crossJoin(F.broadcast(n_keep))
-        .crossJoin(F.broadcast(n_nonb))
-        .crossJoin(F.broadcast(n_qual))
-        .crossJoin(F.broadcast(n_cont))
+        final.agg(
+            F.count("*").alias("n_raw"),
+            flag("is_keeper").alias("n_exact_keepers"),
+            flag("is_nonbench").alias("n_nonbenchmark"),
+            flag("is_qual").alias("n_quality_pass"),
+            flag("is_clean").alias("n_clean"),
+        )
         .select(
             "n_raw",
             "n_exact_keepers",
             "n_nonbenchmark",
             "n_quality_pass",
-            (F.col("n_quality_pass") - F.col("_n_contam")).alias("n_clean"),
-            F.round(
-                (F.col("n_quality_pass") - F.col("_n_contam"))
-                * 100.0
-                / F.col("n_raw"),
-                6,
-            ).alias("retention_pct"),
+            "n_clean",
+            F.round(F.col("n_clean") * 100.0 / F.col("n_raw"), 6).alias(
+                "retention_pct"
+            ),
         )
     )
 

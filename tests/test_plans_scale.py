@@ -191,6 +191,18 @@ def test_dim_stats_partial_agg(spark):
     assert len(re.findall(r"HashAggregate", plan)) >= 2
 
 
+def test_curation_report_gate_not_in_filter(spark):
+    """The repetition gate must never sit inside a Filter node: filter
+    pushdown substitutes projection aliases into the predicate with no
+    duplicate-expensive-expression guard, re-evaluating ws_tokens per
+    token reference (measured 17 s vs 3 s at sf0.1 for the qgrams branch).
+    The gate's signature expression is the run-length array_sort — assert
+    no Filter condition carries it."""
+    plan = plan_of(spark, "docs_curation_report")
+    for m in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : (.*)", plan):
+        assert "array_sort" not in m.group(1), "repetition gate pushed into a Filter"
+
+
 def test_partial_aggregation_present(spark):
     """groupBy aggregates must show map-side partial aggregation
     (HashAggregate appears in partial_ and final modes), keeping shuffle

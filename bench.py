@@ -96,6 +96,9 @@ EXTRAS = [
     "docs_curation_report",
     "embedding_pq_quant",
     "embedding_pq_ann",
+    "docs_minhash_jaccard_estimate",
+    "events_rfm_segments",
+    "orders_part_pairs",
 ]
 
 

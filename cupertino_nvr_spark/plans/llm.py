@@ -2776,3 +2776,69 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", "score", "rank")
     )
+
+
+@register(
+    "docs_minhash_jaccard_estimate",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    based AS (
+      SELECT doc_id, {_md5_int_sql("shingle", 0)} % {MINHASH_P} AS base FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
+    ),
+    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
+    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND b.doc_id > a.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ({" + ".join(f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(8))})
+             AS n_agree,
+           round(({" + ".join(f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(8))})
+                 / 8.0, 6) AS est_jaccard
+    FROM cands c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    """,
+    doc="MinHash Jaccard estimation for LSH candidate pairs: the fraction "
+    "of agreeing signature components is an unbiased Jaccard estimate "
+    "(Pr[min-hash collision] = J), so candidates can be thresholded WITHOUT "
+    "touching document text — the standard second stage between LSH "
+    "blocking and (optional) exact verification. Two sig equi-joins onto "
+    "the bounded candidate set; signatures shuffle once per side",
+)
+def docs_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    sigs = minhash_signature(aug)
+    cands = lsh_candidates(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(8)]
+    )
+    agree = None
+    for j in range(8):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            agree.alias("n_agree"),
+            F.round(agree / 8.0, 6).alias("est_jaccard"),
+        )
+    )

@@ -470,6 +470,109 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rfm_segments",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN CAST(value AS DECIMAL(18,2)) END),
+                           0) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    gmax AS (SELECT MAX(ts) AS global_max FROM events),
+    scored AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(last_ts AS DATE), CAST(global_max AS DATE)) AS INT)
+               AS recency_days,
+             frequency, monetary
+      FROM per_user CROSS JOIN gmax
+    ),
+    thr AS (
+      SELECT
+        ROUND(quantile_cont(recency_days, 0.25), 6) AS r1,
+        ROUND(quantile_cont(recency_days, 0.50), 6) AS r2,
+        ROUND(quantile_cont(recency_days, 0.75), 6) AS r3,
+        ROUND(quantile_cont(frequency, 0.25), 6) AS f1,
+        ROUND(quantile_cont(frequency, 0.50), 6) AS f2,
+        ROUND(quantile_cont(frequency, 0.75), 6) AS f3,
+        ROUND(quantile_cont(monetary, 0.25), 6) AS m1,
+        ROUND(quantile_cont(monetary, 0.50), 6) AS m2,
+        ROUND(quantile_cont(monetary, 0.75), 6) AS m3
+      FROM scored
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           1 + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+             + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END
+             + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END AS r_bucket,
+           1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+             + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+             + CASE WHEN frequency > f3 THEN 1 ELSE 0 END AS f_bucket,
+           1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+             + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+             + CASE WHEN monetary > m3 THEN 1 ELSE 0 END AS m_bucket
+    FROM scored CROSS JOIN thr
+    """,
+    doc="RFM customer segmentation: per-user recency/frequency/monetary "
+    "quartile buckets. Quartile THRESHOLDS come from one interpolated-"
+    "percentile aggregate broadcast back as a single row — the naive "
+    "NTILE(4) over all users is an unpartitioned window (single-task "
+    "global sort, the docs_vocab_topk scale-killer shape); threshold "
+    "comparison needs no sort at all. One user_id shuffle + two 1-row "
+    "attaches; thresholds rounded to 6 in both engines so boundary "
+    "users bucket identically",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("frequency"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", _dec("value"))),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("monetary"),
+    )
+    gmax = ev.agg(F.max("ts").alias("global_max"))
+    scored = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        F.datediff(F.col("global_max"), F.col("last_ts")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    pct = lambda c, p: F.round(F.percentile(F.col(c), F.lit(p)), 6)  # noqa: E731
+    thr = scored.agg(
+        pct("recency_days", 0.25).alias("r1"),
+        pct("recency_days", 0.50).alias("r2"),
+        pct("recency_days", 0.75).alias("r3"),
+        pct("frequency", 0.25).alias("f1"),
+        pct("frequency", 0.50).alias("f2"),
+        pct("frequency", 0.75).alias("f3"),
+        pct("monetary", 0.25).alias("m1"),
+        pct("monetary", 0.50).alias("m2"),
+        pct("monetary", 0.75).alias("m3"),
+    )
+
+    def bucket(col: str, q: tuple[str, str, str]) -> F.Column:
+        out = F.lit(1)
+        for t in q:
+            out = out + F.when(F.col(col) > F.col(t), 1).otherwise(0)
+        return out
+
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        bucket("recency_days", ("r1", "r2", "r3")).alias("r_bucket"),
+        bucket("frequency", ("f1", "f2", "f3")).alias("f_bucket"),
+        bucket("monetary", ("m1", "m2", "m3")).alias("m_bucket"),
+    )
+
+
+@register(
     "rate_limited_events",
     """
     SELECT user_id, bucket_start, event_id AS kept_event_id, n_dropped FROM (

@@ -810,3 +810,50 @@ def nation_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev_d.alias("revenue"),
         F.round((rev_d - prev_d) / prev_d * 100.0, 6).alias("yoy_pct"),
     )
+
+
+@register(
+    "orders_part_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    counted AS (SELECT p1, p2, COUNT(*) AS support FROM pairs GROUP BY p1, p2)
+    SELECT p1, p2, support, rank FROM (
+      SELECT p1, p2, support,
+             ROW_NUMBER() OVER (ORDER BY support DESC, p1, p2) AS rank
+      FROM counted) WHERE rank <= 20
+    """,
+    doc="market-basket co-occurrence: top-20 part pairs bought in the same "
+    "order. The self-join is keyed on l_orderkey so pairs explode only "
+    "WITHIN an order (bounded by items-per-order squared, ~21 for TPC-H's "
+    "<=7 lines), never across the corpus; the pair count partial-aggregates "
+    "map-side and the global top-20 is TakeOrderedAndProject over distinct "
+    "pairs (the docs_vocab_topk pattern), never an unpartitioned window "
+    "over the pair stream",
+)
+def orders_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    counted = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+    )
+    top = counted.orderBy(F.col("support").desc(), "p1", "p2").limit(20)
+    w = Window.orderBy(F.col("support").desc(), "p1", "p2")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "p1", "p2", "support", "rank"
+    )

@@ -80,6 +80,10 @@ ALLOWED_BNLJ = {
     # five 1-row stage-count aggregates cross-joined into the report row;
     # every data-sized join inside (keepers, contamination) is equi-keyed
     "docs_curation_report",
+    # two 1-row attaches: global-max timestamp + the quartile thresholds
+    # (the alternative, NTILE(4) over all users, is an unpartitioned
+    # global-sort window — the actual scale hazard)
+    "events_rfm_segments",
 }
 
 

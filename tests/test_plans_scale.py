@@ -15,6 +15,7 @@ import io
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from cupertino_nvr_spark.plans import REGISTRY
 
@@ -213,3 +214,28 @@ def test_partial_aggregation_present(spark):
     volume at #groups per partition rather than #rows."""
     plan = plan_of(spark, "pricing_summary")
     assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Hive-partitioned layouts must prune at the directory level: a
+    day-partitioned events copy filtered to one day shows the predicate
+    under PartitionFilters (zero I/O for other days), not as a post-scan
+    Filter. The shipped testdata is unpartitioned single files, so this
+    is the one pushdown class the registry queries cannot exercise."""
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "events", SF).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "day" in m.group(1), "day predicate not in PartitionFilters"
+    # and it must not degrade into a full-scan + row filter on `day`
+    assert df.count() == ev.filter(F.col("day") == "2024-01-05").count()

@@ -60,9 +60,13 @@ def write_train_shards(
         .mode("overwrite")
         .save(out_dir)
     )
+    # manifest from the assignment alone: every aggregated column lives in
+    # `assign`, so going through `packed` would re-execute the text-bearing
+    # docs join a second time when the caller collects the manifest
     return (
-        packed.groupBy("split", "bucket", "shard")
-        .agg(
+        assign.groupBy(
+            "split", "bucket", F.col("shard_in_bucket").alias("shard")
+        ).agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )

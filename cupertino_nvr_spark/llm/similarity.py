@@ -76,7 +76,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm side yields NULL instead of raising
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode. The shipped
+    # embeddings have no zero vectors (oracle parity unaffected), but a
+    # sparse real corpus can produce an all-zero SUBVECTOR slice in the
+    # PQ path even when the full vector is nonzero.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def as_double(a: Column) -> Column:

@@ -738,12 +738,23 @@ def media_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_rows = F.least(F.floor(F.col("height") / _PATCH_PX).cast("int"), F.lit(4))
     n_cols = F.least(F.floor(F.col("width") / _PATCH_PX).cast("int"), F.lit(4))
+
+    # guarded like _shingle_spans: F.sequence(0, -1) silently REVERSES to
+    # [0, -1] instead of being empty, so a sub-patch-size dimension (real
+    # metadata can produce one; the synthesized 32..64 dims cannot) would
+    # emit phantom patches with negative offsets where DuckDB's range()
+    # emits nothing
+    def span(n: F.Column) -> F.Column:
+        return F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+
     return (
         imgs.select(
             "media_id",
             "width",
             "height",
-            F.explode(F.sequence(F.lit(0), n_rows - 1)).alias("patch_row"),
+            F.explode(span(n_rows)).alias("patch_row"),
             n_cols.alias("_nc"),
         )
         .select(
@@ -751,7 +762,7 @@ def media_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width",
             "height",
             "patch_row",
-            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("patch_col"),
+            F.explode(span(F.col("_nc"))).alias("patch_col"),
         )
         .select(
             "media_id",

@@ -409,10 +409,13 @@ def events_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
       SELECT event_id, user_id, ts, value, n_prev,
              round(CAST(s1 AS DOUBLE) / n_prev, 6) AS mean_w,
-             (value - CAST(s1 AS DOUBLE) / n_prev)
-               / SQRT((CAST(s2 AS DOUBLE)
-                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_prev)
-                      / (n_prev - 1)) AS z
+             CASE WHEN (CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_prev)
+                       / (n_prev - 1) > 0
+                  THEN (value - CAST(s1 AS DOUBLE) / n_prev)
+                       / SQRT((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_prev)
+                              / (n_prev - 1)) END AS z
       FROM stats WHERE n_prev >= 8
     )
     SELECT event_id, user_id, ts, value, n_prev, mean_w, round(z, 6) AS z
@@ -450,7 +453,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_prev")) / (
         F.col("n_prev") - 1
     )
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # var > 0 guard: a zero-variance trailing window (>= 9 identical
+    # decimal values is exact after the cast) would make this division
+    # raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode, while DuckDB
+    # emits +-inf — guarding in BOTH engines makes the semantics explicit
+    # and identical (no z for a degenerate window)
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
     return (
         stats.select(
             "event_id",

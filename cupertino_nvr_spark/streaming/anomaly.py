@@ -59,9 +59,16 @@ def anomaly_zscore_stream(
             return
         (buf,) = state.get if state.exists else ([],)
         buf = list(buf)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        # one group arrives as MULTIPLE Arrow chunks in shuffle order —
+        # concat and sort ONCE, or a >chunk-size micro-batch is scored out
+        # of (ts, order) order and the carried buffer is permanently wrong.
+        # Null values are dropped entirely: the batch query's COUNT/SUM
+        # skip them, and to_numpy(float64) would turn them into NaN, which
+        # poisons the cumulative sums AND the persisted buffer forever.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf[value_col].notna()]
             pdf = pdf.sort_values([ts_col, order_col], kind="mergesort").reset_index(
                 drop=True
             )

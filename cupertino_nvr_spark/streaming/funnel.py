@@ -62,10 +62,16 @@ def funnel_stage_stream(
             state.remove()
             return
         stage, stage_ts_micros = (state.get if state.exists else (0, None))
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values([ts_col, order_col], kind="mergesort").reset_index(
+        # applyInPandasWithState delivers a group as MULTIPLE Arrow chunks
+        # (split at arrow.maxRecordsPerBatch) in shuffle order — sorting
+        # each chunk independently would process a >chunk-size batch out
+        # of (ts, order) order and miss/wrongly grant advances. Concat the
+        # whole group's batch first, sort once. Memory is bounded by the
+        # key's per-micro-batch volume (inherent to ordered-sequence ops).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            pdf = batch.sort_values([ts_col, order_col], kind="mergesort").reset_index(
                 drop=True
             )
             # positions strictly after the last advance within this batch;

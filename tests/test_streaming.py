@@ -495,3 +495,85 @@ def test_anomaly_zscore_stream_matches_batch(spark, stream_dir):
     assert got == expected
     assert got_anom == expected_anom
     assert len(expected_anom) >= 1  # the planted spike fires
+
+
+def test_funnel_stream_multichunk_group(spark, stream_dir):
+    """A key whose micro-batch spans multiple Arrow chunks must still be
+    processed in (ts, event_id) order: with maxRecordsPerBatch=3 and rows
+    written in REVERSE time order, per-chunk processing would see the
+    click before the view and stall the stage machine."""
+    from cupertino_nvr_spark.plans.temporal import funnel_user_flags
+    from cupertino_nvr_spark.streaming.funnel import funnel_stage_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [(i + 1, float(i), 1, et) for i, et in enumerate(
+        ["view", "other", "other", "other", "click", "other", "other",
+         "other", "purchase", "other"])]
+    rev = spark.createDataFrame(
+        [(e, ts(sec), u, et) for e, sec, u, et in reversed(rows)], schema
+    )
+    write_batches([rev], f"{stream_dir}/ev")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        src = spark.readStream.schema(schema).parquet(f"{stream_dir}/ev/*")
+        out = run_stream(
+            funnel_stage_stream(src), stream_dir, output_mode="update"
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert {r["user_id"]: r["stage"] for r in out} == {1: 3}
+    batch = spark.createDataFrame([(e, ts(s), u, et) for e, s, u, et in rows], schema)
+    flags = funnel_user_flags(batch).collect()[0]
+    assert flags["rv"] + flags["rc"] + flags["rp"] == 3
+
+
+def test_anomaly_stream_multichunk_and_nulls(spark, stream_dir):
+    """Chunk-spanning groups score in time order, and a NULL value neither
+    enters the ring buffer nor poisons later scores (the batch COUNT/SUM
+    null-skip semantics)."""
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.streaming.anomaly import anomaly_zscore_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    vals = [10.0, 10.5, 11.0, 10.2, 10.8, 10.4, None, 10.6, 10.9, 10.1,
+            10.7, 10.3, 60.0]
+    rows = [(i + 1, float(i), 1, "view", v) for i, v in enumerate(vals)]
+    rev = spark.createDataFrame(
+        [(e, ts(s), u, et, v) for e, s, u, et, v in reversed(rows)], schema
+    )
+    write_batches([rev], f"{stream_dir}/ev")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        src = spark.readStream.schema(schema).parquet(f"{stream_dir}/ev/*")
+        out = run_stream(
+            anomaly_zscore_stream(src), stream_dir, output_mode="update"
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        r["event_id"]: (r["n_prev"], round(r["z"], 6) if r["z"] is not None else None)
+        for r in out
+    }
+    # batch replica with null-skipping window stats over non-null rows only
+    ev = spark.createDataFrame(
+        [(e, ts(s), u, et, v) for e, s, u, et, v in rows if v is not None], schema
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    n_prev = F.count("value").over(w)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    mean = s1 / n_prev
+    var = (s2 - s1 * s1 / n_prev) / (n_prev - 1)
+    z = F.when((n_prev >= 8) & (var > 0), (F.col("value") - mean) / F.sqrt(var))
+    exp = {
+        r["event_id"]: (r["n_prev"], r["z"])
+        for r in ev.select(
+            "event_id", n_prev.alias("n_prev"), F.round(z, 6).alias("z")
+        ).collect()
+    }
+    assert got == exp
+    # the planted spike is still flagged after the null
+    assert any(r["is_anomaly"] for r in out if r["event_id"] == 13)

@@ -99,6 +99,7 @@ EXTRAS = [
     "docs_minhash_jaccard_estimate",
     "events_rfm_segments",
     "orders_part_pairs",
+    "events_markov_transitions",
 ]
 
 

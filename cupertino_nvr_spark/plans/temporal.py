@@ -613,3 +613,52 @@ def rate_limited_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "bucket_start", F.col("event_id").alias("kept_event_id"), "n_dropped")
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    totals AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS total
+      FROM counts GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n, t.total,
+           round(c.n * 1.0 / t.total, 6) AS p
+    FROM counts c JOIN totals t USING (from_type)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), the behavioral-model "
+    "companion to the funnel and path queries. LEAD runs inside the one "
+    "user_id shuffle; the count and normalizer aggregates are "
+    "#types^2-sized, and the totals side broadcasts",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "total",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("p"),
+    )

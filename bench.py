@@ -100,6 +100,12 @@ EXTRAS = [
     "events_rfm_segments",
     "orders_part_pairs",
     "events_markov_transitions",
+    "min_cost_supplier",
+    "important_parts",
+    "supplier_part_variety",
+    "dominant_promo_suppliers",
+    "embedding_semdedup",
+    "docs_zipf_slope",
 ]
 
 

@@ -554,10 +554,11 @@ def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(exact).unionByName(perturbed)
 
 
-@register(
-    "embedding_cosine_neardup",
-    f"""
-    WITH aug AS ({_AUG_EMB_SQL}),
+# shared near-dup candidate chain (oracle side), used by BOTH
+# embedding_cosine_neardup and embedding_semdedup so the pair definition
+# (multi-probe top-2 IVF-cell blocking, rounded-cosine >= 0.99) can never
+# drift between the pair query and its keep/drop materialization
+_EMB_NEARDUP_CTE_SQL = f"""aug AS ({_AUG_EMB_SQL}),
     params AS ({_ivf_params_sql("aug")}),
     cent AS (SELECT vec_id AS cell_id, e AS centvec FROM aug, params WHERE {_CENT_PRED_SQL}),
     assign AS (
@@ -575,8 +576,15 @@ def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND b.member_id > a.member_id
       JOIN aug va ON va.vec_id = a.member_id
       JOIN aug vb ON vb.vec_id = b.member_id
-    )
-    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99
+    ),
+    dup_pairs AS (SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99)"""
+
+
+@register(
+    "embedding_cosine_neardup",
+    f"""
+    WITH {_EMB_NEARDUP_CTE_SQL}
+    SELECT id_a, id_b, sim FROM dup_pairs
     """,
     doc="embedding-cosine near-dup: multi-probe IVF-cell blocking (top-2 of the "
     "hash-sampled sqrt(n)-capped cells), same-cell pair scoring, threshold on "
@@ -587,6 +595,44 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return embedding_neardup_pairs(
         augmented_embeddings(spark, sf_dir), threshold=0.99
+    )
+
+
+@register(
+    "embedding_semdedup",
+    f"""
+    WITH {_EMB_NEARDUP_CTE_SQL},
+    dups AS (
+      SELECT id_b AS vec_id, COUNT(*) AS n_dup_neighbors FROM dup_pairs GROUP BY id_b
+    )
+    SELECT a.vec_id,
+           COALESCE(d.n_dup_neighbors, 0) AS n_dup_neighbors,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM aug a LEFT JOIN dups d USING (vec_id)
+    """,
+    doc="SemDeDup-style semantic dedup materialization (Abbas et al. 2023 "
+    "shape: cluster, then drop within-cluster high-cosine copies): every "
+    "vector is tagged drop/keep under the one-pass rule 'drop iff a "
+    "LOWER-id near-dup neighbor exists' over the shared candidate chain "
+    "(multi-probe IVF-cell blocking + rounded-cosine threshold — the same "
+    "dup_pairs CTE embedding_cosine_neardup verifies). The one-pass rule "
+    "is the scalable stand-in for SemDeDup's inherently serial greedy "
+    "scan: decided per-vector from its pair list alone, one groupBy on "
+    "the pair stream + one keyed left join — no iteration, no driver "
+    "state, same blocking costs as the pair query at any corpus size.",
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+
+    aug = augmented_embeddings(spark, sf_dir)
+    pairs = embedding_neardup_pairs(aug, threshold=0.99)
+    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count("*").alias("dup_n")
+    )
+    return aug.select("vec_id").join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("dup_n"), F.lit(0)).alias("n_dup_neighbors"),
+        F.col("dup_n").isNotNull().alias("is_dup"),
     )
 
 
@@ -2852,4 +2898,91 @@ def docs_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             agree.alias("n_agree"),
             F.round(agree / 8.0, 6).alias("est_jaccard"),
         )
+    )
+
+
+# Zipf's-law fit: least squares over (ln rank, ln count) of the top-1000
+# vocabulary head. Sums are fixed-point (round-to-9-decimals DECIMAL, the
+# embedding_dim_stats policy) so cross-engine float summation order cannot
+# move the hash; per-row ln/round are single IEEE ops on identical integer
+# inputs in both engines.
+_ZIPF_SLOPE_NUM = (
+    "(CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_ZIPF_SLOPE_DEN = (
+    "(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_ZIPF_SLOPE = f"({_ZIPF_SLOPE_NUM} / {_ZIPF_SLOPE_DEN})"
+
+
+@register(
+    "docs_zipf_slope",
+    f"""
+    WITH toks AS (
+      SELECT lower(term) AS term FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+    ),
+    counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    ranked AS (
+      SELECT n, rank FROM (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+        FROM counts) WHERE rank <= 1000
+    ),
+    fx AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+      FROM ranked
+    ),
+    s AS (SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM fx)
+    SELECT k AS n_terms,
+           round({_ZIPF_SLOPE}, 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - {_ZIPF_SLOPE} * CAST(sx AS DOUBLE))
+                 / CAST(k AS DOUBLE), 6) AS zipf_intercept
+    FROM s
+    """,
+    doc="Zipf's-law power-law fit over the corpus rank-frequency curve: "
+    "least-squares slope/intercept of ln(count) on ln(rank) across the "
+    "top-1000 vocabulary head (the head is where the law holds and where "
+    "the fit is classically taken — and restricting to it makes the plan "
+    "scale-free: TakeOrderedAndProject keeps 1000 survivors of the "
+    "map-side-combined term counts, so the window and the regression "
+    "never see the full vocabulary). The normal-equation sums are exact "
+    "fixed-point DECIMAL over per-row rounded ln values, so the slope is "
+    "bit-identical across engines regardless of aggregation order.",
+)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .select(F.lower(F.col("term")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    # TakeOrderedAndProject first (the docs_vocab_topk pattern): the
+    # row_number window then ranks only the 1000 survivors.
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(1000)
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(12,9)")
+    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(12,9)")
+    s = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    return s.select(
+        F.col("k").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / kd, 6).alias("zipf_intercept"),
     )

@@ -857,3 +857,218 @@ def orders_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "p1", "p2", "support", "rank"
     )
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+      FROM cost
+    )
+    SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name, b.unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size <= 10
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.unit_cost = b.best_cost
+    """,
+    doc=(
+        "TPC-H Q2 shape (min-cost supplier per part; lineitem's observed "
+        "unit price stands in for the missing partsupp.supplycost): the "
+        "correlated MIN subquery is decorrelated into a window MIN over "
+        "the (part, supplier) aggregate — the window runs over the "
+        "per-pair AGGREGATE (|parts|x|suppliers| upper bound), never the "
+        "fact table, and reuses the groupBy's partkey clustering. Ties "
+        "keep every achieving supplier, exactly like Q2. part/supplier/"
+        "nation all broadcast; the only fact shuffle is the (partkey, "
+        "suppkey) partial-agg. Unit cost is a single IEEE divide rounded "
+        "to 6 — both engines compute it from identical operands, so the "
+        "equality against the window min is deterministic."
+    ),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 0)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_size") <= 10)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+            "unit_cost"
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("best_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best_cost")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cost")
+    )
+
+
+@register(
+    "important_parts",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev_dec) AS total_dec FROM pr)
+    SELECT pr.l_partkey AS p_partkey,
+           CAST(pr.rev_dec AS DOUBLE) AS part_revenue,
+           round(CAST(pr.rev_dec AS DOUBLE) / CAST(tot.total_dec AS DOUBLE)
+                 * 100.0, 6) AS revenue_pct
+    FROM pr, tot
+    WHERE CAST(pr.rev_dec AS DOUBLE) > CAST(tot.total_dec AS DOUBLE) * 0.0015
+    """,
+    doc=(
+        "TPC-H Q11 shape (parts whose revenue exceeds a fraction of the "
+        "corpus total): the HAVING-with-scalar-subquery is a 1-row total "
+        "attached by broadcast cross join — the per-part aggregate "
+        "streams once, no second pass and no driver collect. Sums are "
+        "exact DECIMAL so the double threshold comparison is "
+        "bit-identical across engines."
+    ),
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_dec"))
+    tot = pr.agg(F.sum("rev_dec").alias("total_dec"))
+    rev_d = F.col("rev_dec").cast("double")
+    tot_d = F.col("total_dec").cast("double")
+    return (
+        pr.join(F.broadcast(tot))
+        .filter(rev_d > tot_d * F.lit(0.0015))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            rev_d.alias("part_revenue"),
+            F.round(rev_d / tot_d * 100.0, 6).alias("revenue_pct"),
+        )
+    )
+
+
+@register(
+    "supplier_part_variety",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l
+      ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7') bad
+        ON l.l_suppkey = bad.s_suppkey
+    )
+    SELECT p.p_brand, p.p_type,
+           CAST(FLOOR(p.p_size / 10) AS INT) AS size_band,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+    GROUP BY p.p_brand, p.p_type, CAST(FLOOR(p.p_size / 10) AS INT)
+    """,
+    doc=(
+        "TPC-H Q16 shape (supplier variety per part group, excluding "
+        "complained-about suppliers): the NOT IN subquery is a broadcast "
+        "anti join on the tiny excluded-supplier set, the (part, "
+        "supplier) de-dup partial-aggregates map-side, and the final "
+        "COUNT(DISTINCT) runs over the deduped pairs grouped by the "
+        "small (brand, type, band) domain — two bounded shuffles total, "
+        "no fact-side blowup at any scale."
+    ),
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") != "Brand#1")
+    bad = supp.filter(F.col("s_name").endswith("7")).select("s_suppkey")
+    ps = (
+        li.join(
+            F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.floor(F.col("p_size") / 10).cast("int").alias("size_band"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "dominant_promo_suppliers",
+    """
+    WITH pq AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    shared AS (
+      SELECT l_partkey, l_suppkey, supp_qty,
+             SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      FROM pq
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM shared sh
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE CAST(sh.supp_qty AS DOUBLE) > CAST(sh.part_qty AS DOUBLE) * 0.5
+    """,
+    doc=(
+        "TPC-H Q20 shape (suppliers dominating the 1997 supply of PROMO "
+        "parts): the nested EXISTS/IN chain becomes one (part, supplier) "
+        "aggregate + a window SUM over the aggregate for the per-part "
+        "total (reusing the partkey clustering — no self-join), a "
+        "share-threshold filter, then a distinct supplier projection "
+        "joined to broadcast dims. The selective part-type filter "
+        "broadcast-prunes the fact before its only shuffle. Quantity "
+        "sums are exact DECIMAL, so the half-share comparison is "
+        "engine-independent."
+    ),
+)
+def dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    pq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    shared = pq.withColumn("part_qty", F.sum("supp_qty").over(w))
+    dominant = shared.filter(
+        F.col("supp_qty").cast("double") > F.col("part_qty").cast("double") * 0.5
+    ).select("l_suppkey").distinct()
+    return (
+        dominant.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )

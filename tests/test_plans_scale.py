@@ -47,6 +47,10 @@ ALLOWED_BNLJ = {
     "embedding_ivf_ann",
     "embedding_ivf_ann_fast",
     "embedding_cosine_neardup",
+    # shares embedding_cosine_neardup's exact routing stage (corpus x
+    # broadcast(centroids)); its own additions are a pair groupBy + keyed
+    # left join
+    "embedding_semdedup",
     # BM25 attaches the single-row (N, avgdl) corpus stats to every scored
     # row: a broadcast of exactly one row — BroadcastNestedLoopJoin Cross
     # with a 1-row build side IS the right plan (a shuffle-free scalar
@@ -85,6 +89,8 @@ ALLOWED_BNLJ = {
     # (the alternative, NTILE(4) over all users, is an unpartitioned
     # global-sort window — the actual scale hazard)
     "events_rfm_segments",
+    # 1-row corpus-revenue-total attach (the Q11 HAVING scalar subquery)
+    "important_parts",
 }
 
 
@@ -169,6 +175,14 @@ def test_vocab_topk_takeordered(spark):
     """Global top-k must plan as TakeOrderedAndProject (per-partition heaps),
     never an unpartitioned window over the full distinct-term set."""
     plan = plan_of(spark, "docs_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_slope_takeordered(spark):
+    """The regression input is the top-1000 head — it must arrive via
+    TakeOrderedAndProject, never an unpartitioned window over the full
+    vocabulary (the docs_vocab_topk rule)."""
+    plan = plan_of(spark, "docs_zipf_slope")
     assert "TakeOrderedAndProject" in plan
 
 

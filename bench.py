@@ -106,6 +106,9 @@ EXTRAS = [
     "dominant_promo_suppliers",
     "embedding_semdedup",
     "docs_zipf_slope",
+    "events_user_lifecycle",
+    "events_stickiness_weekly",
+    "events_last_touch_attribution",
 ]
 
 

@@ -662,3 +662,211 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("p"),
     )
+
+
+@register(
+    "events_user_lifecycle",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    seq AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS first_week,
+             LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+             LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+      FROM act
+    ),
+    classed AS (
+      SELECT week,
+             CASE WHEN week = first_week THEN 'new'
+                  WHEN prev_week = week - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS cls
+      FROM seq
+      UNION ALL
+      SELECT week + INTERVAL 7 DAY AS week, 'churned' AS cls
+      FROM seq
+      WHERE next_week IS NULL OR next_week > week + INTERVAL 7 DAY
+    )
+    SELECT week,
+           CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+    FROM classed GROUP BY week
+    """,
+    doc="weekly user-lifecycle accounting (growth accounting): every "
+    "user-week is classified new / retained (active the week before) / "
+    "resurrected (a gap), and a churn row is emitted for the week AFTER a "
+    "user's activity lapses (including the phantom week past the data "
+    "end — churn is only observable one week late, in both engines "
+    "identically). The distinct, all three windows, and the class "
+    "derivation share ONE user_id shuffle; the final count runs over the "
+    "weeks-sized domain with map-side combine. Conditional counts cast "
+    "BIGINT on both sides (the DuckDB HUGEINT hash trap).",
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    w_all = Window.partitionBy("user_id")
+    w_ord = w_all.orderBy("week")
+    seq = act.select(
+        "user_id",
+        "week",
+        F.min("week").over(w_all).alias("first_week"),
+        F.lag("week").over(w_ord).alias("prev_week"),
+        F.lead("week").over(w_ord).alias("next_week"),
+    )
+    week_plus_7 = F.col("week") + F.expr("INTERVAL 7 DAYS")
+    # One row can yield two ledger entries (its class + a churn marker one
+    # week later). A UNION of two selects over `seq` re-executes the whole
+    # upstream chain per branch (two scans, two distincts, two user_id
+    # shuffles — verified in the physical plan); building both entries in
+    # one array and exploding keeps it a single pass.
+    cls = (
+        F.when(F.col("week") == F.col("first_week"), F.lit("new"))
+        .when(
+            F.col("prev_week") == F.col("week") - F.expr("INTERVAL 7 DAYS"),
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected"))
+    )
+    churn_cls = F.when(
+        F.col("next_week").isNull() | (F.col("next_week") > week_plus_7),
+        F.lit("churned"),
+    )
+    classed = (
+        seq.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("week").alias("week"), cls.alias("cls")),
+                    F.struct(week_plus_7.alias("week"), churn_cls.alias("cls")),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e.cls").isNotNull())
+        .select(F.col("e.week").alias("week"), F.col("e.cls").alias("cls"))
+    )
+
+    def _n(c: str) -> F.Column:
+        return F.sum(F.when(F.col("cls") == c, 1).otherwise(0)).cast("bigint")
+
+    return classed.groupBy("week").agg(
+        _n("new").alias("n_new"),
+        _n("retained").alias("n_retained"),
+        _n("resurrected").alias("n_resurrected"),
+        _n("churned").alias("n_churned"),
+    )
+
+
+@register(
+    "events_stickiness_weekly",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    weekly AS (
+      SELECT date_trunc('week', ts) AS week, COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    ),
+    dsum AS (
+      SELECT date_trunc('week', day) AS week,
+             CAST(SUM(dau) AS BIGINT) AS dau_sum
+      FROM daily GROUP BY 1
+    )
+    SELECT w.week, w.wau, d.dau_sum,
+           round(d.dau_sum / 7.0, 6) AS avg_dau,
+           round(d.dau_sum / 7.0 / w.wau, 6) AS stickiness
+    FROM weekly w JOIN dsum d USING (week)
+    """,
+    doc="DAU/WAU stickiness per week: daily and weekly distinct-user "
+    "counts (two partial-aggregated count-distincts over the same scan "
+    "lineage), daily sums rolled to weeks, ratio of average DAU (over the "
+    "fixed 7-day denominator, so empty days count as zero in both "
+    "engines) to WAU. All aggregates land on day/week-sized domains; the "
+    "final join is weeks-sized.",
+)
+def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    weekly = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dsum = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.sum("dau").cast("bigint").alias("dau_sum")
+    )
+    avg_dau = F.col("dau_sum") / 7.0
+    return weekly.join(dsum, "week").select(
+        "week",
+        "wau",
+        "dau_sum",
+        F.round(avg_dau, 6).alias("avg_dau"),
+        F.round(avg_dau / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+@register(
+    "events_last_touch_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM events
+    ),
+    purch AS (
+      SELECT date_trunc('day', ts) AS day,
+             CASE WHEN last_click_ts IS NOT NULL
+                       AND date_diff('microsecond', last_click_ts, ts)
+                           <= 86400000000 THEN 1 ELSE 0 END AS attributed
+      FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT day,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+           round(CAST(SUM(attributed) AS BIGINT) * 1.0 / COUNT(*), 6)
+             AS attribution_rate
+    FROM purch GROUP BY day
+    """,
+    doc="last-touch attribution: each purchase is attributed to the "
+    "user's most recent STRICTLY-earlier click within a 24 h lookback "
+    "(running MAX over a 1-PRECEDING frame — the events_funnel "
+    "ordering rule, ties broken by event_id; the age test is an exact "
+    "integer microsecond difference in both engines). One user_id "
+    "shuffle for the window, then a days-sized conditional rollup with "
+    "map-side combine; BIGINT casts on the conditional sums.",
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w).alias(
+            "last_click_ts"
+        ),
+    )
+    attributed = (
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+            <= F.lit(86400000000)
+        )
+    ).cast("int")
+    purch = seq.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", "ts").alias("day"), attributed.alias("attributed")
+    )
+    n_attr = F.sum("attributed").cast("bigint")
+    return purch.groupBy("day").agg(
+        F.count("*").alias("n_purchases"),
+        n_attr.alias("n_attributed"),
+        F.round(n_attr * 1.0 / F.count("*"), 6).alias("attribution_rate"),
+    )

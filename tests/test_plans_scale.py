@@ -202,6 +202,27 @@ def test_funnel_single_user_shuffle(spark):
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
 
 
+def test_lifecycle_single_pass(spark):
+    """events_user_lifecycle emits class + churn entries via ONE
+    build-and-explode pass: one events scan, one user-only partitioning
+    for all three windows (the distinct's (user, week) exchange is the
+    only other shuffle before the weeks-sized rollup). A UNION form would
+    double the scan and every shuffle."""
+    plan = plan_of(spark, "events_user_lifecycle")
+    # one scan node: formatted output lists each node twice (tree + detail
+    # header), so count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L, \d+\)", plan)) == 1
+
+
+def test_attribution_single_user_shuffle(spark):
+    """events_last_touch_attribution's sequence window is the only
+    user_id Exchange; the daily rollup re-keys on day, never back on
+    user."""
+    plan = plan_of(spark, "events_last_touch_attribution")
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+
+
 def test_dim_stats_partial_agg(spark):
     """embedding_dim_stats must partial-aggregate map-side: the shuffle
     carries #dims rows per partition, not the exploded element stream."""

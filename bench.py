@@ -109,6 +109,8 @@ EXTRAS = [
     "events_user_lifecycle",
     "events_stickiness_weekly",
     "events_last_touch_attribution",
+    "events_heavy_hitters",
+    "docs_dsir_weights",
 ]
 
 

@@ -2986,3 +2986,94 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / kd, 6).alias("zipf_intercept"),
     )
+
+
+# DSIR-style data selection (Xie et al. 2023 shape): importance weight of
+# each doc under a hashed bag-of-unigrams model, log p_target - log p_raw
+# summed over tokens. Buckets are a 1024-way md5 hash (cross-engine
+# deterministic); both count tables come from ONE corpus aggregation pass
+# (conditional sums), the totals from the 1024-row bucket table itself, so
+# the corpus is tokenized exactly twice: counts pass + scoring pass.
+_DSIR_TARGET_SQL = "('src1', 'src2', 'src3')"
+
+
+@register(
+    "docs_dsir_weights",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             {_md5_int_sql('lower(term)', 11)} % 1024 AS bucket
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    bucket_cts AS (
+      SELECT bucket, COUNT(*) AS cr,
+             CAST(SUM(CASE WHEN source IN {_DSIR_TARGET_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM feat GROUP BY bucket
+    ),
+    tots AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+      FROM bucket_cts
+    ),
+    ratio AS (
+      SELECT bucket,
+             CAST(round(ln((ct + 1.0) / (nt + 1024.0))
+                        - ln((cr + 1.0) / (nr + 1024.0)), 9)
+                  AS DECIMAL(14,9)) AS lr
+      FROM bucket_cts, tots
+    )
+    SELECT f.doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(r.lr) AS DOUBLE), 6) AS log_weight
+    FROM feat f JOIN ratio r USING (bucket)
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR-style importance weights for data selection (Xie et al. "
+    "2023 shape): per-doc sum of log p_target/p_raw over Laplace-smoothed "
+    "hashed-unigram (1024-way md5) bucket frequencies, target = the "
+    "curated-source subset. Raw and target counts come from ONE "
+    "conditional-sum aggregation pass; the totals derive from the "
+    "1024-row bucket table, which then broadcasts into the scoring join "
+    "— two corpus tokenization passes total, no corpus-side shuffle for "
+    "scoring. Per-bucket log-ratios are rounded to fixed-point DECIMAL "
+    "before the per-doc sum, so aggregation order cannot move the hash.",
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    target = ("src1", "src2", "src3")
+    docs = load_table(spark, "documents", sf_dir)
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.explode(ws_tokens(F.col("text"))).alias("term"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(md5_int(F.lower(F.col("term")), 11), F.lit(1024)).alias("bucket"),
+    )
+    bucket_cts = feat.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("source").isin(*target), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+    )
+    tots = bucket_cts.agg(
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.sum("ct").cast("bigint").alias("nt"),
+    )
+    lr = F.round(
+        F.log((F.col("ct") + 1.0) / (F.col("nt") + 1024.0))
+        - F.log((F.col("cr") + 1.0) / (F.col("nr") + 1024.0)),
+        9,
+    ).cast("decimal(14,9)")
+    ratio = bucket_cts.join(F.broadcast(tots)).select("bucket", lr.alias("lr"))
+    return (
+        feat.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr").cast("double"), 6).alias("log_weight"),
+        )
+    )

@@ -870,3 +870,34 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         n_attr.alias("n_attributed"),
         F.round(n_attr * 1.0 / F.count("*"), 6).alias("attribution_rate"),
     )
+
+
+@register(
+    "events_heavy_hitters",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n, rank FROM (
+      SELECT event_type, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rank
+      FROM counts) WHERE rank <= 5
+    """,
+    doc="exact top-5 heavy users per event type: the (type, user) count "
+    "partial-aggregates map-side, and the rank window runs over the "
+    "AGGREGATE (one row per live (type, user) pair), never the event "
+    "stream. This is the exact batch twin of the bounded-state streaming "
+    "Misra-Gries summary (`streaming/heavy_hitters.py`), which the "
+    "stream-vs-batch test pins against it.",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "user_id", "n", "rank")
+    )

@@ -91,6 +91,9 @@ ALLOWED_BNLJ = {
     "events_rfm_segments",
     # 1-row corpus-revenue-total attach (the Q11 HAVING scalar subquery)
     "important_parts",
+    # 1-row (nr, nt) totals attach onto the FIXED 1024-row bucket table —
+    # the corpus-sized sides (token stream, per-doc rollup) are equi-joins
+    "docs_dsir_weights",
 }
 
 

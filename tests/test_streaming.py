@@ -577,3 +577,103 @@ def test_anomaly_stream_multichunk_and_nulls(spark, stream_dir):
     assert got == exp
     # the planted spike is still flagged after the null
     assert any(r["is_anomaly"] for r in out if r["event_id"] == 13)
+
+
+def test_heavy_hitters_stream_matches_batch_exact(spark, stream_dir):
+    """With capacity >= the distinct item count, no Misra-Gries decrement
+    ever fires and the summary counts are EXACT — the final per-key
+    emission must equal the batch groupBy count, including counts that
+    accumulate across micro-batches."""
+    from cupertino_nvr_spark.streaming.heavy_hitters import heavy_hitters_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = []
+    eid = 0
+    # skewed per-type user frequencies, interleaved across batches
+    for rep, user in [(7, 1), (5, 2), (3, 3), (1, 4)]:
+        for _ in range(rep):
+            eid += 1
+            rows.append((eid, ts(eid), user, "click", 1.0))
+    for rep, user in [(4, 5), (2, 1)]:
+        for _ in range(rep):
+            eid += 1
+            rows.append((eid, ts(eid), user, "view", 1.0))
+
+    def mk(chunk):
+        return spark.createDataFrame(chunk, schema)
+
+    chunks = [rows[:8], rows[8:15], rows[15:]]
+    write_batches([mk(c) for c in chunks], f"{stream_dir}/hh")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/hh/*")
+    )
+    out = run_stream(
+        heavy_hitters_stream(src, capacity=16), stream_dir, output_mode="update"
+    ).collect()
+
+    # freshest summary per key = rows carrying that key's max n_total
+    latest_total = {}
+    for r in out:
+        latest_total[r["event_type"]] = max(
+            latest_total.get(r["event_type"], 0), r["n_total"]
+        )
+    got = {
+        (r["event_type"], r["item"]): r["est_count"]
+        for r in out
+        if r["n_total"] == latest_total[r["event_type"]]
+    }
+
+    batch = (
+        mk(rows)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    expected = {(r["event_type"], r["user_id"]): r["n"] for r in batch}
+    assert got == expected
+    # and the totals absorbed match the stream lengths per key
+    assert latest_total == {"click": 16, "view": 6}
+
+
+def test_heavy_hitters_stream_bound_small_capacity(spark, stream_dir):
+    """With capacity < distinct items, the classic Misra-Gries guarantees
+    must hold: at most `capacity` counters survive, every item with true
+    count > n/capacity is retained, and estimates are in
+    [true - n/capacity, true]."""
+    from cupertino_nvr_spark.streaming.heavy_hitters import heavy_hitters_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = []
+    eid = 0
+    # n=20: user 1 x12 (heavy, 12 > 20/2), users 2..9 x1 each
+    freq = [(12, 1)] + [(1, u) for u in range(2, 10)]
+    for rep, user in freq:
+        for _ in range(rep):
+            eid += 1
+            rows.append((eid, ts(eid), user, "click", 1.0))
+
+    def mk(chunk):
+        return spark.createDataFrame(chunk, schema)
+
+    chunks = [rows[:7], rows[7:14], rows[14:]]
+    write_batches([mk(c) for c in chunks], f"{stream_dir}/hh2")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/hh2/*")
+    )
+    out = run_stream(
+        heavy_hitters_stream(src, capacity=2), stream_dir, output_mode="update"
+    ).collect()
+    n_total = max(r["n_total"] for r in out)
+    assert n_total == 20
+    final = {r["item"]: r["est_count"] for r in out if r["n_total"] == n_total}
+    assert len(final) <= 2
+    err = n_total / 2
+    assert 1 in final  # true count 12 > n/capacity = 10 -> must be retained
+    assert 12 - err <= final[1] <= 12
+    for item, est in final.items():
+        true = dict((u, c) for c, u in freq).get(item, 0)
+        assert true - err <= est <= true

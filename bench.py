@@ -111,6 +111,8 @@ EXTRAS = [
     "events_last_touch_attribution",
     "events_heavy_hitters",
     "docs_dsir_weights",
+    "parts_copurchase_pagerank",
+    "customer_value_distribution",
 ]
 
 

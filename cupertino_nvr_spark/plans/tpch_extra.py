@@ -1072,3 +1072,134 @@ def dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# 3-iteration PageRank CTE chain shared across the oracle's iterations.
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    c{out} AS (
+      SELECT e.dst, CAST(round(r.r / d.deg, 12) AS DECIMAL(22,12)) AS c
+      FROM edges e JOIN r{prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    ),
+    r{out} AS (
+      SELECT dst AS node,
+             round(CAST(0.15 AS DOUBLE) / n
+                   + CAST(0.85 AS DOUBLE) * CAST(SUM(c) AS DOUBLE), 12) AS r
+      FROM c{out}, nn GROUP BY dst, n
+    )"""
+
+
+@register(
+    "parts_copurchase_pagerank",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS r FROM deg, nn),
+    {_pr_iter_sql("0", "1")},
+    {_pr_iter_sql("1", "2")},
+    {_pr_iter_sql("2", "3")}
+    SELECT node AS p_partkey, r AS pagerank, rank FROM (
+      SELECT node, r, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rank
+      FROM r3) WHERE rank <= 20
+    """,
+    doc=(
+        "graph analytics next to the connected-components family: "
+        "3-iteration PageRank (d=0.85) over the part co-purchase graph, "
+        "top-20 by rank. Edges come from an order-keyed self-join "
+        "(bounded by items-per-order squared, the orders_part_pairs "
+        "rule) and are localCheckpoint'd ONCE so the three iterations "
+        "reuse the materialized edge/degree frames instead of replaying "
+        "the lineitem derivation per iteration. Each iteration is one "
+        "src-keyed join + one dst-keyed sum — O(|E|) per round, the "
+        "canonical distributed PageRank step; the undirected edge set "
+        "guarantees every node receives mass, so no dangling-node "
+        "correction is needed. Per-edge contributions are rounded to "
+        "fixed-point DECIMAL before summing, so three rounds of "
+        "accumulation stay bit-identical across engines; the global "
+        "top-20 is TakeOrderedAndProject."
+    ),
+)
+def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("r") / F.col("deg"), 12)
+                .cast("decimal(22,12)")
+                .alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("dst").agg(
+            F.round(
+                F.lit(0.15 / n) + F.lit(0.85) * F.sum("c").cast("double"), 12
+            ).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    top = ranks.orderBy(F.col("r").desc(), "node").limit(20)
+    w = Window.orderBy(F.col("r").desc(), "node")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("node").alias("p_partkey"), F.col("r").alias("pagerank"), "rank"
+        )
+    )
+
+
+@register(
+    "customer_value_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc=(
+        "distribution-rank window surface (percent_rank / cume_dist / "
+        "ntile in one pass): account-balance position of every customer "
+        "WITHIN its market segment. All three functions share one window "
+        "spec, so Catalyst evaluates them in a single Window operator "
+        "over one segment-keyed shuffle — and partitioning by segment "
+        "means per-partition sorts, never a global sort. Deterministic "
+        "ntile via the (acctbal, custkey) total order."
+    ),
+)
+def customer_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

@@ -1,0 +1,104 @@
+"""CSV / JSON-lines connectors: schema-enforced reads, corrupt-record
+quarantine (never drop, never fail), and lossless round-trips against the
+parquet originals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cupertino_nvr_spark.sources.formats import (
+    CORRUPT_COL,
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+from cupertino_nvr_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+DOC_SCHEMA = (
+    StructType()
+    .add("doc_id", "long")
+    .add("lang", "string")
+    .add("source", "string")
+    .add("n_chars", "long")
+)
+
+
+def _docs(spark):
+    return load_table(spark, "documents", SF).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("doc_id").collect()]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    docs = _docs(spark)
+    write_csv(docs, f"{tmp_path}/docs_csv")
+    good, bad = read_csv(spark, f"{tmp_path}/docs_csv", DOC_SCHEMA)
+    assert bad.count() == 0
+    assert _sorted_rows(good) == _sorted_rows(docs)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    docs = _docs(spark)
+    write_jsonl(docs, f"{tmp_path}/docs_jsonl")
+    good, bad = read_jsonl(spark, f"{tmp_path}/docs_jsonl", DOC_SCHEMA)
+    assert bad.count() == 0
+    assert _sorted_rows(good) == _sorted_rows(docs)
+
+
+def test_csv_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "bad_csv"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "doc_id,lang,source,n_chars\n"
+        "1,en,src1,10\n"
+        "not_a_number,en,src1,abc\n"  # bad casts
+        "2,fr,src2,20\n"
+    )
+    good, bad = read_csv(spark, str(p), DOC_SCHEMA)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "not_a_number" in bad_rows[0][CORRUPT_COL]
+
+
+def test_jsonl_quarantines_bad_lines(spark, tmp_path):
+    p = tmp_path / "bad_jsonl"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "lang": "en", "source": "src1", "n_chars": 10}\n'
+        "{this is not json\n"
+        '{"doc_id": 2, "lang": "fr", "source": "src2", "n_chars": 20}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), DOC_SCHEMA)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "not json" in bad_rows[0][CORRUPT_COL]
+
+
+def test_readers_schema_enforced_and_lazy(spark, tmp_path):
+    """Schema is declared, never inferred (no inference job over the
+    data), result dtypes match the declaration, and both output frames
+    are lazy filters over one parse definition (no caching required to
+    consume the quarantine side — the native-reader corrupt-column
+    restriction does not apply)."""
+    docs = _docs(spark)
+    write_csv(docs, f"{tmp_path}/docs_csv2")
+    good, bad = read_csv(spark, f"{tmp_path}/docs_csv2", DOC_SCHEMA)
+    assert [f.dataType.simpleString() for f in good.schema.fields] == [
+        "bigint",
+        "string",
+        "string",
+        "bigint",
+    ]
+    # quarantine side consumable standalone, repeatedly, without caching
+    assert bad.count() == 0
+    assert bad.count() == 0

@@ -113,6 +113,9 @@ EXTRAS = [
     "docs_dsir_weights",
     "parts_copurchase_pagerank",
     "customer_value_distribution",
+    "embedding_kmeans",
+    "customers_fuzzy_match",
+    "daily_revenue_gapfill",
 ]
 
 

@@ -702,3 +702,77 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "sim", "rank")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+    max_cells: int = IVF_MAX_CELLS,
+    sim_decimals: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over cosine assignment, seeded by the IVF
+    hash-sampled centroids — the refinement step the IVF docstrings point
+    at. Returns (assignments, centroids) after ``iterations`` rounds.
+
+    Each round is the two canonical distributed steps:
+
+    - **assign**: corpus x broadcast(centroids) scored cosine, argmax per
+      vector (``ivf_assign``'s max_by form) — linear scan, no shuffle
+      beyond the broadcast;
+    - **recompute**: member vectors exploded to (cell, dim, value) and
+      averaged — ONE (cell, dim)-keyed aggregation with map-side combine
+      (k x dim result rows), then re-collected into ordered arrays.
+
+    Per-dim means are fixed-point (sum as DECIMAL, round 9) so the new
+    centroid arrays — and therefore every later assignment — are
+    bit-identical across engines and partitionings, which is what lets a
+    multi-round iterative result carry a SQL hash oracle at all.
+    Centroid count is bounded by ``ivf_centroids``' stride rule, so the
+    broadcast side stays capped at any corpus size. Empty cells simply
+    disappear (no members → no recomputed centroid), matching standard
+    Lloyd behavior.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+    )
+    cents = ivf_centroids(corpus, id_col, max_cells).select(
+        F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
+    )
+    def _assign(c: DataFrame) -> DataFrame:
+        # ivf_assign reads the SAME (id, vec) column names off both
+        # frames, so present the centroids under the corpus naming
+        named = c.select(
+            F.col("cell_id").alias("member_id"), F.col("centvec").alias("mvec")
+        )
+        return ivf_assign(
+            vecs, named, id_col="member_id", vec_col="mvec",
+            sim_decimals=sim_decimals,
+        )
+
+    for _ in range(iterations):
+        assign = _assign(cents)
+        dims = (
+            assign.join(vecs, "member_id")
+            .select("cell_id", F.posexplode("mvec").alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("v"), 9).cast("decimal(24,9)")).cast(
+                        "double"
+                    )
+                    / F.count("*"),
+                    9,
+                ).alias("m")
+            )
+        )
+        # k x dim rows: materialize per round so the next assignment's
+        # plan doesn't replay the whole prior chain (the PageRank rule)
+        cents = dims.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centvec")
+        ).localCheckpoint()
+    return _assign(cents), cents

@@ -3077,3 +3077,89 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr").cast("double"), 6).alias("log_weight"),
         )
     )
+
+
+# ---- k-means (Lloyd) refinement oracle: unrolled assign/recompute CTEs ----
+
+_KM_VECS_SQL = (
+    "SELECT vec_id AS member_id, CAST(embedding AS DOUBLE[]) AS mvec FROM embeddings"
+)
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    """argmax-cosine assignment CTE (ivf_assign's max_by tie-break: rounded
+    sim desc, then LOWEST cell id)."""
+    return f"""
+    {out} AS (
+      SELECT member_id, cell_id FROM (
+        SELECT v.member_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.member_id
+                 ORDER BY round(list_cosine_similarity(v.mvec, c.centvec), 6) DESC,
+                          c.cell_id
+               ) AS r
+        FROM vecs v CROSS JOIN {cent} c) WHERE r = 1
+    )"""
+
+
+def _km_recompute_sql(assign: str, out: str) -> str:
+    """per-dim fixed-point mean CTE -> ordered centroid arrays."""
+    return f"""
+    d{out} AS (
+      SELECT a.cell_id, p.pos,
+             round(CAST(SUM(CAST(round(v.mvec[p.pos + 1], 9) AS DECIMAL(24,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS m
+      FROM {assign} a JOIN vecs v USING (member_id)
+      CROSS JOIN range(0, 64) AS p(pos)
+      GROUP BY a.cell_id, p.pos
+    ),
+    {out} AS (
+      SELECT cell_id, list(m ORDER BY pos) AS centvec FROM d{out} GROUP BY cell_id
+    )"""
+
+
+@register(
+    "embedding_kmeans",
+    f"""
+    WITH vecs AS ({_KM_VECS_SQL}),
+    params AS ({_ivf_params_sql("embeddings")}),
+    cent0 AS (
+      SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centvec
+      FROM embeddings, params WHERE {_CENT_PRED_SQL}
+    ),
+    {_km_assign_sql("cent0", "assign0")},
+    {_km_recompute_sql("assign0", "cent1")},
+    {_km_assign_sql("cent1", "assign1")},
+    {_km_recompute_sql("assign1", "cent2")},
+    {_km_assign_sql("cent2", "assignf")}
+    SELECT member_id AS vec_id, cell_id,
+           COUNT(*) OVER (PARTITION BY cell_id) AS cell_size
+    FROM assignf
+    """,
+    doc="k-means clustering over embeddings — two full Lloyd rounds "
+    "(assign via broadcast argmax-cosine, recompute via ONE (cell, dim)-"
+    "keyed mean aggregation with map-side combine) from the IVF "
+    "hash-sampled seeds, then the final assignment with per-cluster "
+    "sizes. This is the refinement step the IVF index docstrings point "
+    "at, now a first-class operator: centroid count stays bounded by the "
+    "sqrt(n)-capped stride rule (the broadcast side can never grow past "
+    "IVF_MAX_CELLS), per-round cost is one corpus scan + one k*dim "
+    "aggregate, and the k*dim centroid frames are materialized per round "
+    "so no round replays its predecessors. Per-dim means are fixed-point "
+    "(DECIMAL sums, round 9), which makes a multi-round iterative result "
+    "bit-identical across engines — the oracle replays both rounds as "
+    "unrolled CTEs.",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import kmeans_refine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assign, _cents = kmeans_refine(emb, iterations=2)
+    w = Window.partitionBy("cell_id")
+    return assign.select(
+        F.col("member_id").alias("vec_id"),
+        "cell_id",
+        F.count("*").over(w).alias("cell_size"),
+    )

@@ -121,3 +121,69 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
         F.col("l_quantity").cast("int").alias("qty_int"),
     )
+
+
+@register(
+    "customers_fuzzy_match",
+    """
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             substr(c_name, 1, 9) || 'O' || substr(c_name, 11) AS dirty_name,
+             right(c_name, 5) AS bk
+      FROM customer
+    ),
+    cand AS (
+      SELECT d.dirty_id, c.c_custkey,
+             levenshtein(d.dirty_name, c.c_name) AS edit_distance
+      FROM dirty d JOIN customer c ON right(c.c_name, 5) = d.bk
+    ),
+    best AS (
+      SELECT dirty_id, c_custkey AS matched_custkey, edit_distance,
+             ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                ORDER BY edit_distance, c_custkey) AS r
+      FROM cand WHERE edit_distance <= 2
+    )
+    SELECT dirty_id, matched_custkey, edit_distance FROM best WHERE r = 1
+    """,
+    doc="entity resolution / fuzzy matching: a deterministically corrupted "
+    "name register (one character substituted) is matched back to the "
+    "clean customer table by BLOCKED levenshtein — candidates come from "
+    "an equi-join on a suffix blocking key, so edit distance is computed "
+    "only within blocks (the standard ER discipline: never all-pairs; at "
+    "scale the blocking key's cardinality, here the name suffix, bounds "
+    "block sizes). Best match per dirty record by (distance, custkey) — "
+    "the id tie-break makes collided blocks deterministic in both "
+    "engines.",
+)
+def customers_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, "customer", sf_dir)
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.lit("O"),
+            F.expr("substr(c_name, 11)"),
+        ).alias("dirty_name"),
+        F.expr("right(c_name, 5)").alias("bk"),
+    )
+    clean = cust.select(
+        "c_custkey", "c_name", F.expr("right(c_name, 5)").alias("bk")
+    )
+    cand = dirty.join(clean, "bk").select(
+        "dirty_id",
+        "c_custkey",
+        F.levenshtein("dirty_name", "c_name").alias("edit_distance"),
+    )
+    w = Window.partitionBy("dirty_id").orderBy("edit_distance", "c_custkey")
+    return (
+        cand.filter(F.col("edit_distance") <= 2)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "dirty_id",
+            F.col("c_custkey").alias("matched_custkey"),
+            "edit_distance",
+        )
+    )

@@ -901,3 +901,57 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("event_type", "user_id", "n", "rank")
     )
+
+
+@register(
+    "daily_revenue_gapfill",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    joined AS (
+      SELECT s.day, d.n_orders, d.revenue FROM spine s LEFT JOIN daily d USING (day)
+    )
+    SELECT day,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(revenue, 0.0) AS revenue,
+           last_value(revenue IGNORE NULLS) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_ffill
+    FROM joined
+    """,
+    doc="time-series regularization: a complete daily date spine "
+    "(sequence-exploded from the 1-row min/max bounds) left-joined to "
+    "per-day revenue, missing days zero-filled AND forward-filled "
+    "(last-non-null carry, the last-observation-carried-forward rule). "
+    "Every frame after the first aggregate is DAYS-sized — the spine, "
+    "the join, and the unpartitioned ordered window all run over the "
+    "calendar domain, never the fact table, which is what makes the "
+    "global window acceptable; the fact table contributes one "
+    "map-side-combined groupBy.",
+)
+def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    joined = spine.join(daily, "day", "left")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_ffill"),
+    )

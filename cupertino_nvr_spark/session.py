@@ -38,6 +38,14 @@ def get_spark(app_name: str = "cupertino_nvr_spark") -> SparkSession:
         # testdata events.ts is TIMESTAMP(NANOS); read as long, loader converts
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # ContextCleaner only reclaims shuffle files / broadcast state when
+        # driver GC collects the RDD references, and its fallback periodic
+        # GC defaults to 30 MINUTES — longer than a whole bench session, so
+        # a many-query single-JVM run accumulates state until a forced GC
+        # lands on whichever query happens to be executing (the measured
+        # extras-tail volatility: same query 3 s or 23 s depending on what
+        # ran before it). A 2-minute bound amortizes cleanup instead.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

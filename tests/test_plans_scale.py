@@ -51,6 +51,10 @@ ALLOWED_BNLJ = {
     # broadcast(centroids)); its own additions are a pair groupBy + keyed
     # left join
     "embedding_semdedup",
+    # Lloyd assignment IS corpus x broadcast(centroids) by definition,
+    # once per round — bounded build side (IVF_MAX_CELLS); the recompute
+    # stage is a (cell, dim)-keyed aggregation
+    "embedding_kmeans",
     # BM25 attaches the single-row (N, avgdl) corpus stats to every scored
     # row: a broadcast of exactly one row — BroadcastNestedLoopJoin Cross
     # with a 1-row build side IS the right plan (a shuffle-free scalar
@@ -277,3 +281,40 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert m and "day" in m.group(1), "day predicate not in PartitionFilters"
     # and it must not degrade into a full-scan + row filter on `day`
     assert df.count() == ev.filter(F.col("day") == "2024-01-05").count()
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """100 TB posture: a selective dim filter on the build side of a
+    shuffle join should inject a runtime bloom filter (`might_contain`)
+    into the FACT scan's condition — rows are semi-filtered before they
+    pay the shuffle. Guarded here so a conf or plan regression that
+    silently drops row-level runtime filtering is caught. (Broadcast is
+    disabled on a forked session: a broadcast hash join already prunes
+    at the hash probe, so bloom injection targets shuffle joins.)"""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = ns.read.parquet(f"{SF}/lineitem.parquet")
+    orders = ns.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan

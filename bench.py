@@ -116,6 +116,8 @@ EXTRAS = [
     "embedding_kmeans",
     "customers_fuzzy_match",
     "daily_revenue_gapfill",
+    "docs_lsh_quality_eval",
+    "user_event_unpivot",
 ]
 
 

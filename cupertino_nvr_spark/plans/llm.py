@@ -3163,3 +3163,96 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id",
         F.count("*").over(w).alias("cell_size"),
     )
+
+
+@register(
+    "docs_lsh_quality_eval",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    jhot AS (SELECT shingle, lang FROM sh GROUP BY shingle, lang HAVING COUNT(*) > 256),
+    jkept AS (SELECT sh.* FROM sh ANTI JOIN jhot USING (shingle, lang)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM jkept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM jkept a JOIN jkept b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    based AS (
+      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
+    ),
+    bhot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
+    bkept AS (SELECT bands.* FROM bands ANTI JOIN bhot USING (band_idx, band_key)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bkept a JOIN bkept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.doc_id > a.doc_id
+    ),
+    hits AS (SELECT COUNT(*) AS n_hits FROM cand JOIN exact USING (id_a, id_b)),
+    nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    ne AS (SELECT COUNT(*) AS n_true_pairs FROM exact)
+    SELECT n_candidates, n_true_pairs, n_hits,
+           round(CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0), 6) AS precision,
+           round(CAST(n_hits AS DOUBLE) / nullif(n_true_pairs, 0), 6) AS recall,
+           round(2.0 * n_hits / nullif(n_candidates + n_true_pairs, 0), 6) AS f1
+    FROM nc, ne, hits
+    """,
+    doc="blocking-quality evaluation for the dedup pipeline: "
+    "precision/recall/F1 of the MinHash-LSH candidate pairs against the "
+    "exact n-gram-Jaccard>=0.5 ground truth — the measurement a pipeline "
+    "owner runs before trusting banded blocking at full scale. Reuses "
+    "the EXACT shared definitions of both pipelines (same shingles, "
+    "signature formulas, band caps — the SQL reuses the same CTE "
+    "fragments, so the evaluated system can't drift from the evaluated "
+    "queries). Cost is the two pipelines plus an (id_a, id_b) equi-join "
+    "and three 1-row counts.",
+)
+def docs_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import (
+        lsh_candidates,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+
+    aug = augmented_docs(spark, sf_dir)
+    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    cand = lsh_candidates(sigs, num_hashes=8, band_size=2, band_cap=64).select(
+        "id_a", "id_b"
+    )
+    exact = ngram_jaccard_pairs(aug, block_col="lang", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    hits = cand.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hits"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    ne = exact.agg(F.count("*").alias("n_true_pairs"))
+    h = F.col("n_hits")
+    return (
+        nc.join(ne)
+        .join(hits)
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            F.round(h.cast("double") / F.nullif(F.col("n_candidates"), F.lit(0)), 6).alias("precision"),
+            F.round(h.cast("double") / F.nullif(F.col("n_true_pairs"), F.lit(0)), 6).alias("recall"),
+            F.round(
+                2.0 * h / F.nullif(F.col("n_candidates") + F.col("n_true_pairs"), F.lit(0)),
+                6,
+            ).alias("f1"),
+        )
+    )

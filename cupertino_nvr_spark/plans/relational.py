@@ -718,3 +718,43 @@ def user_value_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("value_p90"),
     )
+
+
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "user_event_unpivot",
+    f"""
+    WITH wide AS (
+      SELECT user_id,
+             {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _ETYPES)}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n FROM (
+      {" UNION ALL ".join(f"SELECT user_id, '{t}' AS event_type, {t} AS n FROM wide" for t in _ETYPES)}
+    ) WHERE n > 0
+    """,
+    doc="§2.7 unpivot/melt: the wide per-user conditional-count frame is "
+    "melted back to long form with Spark's native unpivot operator "
+    "(Expand: one pass over the aggregate emitting #types rows per input "
+    "row — no self-union, no re-scan per measure; the oracle spells the "
+    "portable UNION ALL equivalent). Zero cells are dropped after the "
+    "melt, restoring the sparse long form. The expand runs over the "
+    "users-sized AGGREGATE, never the event stream.",
+)
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(t)
+            for t in _ETYPES
+        ]
+    )
+    return (
+        wide.unpivot(["user_id"], list(_ETYPES), "event_type", "n")
+        .filter(F.col("n") > 0)
+        .select("user_id", "event_type", "n")
+    )

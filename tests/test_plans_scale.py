@@ -98,6 +98,10 @@ ALLOWED_BNLJ = {
     # 1-row (nr, nt) totals attach onto the FIXED 1024-row bucket table —
     # the corpus-sized sides (token stream, per-doc rollup) are equi-joins
     "docs_dsir_weights",
+    # three 1-row count frames (candidates / truth / hits) cross-joined
+    # into the single metrics row; both underlying pipelines stay
+    # equi-keyed (band join, shingle posting-list join, pair-id join)
+    "docs_lsh_quality_eval",
 }
 
 

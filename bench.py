@@ -53,6 +53,7 @@ VARIANTS = [
     "embedding_cosine_topk",
     "embedding_cosine_topk_fast",
     "embedding_int8_ann",
+    "docs_chunked_udtf",
 ]
 
 # also timed outside the headline total: queries added after round 1

@@ -3256,3 +3256,26 @@ def docs_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+# UDTF surface (§2.10): same contract as docs_chunked, computed through
+# the Python table-function extension point — same oracle STRING, so the
+# two physical paths are held to one definition.
+from cupertino_nvr_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "docs_chunked_udtf",
+    _REGISTRY["docs_chunked"].oracle,
+    doc="document chunking via a Python UDTF (LATERAL table function, "
+    "Arrow transfer) — the §2.10 one-row-in/many-rows-out extension "
+    "point, pinned hash-identical to the codegen docs_chunked plan and "
+    "to the same DuckDB oracle. The codegen form remains the production "
+    "path (UDTFs pay per-row Python); this form exists for chunkers that "
+    "genuinely need Python (real tokenizers, sentence splitters) and "
+    "proves the extension point against a hash-checked contract.",
+)
+def docs_chunked_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.functions.udtf import chunk_docs_udtf
+
+    return chunk_docs_udtf(load_table(spark, "documents", sf_dir))

@@ -102,3 +102,13 @@ def test_readers_schema_enforced_and_lazy(spark, tmp_path):
     # quarantine side consumable standalone, repeatedly, without caching
     assert bad.count() == 0
     assert bad.count() == 0
+
+
+def test_chunk_udtf_matches_codegen(spark):
+    """The UDTF chunker and the codegen chunker are two physical paths
+    for ONE contract — their outputs must be row-identical."""
+    from cupertino_nvr_spark.plans import REGISTRY
+
+    a = sorted(map(tuple, REGISTRY["docs_chunked_udtf"].spark(spark, SF).collect()))
+    b = sorted(map(tuple, REGISTRY["docs_chunked"].spark(spark, SF).collect()))
+    assert a == b and len(a) > 0

@@ -119,6 +119,7 @@ EXTRAS = [
     "daily_revenue_gapfill",
     "docs_lsh_quality_eval",
     "user_event_unpivot",
+    "event_value_median_udaf",
 ]
 
 

@@ -187,3 +187,49 @@ def customers_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_distance",
         )
     )
+
+
+@register(
+    "event_value_median_udaf",
+    """
+    SELECT event_type,
+           round(median(value), 6) AS median_value,
+           COUNT(value) AS n_values
+    FROM events GROUP BY event_type
+    """,
+    doc="§2.10 UDAF surface: a custom grouped aggregate via a GROUPED_AGG "
+    "pandas UDF (Arrow-batched numpy median per group), the third leg of "
+    "the UDF/UDAF/UDTF extension triple. The exact median is the right "
+    "demonstration aggregate because it is an order statistic — "
+    "(a+b)/2 of the two middle elements, one IEEE op — so the Python "
+    "path hash-matches DuckDB's interpolated median exactly, with none "
+    "of the float-summation-order caveats that keep the mean-style "
+    "kernels rows-only. Nulls are skipped on both sides. Scale note: a "
+    "GROUPED_AGG UDAF materializes each group in memory (no partial "
+    "aggregation), so groups must be bounded — #event_types here; "
+    "unbounded-group exact medians belong to the sort-based percentile "
+    "path (order_price_stats).",
+)
+def event_value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median(v) -> float:
+        return float(v.dropna().median())
+
+    def _n_values(v) -> int:
+        # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+        # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+        # count rides the same extension point
+        return int(v.notna().sum())
+
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    _n_values.__annotations__ = {"v": pd.Series, "return": int}
+    median_udaf = pandas_udf(_median, "double")
+    count_udaf = pandas_udf(_n_values, "long")
+
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(median_udaf(F.col("value")), 6).alias("median_value"),
+        count_udaf(F.col("value")).alias("n_values"),
+    )

@@ -120,6 +120,7 @@ EXTRAS = [
     "docs_lsh_quality_eval",
     "user_event_unpivot",
     "event_value_median_udaf",
+    "events_conversion_latency",
 ]
 
 

@@ -955,3 +955,69 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
         F.last("revenue", ignorenulls=True).over(w).alias("revenue_ffill"),
     )
+
+
+@register(
+    "events_conversion_latency",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts) - epoch_us(f.first_signup)) AS latency_us
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND f.first_signup IS NOT NULL
+        AND e.ts >= f.first_signup
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(latency_us / 3600000000.0, 0.5), 6) AS p50_hours,
+           ROUND(quantile_cont(latency_us / 3600000000.0, 0.9), 6) AS p90_hours,
+           ROUND(CAST(MIN(latency_us) AS DOUBLE) / 3600000000.0, 6) AS min_hours,
+           ROUND(CAST(MAX(latency_us) AS DOUBLE) / 3600000000.0, 6) AS max_hours
+    FROM conv
+    """,
+    doc="time-to-conversion distribution: per user, the first purchase at "
+    "or after their first signup, reported as exact interpolated "
+    "p50/p90/min/max hours (the user_value_exact_stats percentile-parity "
+    "rule). The per-user firsts and the conversion join share one "
+    "user_id partitioning; latencies are exact integer microseconds "
+    "until the final five-number summary over the users-sized frame.",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        )
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(
+            F.col("first_signup").isNotNull()
+            & (F.col("ts") >= F.col("first_signup"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("first_signup"))
+            ).alias("latency_us")
+        )
+    )
+    hours = F.col("latency_us") / 3600000000.0
+    return conv.select("latency_us", hours.alias("h")).agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(h, 0.5)"), 6).alias("p50_hours"),
+        F.round(F.expr("percentile(h, 0.9)"), 6).alias("p90_hours"),
+        F.round(F.min("latency_us").cast("double") / 3600000000.0, 6).alias(
+            "min_hours"
+        ),
+        F.round(F.max("latency_us").cast("double") / 3600000000.0, 6).alias(
+            "max_hours"
+        ),
+    )

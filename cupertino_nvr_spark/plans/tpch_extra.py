@@ -1144,23 +1144,28 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     n = deg.count()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    # carry (node, deg, r) together so each iteration joins the edge
+    # stream ONCE — re-attaching deg onto the nodes-sized rank frame is
+    # free compared to a second edge-sized join per round
+    rd = deg.select(
+        F.col("src").alias("node"), "deg", F.lit(1.0 / n).alias("r")
+    )
     for _ in range(3):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select(
-                "dst",
-                F.round(F.col("r") / F.col("deg"), 12)
-                .cast("decimal(22,12)")
-                .alias("c"),
-            )
+        contrib = edges.join(rd, edges.src == rd.node).select(
+            "dst",
+            F.round(F.col("r") / F.col("deg"), 12)
+            .cast("decimal(22,12)")
+            .alias("c"),
         )
-        ranks = contrib.groupBy("dst").agg(
+        new_r = contrib.groupBy("dst").agg(
             F.round(
                 F.lit(0.15 / n) + F.lit(0.85) * F.sum("c").cast("double"), 12
             ).alias("r")
-        ).select(F.col("dst").alias("node"), "r")
+        )
+        rd = new_r.join(deg, new_r.dst == deg.src).select(
+            F.col("dst").alias("node"), "deg", "r"
+        )
+    ranks = rd.select("node", "r")
     top = ranks.orderBy(F.col("r").desc(), "node").limit(20)
     w = Window.orderBy(F.col("r").desc(), "node")
     return (

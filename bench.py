@@ -121,6 +121,8 @@ EXTRAS = [
     "user_event_unpivot",
     "event_value_median_udaf",
     "events_conversion_latency",
+    "media_resize_plan",
+    "customer_order_bracket",
 ]
 
 

@@ -114,3 +114,29 @@ def frame_sample_plan(media: DataFrame, every_ms: float = 1000.0) -> DataFrame:
         )
         .withColumn("sample_at_ms", F.col("frame_idx") * F.lit(every_ms))
     )
+
+
+def resize_letterbox_plan(media: DataFrame, target: int = 224) -> DataFrame:
+    """Letterbox-resize *plan* for image payloads: aspect-preserving scale
+    into a ``target`` x ``target`` canvas plus centering pads, computed
+    from metadata only (no decode) — the planning half of a ViT-style
+    preprocessing stage, with the pixel work left to the decode kernels.
+    The scale is rounded to 6 before the dimension arithmetic so every
+    derived integer (dst dims, pads) is bit-identical across engines.
+    """
+    t = F.lit(float(target))
+    scale = F.round(
+        F.least(t / F.col("width"), t / F.col("height")), 6
+    )
+    dst_w = F.floor(F.col("width") * scale).cast("int")
+    dst_h = F.floor(F.col("height") * scale).cast("int")
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.col("width").alias("src_w"),
+        F.col("height").alias("src_h"),
+        scale.alias("scale"),
+        dst_w.alias("dst_w"),
+        dst_h.alias("dst_h"),
+        F.floor((F.lit(target) - dst_w) / 2).cast("int").alias("pad_left"),
+        F.floor((F.lit(target) - dst_h) / 2).cast("int").alias("pad_top"),
+    )

@@ -3279,3 +3279,45 @@ def docs_chunked_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.functions.udtf import chunk_docs_udtf
 
     return chunk_docs_udtf(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "media_resize_plan",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CAST(320 + (doc_id % 5) * 160 AS INT) AS width,
+             CAST(240 + (doc_id % 7) * 120 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    scaled AS (
+      SELECT media_id, width AS src_w, height AS src_h,
+             round(least(224.0 / width, 224.0 / height), 6) AS scale
+      FROM media
+    )
+    SELECT media_id, src_w, src_h, scale,
+           CAST(floor(src_w * scale) AS INT) AS dst_w,
+           CAST(floor(src_h * scale) AS INT) AS dst_h,
+           CAST(floor((224 - floor(src_w * scale)) / 2) AS INT) AS pad_left,
+           CAST(floor((224 - floor(src_h * scale)) / 2) AS INT) AS pad_top
+    FROM scaled
+    """,
+    doc="multimodal resize planning: aspect-preserving letterbox geometry "
+    "into a 224x224 canvas (scale, destination dims, centering pads) for "
+    "every image payload, from typed metadata only — a pure codegen "
+    "projection; the decode/resample kernels receive a fully planned "
+    "geometry and fan out per payload. Image dims are synthesized "
+    "deterministically from the id (the container ships no real image "
+    "bytes; the plumbing — schema, filter, arithmetic — is the product).",
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.multimodal import resize_letterbox_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        (320 + (F.col("doc_id") % 5) * 160).cast("int").alias("width"),
+        (240 + (F.col("doc_id") % 7) * 120).cast("int").alias("height"),
+    )
+    return resize_letterbox_plan(media, target=224)

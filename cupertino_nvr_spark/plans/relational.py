@@ -758,3 +758,50 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .select("user_id", "event_type", "n")
     )
+
+
+@register(
+    "customer_order_bracket",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price,
+             last_value(o_totalprice) OVER w AS last_price,
+             COUNT(*) OVER w AS n_orders,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey AS c_custkey, first_price, second_price, last_price,
+           n_orders
+    FROM seq WHERE rn = 1
+    """,
+    doc="§2.6 positional window surface (first_value / nth_value / "
+    "last_value over an explicit unbounded frame): each customer's "
+    "first, second, and latest order price in their (date, key)-ordered "
+    "history, one row per customer. All four positional functions and "
+    "the row_number share ONE custkey-partitioned sort; second_price is "
+    "NULL for single-order customers in both engines.",
+)
+def customer_order_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    seq = orders.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.count("*").over(w).alias("n_orders"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    return seq.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "first_price",
+        "second_price",
+        "last_price",
+        "n_orders",
+    )

@@ -123,6 +123,7 @@ EXTRAS = [
     "events_conversion_latency",
     "media_resize_plan",
     "customer_order_bracket",
+    "docs_langid_confusion",
 ]
 
 

@@ -206,10 +206,10 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_quality_lang",
-    """
-    WITH scored AS (
+# shared stopword-argmax language-ID chain (oracle side), used by BOTH
+# docs_quality_lang and docs_langid_confusion so the classifier under
+# evaluation is the exact classifier in production
+_LANGID_CTE_SQL = """scored AS (
       SELECT doc_id, lang,
              len(string_split_regex(trim(text), '\\s+')) AS n_tok,
              len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -224,17 +224,27 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  t -> lower(t) IN ('de','le','shi','he','zai'))) AS s_zh,
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) AS noise
       FROM documents
-    )
-    SELECT doc_id, lang,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-                ELSE 'zh' END AS predicted_lang,
+    ),
+    predicted AS (
+      SELECT doc_id, lang, n_tok, s_en, noise,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang
+      FROM scored
+    )"""
+
+
+@register(
+    "docs_quality_lang",
+    f"""
+    WITH {_LANGID_CTE_SQL}
+    SELECT doc_id, lang, predicted_lang,
            least(n_tok / 50.0, 1.0) * least(s_en / 5.0, 1.0) * (1.0 - noise) AS quality,
            noise AS punct_ratio
-    FROM scored
+    FROM predicted
     """,
     doc="language-ID heuristic (stopword argmax, tie→lexicographic) + quality scoring",
 )
@@ -3321,3 +3331,48 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (240 + (F.col("doc_id") % 7) * 120).cast("int").alias("height"),
     )
     return resize_letterbox_plan(media, target=224)
+
+
+@register(
+    "docs_langid_confusion",
+    f"""
+    WITH {_LANGID_CTE_SQL},
+    cells AS (
+      SELECT lang AS true_lang, predicted_lang, COUNT(*) AS n
+      FROM predicted GROUP BY lang, predicted_lang
+    ),
+    truth AS (SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cells GROUP BY true_lang)
+    SELECT c.true_lang, c.predicted_lang, c.n, t.n_true,
+           round(CAST(c.n AS DOUBLE) / t.n_true, 6) AS frac,
+           (c.true_lang = c.predicted_lang) AS is_correct
+    FROM cells c JOIN truth t USING (true_lang)
+    """,
+    doc="language-ID evaluation: the confusion matrix of the stopword-"
+    "argmax classifier against the labeled lang column, with per-true-"
+    "language recall fractions — the second entry in the evaluation "
+    "family (docs_lsh_quality_eval evaluates blocking; this evaluates "
+    "classification), sharing the classifier's EXACT definition with "
+    "docs_quality_lang via one CTE/function so evaluated and production "
+    "classifiers cannot drift. Cost: one corpus projection + a "
+    "languages²-bounded aggregate; row counts broadcast back onto the "
+    "tiny cell table.",
+)
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    predicted = docs.select(
+        "lang", predict_lang(F.col("text")).alias("predicted_lang")
+    )
+    cells = predicted.groupBy(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    ).agg(F.count("*").alias("n"))
+    truth = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    return cells.join(F.broadcast(truth), "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        "n_true",
+        F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias("frac"),
+        (F.col("true_lang") == F.col("predicted_lang")).alias("is_correct"),
+    )

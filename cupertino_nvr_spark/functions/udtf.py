@@ -37,7 +37,14 @@ class ChunkDocs:
     STRIDE = 24
 
     def eval(self, doc_id: int, text: str):  # noqa: A002 - UDTF signature
-        toks = re.split(r"\s+", (text or "").strip())
+        if text is None:
+            # the codegen plan's NULL semantics, verified empirically:
+            # chunk_spans still emits start 0, slice/array_join/size of a
+            # NULL array are NULL, and least() SKIPS the NULL size — the
+            # pin must hold on corpora containing NULL text too
+            yield (doc_id, 0, None, self.SIZE, None)
+            return
+        toks = re.split(r"\s+", text.strip())
         n = len(toks)
         for start in range(0, max(n, 1), self.STRIDE):
             chunk = toks[start : start + self.SIZE]

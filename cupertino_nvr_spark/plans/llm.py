@@ -98,6 +98,46 @@ def _md5_int_sql(expr: str, seed: int) -> str:
     )
 
 
+def _minhash_band_chain_sql(prefix: str = "") -> str:
+    """THE MinHash/LSH banding definition (8 md5-seed-0 hashes, band_size
+    2, band cap 64) as based→sig→bands→hot→kept CTEs — the single source
+    every banding oracle builds from (clustering, candidate pairs, the
+    blocking-quality eval), so the constants cannot drift between the
+    evaluated pipeline and its evaluations. ``prefix`` renames the
+    band-level CTEs for queries that host this chain next to the
+    shingle-level hot/kept chain."""
+    p = prefix
+    return f"""based AS (
+      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
+      FROM based GROUP BY doc_id
+    ),
+    {p}bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
+    ),
+    {p}hot AS (SELECT band_idx, band_key FROM {p}bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
+    {p}kept AS (SELECT {p}bands.* FROM {p}bands ANTI JOIN {p}hot USING (band_idx, band_key))"""
+
+
+def _jaccard_chain_sql(prefix: str = "") -> str:
+    """THE exact n-gram-Jaccard definition (3-shingles, lang blocking,
+    stop-shingle df cap 256) as hot→kept→sizes→common CTEs — shared by
+    the pair query and the blocking-quality eval."""
+    p = prefix
+    return f"""{p}hot AS (SELECT shingle, lang FROM sh GROUP BY shingle, lang HAVING COUNT(*) > 256),
+    {p}kept AS (SELECT sh.* FROM sh ANTI JOIN {p}hot USING (shingle, lang)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM {p}kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM {p}kept a JOIN {p}kept b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )"""
+
+
 def _ivf_params_sql(corpus: str) -> str:
     """DuckDB replica of llm.similarity.ivf_stride: integer floor-sqrt
     target capped at 4096, floor-div stride. COUNT(*) and // keep the whole
@@ -118,19 +158,7 @@ _CENT_PRED_SQL = f"{_md5_int_sql('CAST(vec_id AS VARCHAR)', 0)} % stride = 0"
 # the two verification queries
 _CLUSTER_CTE_SQL = f"""aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    based AS (
-      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
-      FROM based GROUP BY doc_id
-    ),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
-    ),
-    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
-    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
+    {_minhash_band_chain_sql()},
     edges AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       FROM kept a JOIN kept b
@@ -265,15 +293,7 @@ def docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    hot AS (SELECT shingle, lang FROM sh GROUP BY shingle, lang HAVING COUNT(*) > 256),
-    kept AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle, lang)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM kept a JOIN kept b
-        ON a.shingle = b.shingle AND a.lang = b.lang AND b.doc_id > a.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    {_jaccard_chain_sql()}
     SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
            n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
     FROM common
@@ -294,19 +314,7 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    based AS (
-      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
-      FROM based GROUP BY doc_id
-    ),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
-    ),
-    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
-    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key))
+    {_minhash_band_chain_sql()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM kept a JOIN kept b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.doc_id > a.doc_id
@@ -2850,19 +2858,7 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    based AS (
-      SELECT doc_id, {_md5_int_sql("shingle", 0)} % {MINHASH_P} AS base FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
-      FROM based GROUP BY doc_id
-    ),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
-    ),
-    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
-    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
+    {_minhash_band_chain_sql()},
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM kept a JOIN kept b
@@ -3180,34 +3176,14 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    jhot AS (SELECT shingle, lang FROM sh GROUP BY shingle, lang HAVING COUNT(*) > 256),
-    jkept AS (SELECT sh.* FROM sh ANTI JOIN jhot USING (shingle, lang)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM jkept GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM jkept a JOIN jkept b
-        ON a.shingle = b.shingle AND a.lang = b.lang AND b.doc_id > a.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
+    {_jaccard_chain_sql("j")},
     exact AS (
       SELECT id_a, id_b FROM common
       JOIN sizes sa ON id_a = sa.doc_id
       JOIN sizes sb ON id_b = sb.doc_id
       WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
     ),
-    based AS (
-      SELECT doc_id, {_md5_int_sql('shingle', 0)} % {MINHASH_P} AS base FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             {", ".join(f"MIN(({minhash_affine(j)[0]} * base + {minhash_affine(j)[1]}) % {MINHASH_P}) AS h{j}" for j in range(8))}
-      FROM based GROUP BY doc_id
-    ),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig" for b in range(4))}
-    ),
-    bhot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 64),
-    bkept AS (SELECT bands.* FROM bands ANTI JOIN bhot USING (band_idx, band_key)),
+    {_minhash_band_chain_sql("b")},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bkept a JOIN bkept b

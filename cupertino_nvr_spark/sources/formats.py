@@ -44,11 +44,16 @@ def _with_corrupt(schema: StructType) -> StructType:
 
 def _split(parsed: DataFrame, schema: StructType) -> tuple[DataFrame, DataFrame]:
     corrupt = F.col(f"rec.{CORRUPT_COL}")
-    good = parsed.filter(corrupt.isNull()).select(
+    # from_json returns a NULL struct (not a corrupt capture) for
+    # blank/whitespace-only lines — without the rec-null test those lines
+    # would surface as phantom all-null GOOD rows instead of quarantine
+    ok = corrupt.isNull() & F.col("rec").isNotNull()
+    good = parsed.filter(ok).select(
         *[F.col(f"rec.{f.name}").alias(f.name) for f in schema.fields]
     )
-    bad = parsed.filter(corrupt.isNotNull()).select(
-        F.col("value").alias("raw"), corrupt.alias(CORRUPT_COL)
+    bad = parsed.filter(~ok).select(
+        F.col("value").alias("raw"),
+        F.coalesce(corrupt, F.col("value")).alias(CORRUPT_COL),
     )
     return good, bad
 
@@ -69,14 +74,33 @@ def read_csv(
     """(good, quarantine) from a CSV directory/file under an explicit
     schema. A row that fails to parse (wrong arity, bad cast) lands in
     the quarantine frame as (raw, _corrupt_record). With ``header``,
-    every file's header line (the schema's field names joined by ',') is
-    dropped before parsing."""
+    only each file's FIRST header-valued line is dropped: header
+    candidates (the rare lines equal to the header string) are
+    aggregated per file into a tiny frame that anti-joins back by
+    (file, position), so a legitimate DATA row whose values happen to
+    equal the column names survives — a global value filter would
+    silently drop it."""
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
     opts.update(options)
     lines = spark.read.text(path)
     if header:
         header_line = ",".join(schema.fieldNames())
-        lines = lines.filter(F.col("value") != header_line)
+        lines = lines.select(
+            "value",
+            F.input_file_name().alias("_f"),
+            F.monotonically_increasing_id().alias("_i"),
+        )
+        # the true header is each file's first line, and split/partition
+        # ids are assigned in (file, offset) order, so the minimum id
+        # among a file's header-valued lines IS its header
+        headers = (
+            lines.filter(F.col("value") == header_line)
+            .groupBy("_f")
+            .agg(F.min("_i").alias("_i"))
+        )
+        lines = lines.join(
+            F.broadcast(headers), ["_f", "_i"], "left_anti"
+        ).select("value")
     parser = F.from_csv(
         F.col("value"), _with_corrupt(schema).simpleString(), opts
     )

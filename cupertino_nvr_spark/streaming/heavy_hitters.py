@@ -32,10 +32,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = (
-    "event_type string, item bigint, est_count bigint, n_total bigint"
-)
 STATE_SCHEMA = "items array<bigint>, counts array<bigint>, total bigint"
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
 def heavy_hitters_stream(
@@ -50,7 +49,23 @@ def heavy_hitters_stream(
     ordered by descending estimate then item id) stamped with ``n_total``
     — the monotone number of items absorbed — so downstream can keep the
     freshest summary per key by max ``n_total``.
+
+    Output columns are named after the actual ``key_col`` plus
+    (item, est_count, n_total). The key must be a string column and the
+    item an integral column (the summary keys are 64-bit counters) —
+    validated here so a wrong column fails on the driver, not inside a
+    micro-batch.
     """
+    types = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    if types.get(key_col) != "string":
+        raise TypeError(
+            f"key_col {key_col!r} must be string, got {types.get(key_col)!r}"
+        )
+    if types.get(item_col) not in _INTEGRAL:
+        raise TypeError(
+            f"item_col {item_col!r} must be integral, got {types.get(item_col)!r}"
+        )
+    output_schema = f"{key_col} string, item bigint, est_count bigint, n_total bigint"
 
     def update_fn(
         key: tuple[Any, ...],
@@ -85,7 +100,7 @@ def heavy_hitters_stream(
         )
         yield pd.DataFrame(
             {
-                "event_type": [key[0]] * len(ordered),
+                key_col: [key[0]] * len(ordered),
                 "item": [k for k, _ in ordered],
                 "est_count": [v for _, v in ordered],
                 "n_total": [total] * len(ordered),
@@ -97,7 +112,7 @@ def heavy_hitters_stream(
         .groupBy(key_col)
         .applyInPandasWithState(
             update_fn,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=output_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

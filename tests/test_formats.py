@@ -112,3 +112,62 @@ def test_chunk_udtf_matches_codegen(spark):
     a = sorted(map(tuple, REGISTRY["docs_chunked_udtf"].spark(spark, SF).collect()))
     b = sorted(map(tuple, REGISTRY["docs_chunked"].spark(spark, SF).collect()))
     assert a == b and len(a) > 0
+
+
+def test_jsonl_blank_lines_quarantined(spark, tmp_path):
+    """A blank/whitespace line parses to a NULL struct, not a corrupt
+    capture — it must land in quarantine, never as a phantom all-null
+    good row (review finding)."""
+    p = tmp_path / "blank_jsonl"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "lang": "en", "source": "src1", "n_chars": 10}\n'
+        "\n"
+        "   \n"
+        '{"doc_id": 2, "lang": "fr", "source": "src2", "n_chars": 20}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), DOC_SCHEMA)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 2
+
+
+def test_csv_header_valued_data_row_survives(spark, tmp_path):
+    """Only each file's FIRST header line may be dropped; a data row
+    whose values equal the column names is real data (review finding)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType().add("a", "string").add("b", "string")
+    p = tmp_path / "hdr_csv"
+    p.mkdir()
+    (p / "part-0.csv").write_text("a,b\nx,y\na,b\nz,w\n")
+    good, bad = read_csv(spark, str(p), schema)
+    assert bad.count() == 0
+    assert sorted(map(tuple, good.collect())) == [("a", "b"), ("x", "y"), ("z", "w")]
+
+
+def test_chunk_udtf_matches_codegen_on_null_text(spark):
+    """NULL text must produce identical rows on both physical paths
+    (review finding: the UDTF used to coerce None to '' and diverge)."""
+    from cupertino_nvr_spark.functions.udtf import chunk_docs_udtf
+    from pyspark.sql import functions as F
+
+    from cupertino_nvr_spark.llm.text import chunk_spans, ws_tokens
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "   ")], "doc_id long, text string"
+    )
+    toks = df.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    chunked = toks.select(
+        "doc_id", "toks", F.explode(chunk_spans(F.col("toks"), 24)).alias("start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, 32)
+    codegen = chunked.select(
+        "doc_id",
+        (F.col("start") / 24).cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.least(F.lit(32), F.size("toks") - F.col("start")).alias("n_chunk_tokens"),
+        F.size("toks").alias("n_doc_tokens"),
+    )
+    a = sorted(map(tuple, chunk_docs_udtf(df).collect()))
+    b = sorted(map(tuple, codegen.collect()))
+    assert a == b

@@ -677,3 +677,39 @@ def test_heavy_hitters_stream_bound_small_capacity(spark, stream_dir):
     for item, est in final.items():
         true = dict((u, c) for c, u in freq).get(item, 0)
         assert true - err <= est <= true
+
+
+def test_heavy_hitters_stream_generic_columns(spark, stream_dir):
+    """The key/item parameters are real: a non-default numeric item and a
+    different string key work end-to-end with the output named after the
+    key, and a non-integral item fails fast on the driver (review
+    finding: the shape used to be hardcoded)."""
+    import pytest as _pytest
+
+    from cupertino_nvr_spark.streaming.heavy_hitters import heavy_hitters_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # 8 distinct items = capacity, so no Misra-Gries reduction wipes the
+    # all-singletons summary and the full item set must survive
+    rows = [(i, ts(i), 1 if i % 3 else 2, "click", 1.0) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, schema).withColumnRenamed(
+        "event_type", "kind"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        heavy_hitters_stream(df, key_col="kind", item_col="value")
+
+    write_batches([df], f"{stream_dir}/hh3")
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/hh3/*")
+    )
+    out = run_stream(
+        heavy_hitters_stream(src, capacity=8, key_col="kind", item_col="event_id"),
+        stream_dir,
+        output_mode="update",
+    )
+    assert out.columns == ["kind", "item", "est_count", "n_total"]
+    rows_out = out.collect()
+    assert {r["kind"] for r in rows_out} == {"click"}
+    assert {r["item"] for r in rows_out} == set(range(1, 9))

@@ -124,6 +124,8 @@ EXTRAS = [
     "media_resize_plan",
     "customer_order_bracket",
     "docs_langid_confusion",
+    "supplier_concentration_hhi",
+    "docs_dedup_rate_by_lang",
 ]
 
 

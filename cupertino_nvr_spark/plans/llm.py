@@ -3352,3 +3352,48 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias("frac"),
         (F.col("true_lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+@register(
+    "docs_dedup_rate_by_lang",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    keepers AS (
+      SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id
+      FROM aug GROUP BY md5(text)
+    ),
+    tagged AS (
+      SELECT a.lang, (a.doc_id = k.keeper_id) AS is_keeper
+      FROM aug a JOIN keepers k ON md5(a.text) = k.digest
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           round(CAST(SUM(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS BIGINT) * 1.0
+                 / COUNT(*), 6) AS dup_rate
+    FROM tagged GROUP BY lang
+    """,
+    doc="curation telemetry: per-language exact-duplicate rates (which "
+    "corpus slices contribute redundant bytes — the report a pipeline "
+    "owner reads before rebalancing feeds). Same keeper definition as "
+    "docs_exact_dedup (min-id per md5 digest); one digest aggregate, "
+    "one digest equi-join, then a sources-sized conditional rollup with "
+    "BIGINT casts on both engines.",
+)
+def docs_dedup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    keepers = aug.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    tagged = aug.withColumn("digest", F.md5("text")).join(keepers, "digest").select(
+        "lang", (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper")
+    )
+    kept = F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).cast("bigint")
+    dropped = F.sum(F.when(F.col("is_keeper"), 0).otherwise(1)).cast("bigint")
+    return tagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        kept.alias("n_kept"),
+        dropped.alias("n_dropped"),
+        F.round(dropped * 1.0 / F.count("*"), 6).alias("dup_rate"),
+    )

@@ -1208,3 +1208,67 @@ def customer_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT s_nationkey, SUM(rev_dec) AS tot_dec, COUNT(*) AS n_suppliers
+      FROM rev GROUP BY s_nationkey
+    ),
+    shares AS (
+      SELECT r.s_nationkey, t.n_suppliers,
+             CAST(round(power(CAST(r.rev_dec AS DOUBLE)
+                              / CAST(t.tot_dec AS DOUBLE), 2), 12)
+                  AS DECIMAL(14,12)) AS sq_share
+      FROM rev r JOIN tot t USING (s_nationkey)
+    )
+    SELECT n.n_name, sh.n_suppliers,
+           round(CAST(SUM(sh.sq_share) AS DOUBLE), 6) AS hhi
+    FROM shares sh JOIN nation n ON n.n_nationkey = sh.s_nationkey
+    GROUP BY n.n_name, sh.n_suppliers
+    """,
+    doc=(
+        "market-concentration analytics: the Herfindahl-Hirschman index "
+        "of supplier revenue per nation (sum of squared revenue shares; "
+        "1/n = perfectly even, 1.0 = monopoly). Revenue sums are exact "
+        "DECIMAL; each squared share is one deterministic double "
+        "power/divide rounded to fixed-point BEFORE the per-nation sum, "
+        "so the cross-supplier accumulation is order-independent (the "
+        "embedding_dim_stats policy). One fact shuffle on (nation, "
+        "supplier), then nation-sized aggregates; nation dim broadcast."
+    ),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("rev_dec").alias("tot_dec"), F.count("*").alias("n_suppliers")
+    )
+    sq_share = F.round(
+        F.pow(F.col("rev_dec").cast("double") / F.col("tot_dec").cast("double"), 2),
+        12,
+    ).cast("decimal(14,12)")
+    shares = rev.join(tot, "s_nationkey").select(
+        "s_nationkey", "n_suppliers", sq_share.alias("sq_share")
+    )
+    return (
+        shares.join(F.broadcast(nation), shares.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "n_suppliers")
+        .agg(F.round(F.sum("sq_share").cast("double"), 6).alias("hhi"))
+    )

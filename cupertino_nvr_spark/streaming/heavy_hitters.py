@@ -37,6 +37,24 @@ STATE_SCHEMA = "items array<bigint>, counts array<bigint>, total bigint"
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
+def mg_merge(
+    summary: dict[int, int], batch_counts: dict[int, int], capacity: int
+) -> dict[int, int]:
+    """Merge a batch's exact count map into a Misra-Gries summary and
+    apply ONE reduction (subtract the (capacity+1)-th largest count, drop
+    non-positives). Pure function so the classical invariants — at most
+    ``capacity`` survivors, estimates never exceed true counts, and any
+    item with true count > n/capacity retained — are property-testable
+    without a streaming harness (tests/test_properties.py)."""
+    merged = dict(summary)
+    for item, c in batch_counts.items():
+        merged[int(item)] = merged.get(int(item), 0) + int(c)
+    if len(merged) > capacity:
+        cut = sorted(merged.values(), reverse=True)[capacity]
+        merged = {k: v - cut for k, v in merged.items() if v - cut > 0}
+    return merged
+
+
 def heavy_hitters_stream(
     events: DataFrame,
     capacity: int = 8,
@@ -86,13 +104,9 @@ def heavy_hitters_stream(
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         vals = pdf[item_col].dropna().astype("int64")
-        for item, c in vals.value_counts().items():
-            summary[int(item)] = summary.get(int(item), 0) + int(c)
-        if len(summary) > capacity:
-            # one Misra-Gries reduction for the whole merge: subtract the
-            # (capacity+1)-th largest count, drop the non-positives
-            cut = sorted(summary.values(), reverse=True)[capacity]
-            summary = {k: v - cut for k, v in summary.items() if v - cut > 0}
+        summary = mg_merge(
+            summary, {int(k): int(v) for k, v in vals.value_counts().items()}, capacity
+        )
         total = int(total) + int(len(vals))
         ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
         state.update(

@@ -83,3 +83,41 @@ def test_bbox_corners_invariants(spark, boxes):
         | (F.abs((F.col("c.y1") + F.col("c.y2")) - 2 * F.col("bbox.y")) > 1e-6)
     )
     assert bad.count() == 0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=300),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=6),
+)
+def test_misra_gries_invariants(stream, capacity, n_batches):
+    """The classical Misra-Gries guarantees must hold for ANY stream,
+    capacity, and batching (the batch boundaries are where the mergeable
+    reduction runs, so they must not affect the bounds):
+
+    - at most `capacity` counters survive;
+    - no estimate exceeds the true count;
+    - every estimate is within n/capacity of the true count;
+    - any item with true count > n/capacity is retained.
+    """
+    from collections import Counter
+
+    from cupertino_nvr_spark.streaming.heavy_hitters import mg_merge
+
+    # cut the stream into n_batches contiguous chunks
+    size = max(1, len(stream) // n_batches)
+    summary: dict[int, int] = {}
+    for i in range(0, len(stream), size):
+        batch = stream[i : i + size]
+        summary = mg_merge(summary, dict(Counter(batch)), capacity)
+
+    true = Counter(stream)
+    n = len(stream)
+    err = n / capacity
+    assert len(summary) <= capacity
+    for item, est in summary.items():
+        assert est <= true[item]
+        assert est >= true[item] - err
+    for item, count in true.items():
+        if count > err:
+            assert item in summary, f"heavy item {item} (count {count}) evicted"

@@ -122,3 +122,41 @@ __all__ = [
     "sliding_throughput_stream",
     "session_windows_stream",
 ]
+
+
+def windowed_distinct_count_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """EXACT distinct-key count per tumbling window — the streaming
+    pattern for a metric Structured Streaming cannot express directly
+    (COUNT(DISTINCT) is unsupported on streams): watermark-scoped
+    ``dropDuplicates`` on (window, key) feeds a windowed COUNT, two
+    CHAINED stateful operators in append mode (supported since Spark
+    3.5's multiple-stateful-operator support). Dedup state holds one
+    entry per live (window, key) and expires with the watermark; the
+    count is an ordinary windowed aggregate over the deduped stream.
+    ``approx_count_distinct`` (sliding_throughput_stream) remains the
+    constant-memory alternative when exactness isn't required.
+    """
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.window(ts_col, window_duration).alias("win"),
+            F.col(ts_col),
+            F.col(key_col),
+        )
+        .dropDuplicates(["win", key_col])
+    )
+    return (
+        deduped.groupBy("win")
+        .agg(F.count("*").alias("n_distinct"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_distinct",
+        )
+    )

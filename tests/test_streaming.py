@@ -713,3 +713,50 @@ def test_heavy_hitters_stream_generic_columns(spark, stream_dir):
     rows_out = out.collect()
     assert {r["kind"] for r in rows_out} == {"click"}
     assert {r["item"] for r in rows_out} == set(range(1, 9))
+
+
+def test_windowed_distinct_count_stream_matches_batch(spark, stream_dir):
+    """The chained dedup->count stream must equal the batch
+    COUNT(DISTINCT) per window for every window the watermark closed,
+    including duplicates split across micro-batches."""
+    from cupertino_nvr_spark.streaming.windows import windowed_distinct_count_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = []
+    eid = 0
+    # day 1: users 1,2,3 (user 1 repeats across batch boundary);
+    # day 2: users 1,4; day 3: user 9; then a far-future flush row
+    # (the FLUSH_SEC pattern) pushes the watermark past every real window
+    for sec, user in [(10, 1), (20, 2), (30, 3), (40, 1), (86410, 1), (86420, 4), (86430, 1), (172810, 9), (500000, 999)]:
+        eid += 1
+        rows.append((eid, ts(sec), user, "view", 1.0))
+
+    def mk(chunk):
+        return spark.createDataFrame(chunk, schema)
+
+    chunks = [rows[:3], rows[3:6], rows[6:8], rows[8:]]
+    write_batches([mk(c) for c in chunks], f"{stream_dir}/dc")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/dc/*")
+    )
+    out = run_stream(
+        windowed_distinct_count_stream(src), stream_dir, output_mode="append"
+    ).collect()
+    got = {
+        (r["window_start"], r["n_distinct"])
+        for r in out
+        if r["window_start"] < ts(400000)  # drop the flush sentinel's window
+    }
+
+    batch = (
+        mk(rows[:8])  # the real rows, flush excluded
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("s"), "n")
+        .collect()
+    )
+    expected = {(r["s"], r["n"]) for r in batch}
+    assert got == expected  # days 1-3, closed by the flushed watermark
+    assert dict(got)[ts(0)] == 3  # day 1: users {1,2,3}, dedup across batches

@@ -126,6 +126,8 @@ EXTRAS = [
     "docs_langid_confusion",
     "supplier_concentration_hhi",
     "docs_dedup_rate_by_lang",
+    "events_hourly_profile",
+    "orders_seasonality",
 ]
 
 

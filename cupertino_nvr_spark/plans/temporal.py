@@ -1021,3 +1021,81 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_hours"
         ),
     )
+
+
+@register(
+    "events_hourly_profile",
+    """
+    WITH cells AS (
+      SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY CAST(hour(ts) AS INT), event_type
+    ),
+    tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type FROM cells GROUP BY event_type)
+    SELECT c.hour_of_day, c.event_type, c.n,
+           round(CAST(c.n AS DOUBLE) / t.n_type, 6) AS frac_of_type
+    FROM cells c JOIN tot t USING (event_type)
+    """,
+    doc="temporal activity heatmap: hour-of-day x event-type counts with "
+    "each cell's share of its type — the diurnal-profile query behind "
+    "every traffic dashboard. One map-side-combined aggregate onto the "
+    "24 x #types domain; type totals derive from the cell table (no "
+    "second corpus pass) and broadcast back.",
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        F.hour("ts").alias("hour_of_day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_type")
+    )
+    return cells.join(F.broadcast(tot), "event_type").select(
+        "hour_of_day",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_type"), 6).alias(
+            "frac_of_type"
+        ),
+    )
+
+
+@register(
+    "orders_seasonality",
+    """
+    WITH monthly AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month_of_year,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY CAST(month(o_orderdate) AS INT)
+    ),
+    tot AS (SELECT SUM(rev_dec) AS tot_dec FROM monthly)
+    SELECT month_of_year, n_orders,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           round(CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6)
+             AS revenue_share
+    FROM monthly, tot
+    """,
+    doc="seasonality profile: month-of-year order counts and revenue "
+    "share pooled across years (the calendar-profile complement of "
+    "nation_yearly_growth's trend view). Exact decimal revenue; one "
+    "fact aggregate onto the 12-row month domain; the 1-row total "
+    "derives from the month table and cross-joins back.",
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.month("o_orderdate").alias("month_of_year")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("rev_dec"),
+    )
+    tot = monthly.agg(F.sum("rev_dec").alias("tot_dec"))
+    rev_d = F.col("rev_dec").cast("double")
+    tot_d = F.col("tot_dec").cast("double")
+    return monthly.join(F.broadcast(tot)).select(
+        "month_of_year",
+        "n_orders",
+        rev_d.alias("revenue"),
+        F.round(rev_d / tot_d, 6).alias("revenue_share"),
+    )

@@ -102,6 +102,8 @@ ALLOWED_BNLJ = {
     # into the single metrics row; both underlying pipelines stay
     # equi-keyed (band join, shingle posting-list join, pair-id join)
     "docs_lsh_quality_eval",
+    # 1-row revenue-total attach onto the 12-row month table
+    "orders_seasonality",
 }
 
 

@@ -128,6 +128,7 @@ EXTRAS = [
     "docs_dedup_rate_by_lang",
     "events_hourly_profile",
     "orders_seasonality",
+    "docs_token_entropy",
 ]
 
 

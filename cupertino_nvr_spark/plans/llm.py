@@ -3397,3 +3397,57 @@ def docs_dedup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped.alias("n_dropped"),
         F.round(dropped * 1.0 / F.count("*"), 6).alias("dup_rate"),
     )
+
+
+@register(
+    "docs_token_entropy",
+    """
+    WITH toks AS (
+      SELECT lang, lower(term) AS term FROM (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    counts AS (SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY lang, term),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS vocab_size
+            FROM counts GROUP BY lang),
+    contrib AS (
+      SELECT c.lang, t.n_tokens, t.vocab_size,
+             CAST(round(-(CAST(c.n AS DOUBLE) / t.n_tokens)
+                        * log2(CAST(c.n AS DOUBLE) / t.n_tokens), 12)
+                  AS DECIMAL(16,12)) AS h
+      FROM counts c JOIN tot t USING (lang)
+    )
+    SELECT lang, n_tokens, vocab_size,
+           round(CAST(SUM(h) AS DOUBLE), 6) AS entropy_bits
+    FROM contrib GROUP BY lang, n_tokens, vocab_size
+    """,
+    doc="information-theoretic corpus QA: Shannon entropy of the unigram "
+    "distribution per language (bits/token) with vocab size — low "
+    "entropy flags templated/duplicated slices, high entropy flags noise "
+    "(the CCNet/Gopher-era diversity diagnostic). Per-term -p*log2(p) "
+    "contributions are single deterministic IEEE ops rounded to "
+    "fixed-point BEFORE the per-language sum, so vocabulary-order "
+    "accumulation cannot move the hash. One token aggregate (map-side "
+    "combined), language-sized totals joined back by key.",
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select("lang", F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .select("lang", F.lower(F.col("term")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    p = F.col("n").cast("double") / F.col("n_tokens")
+    h = F.round(-p * F.log2(p), 12).cast("decimal(16,12)")
+    contrib = counts.join(F.broadcast(tot), "lang").select(
+        "lang", "n_tokens", "vocab_size", h.alias("h")
+    )
+    return contrib.groupBy("lang", "n_tokens", "vocab_size").agg(
+        F.round(F.sum("h").cast("double"), 6).alias("entropy_bits")
+    )

@@ -212,6 +212,23 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # BENCH_r05 was parsed:null because the driver's stdout capture kept
+    # only a TAIL of the output and the full per-query line (~6 KB) lost
+    # its opening brace. Print a second, compact record LAST — headline
+    # total only, no per-query detail — so any tail-capture window still
+    # contains one complete, parseable JSON line. The full line above
+    # stays for humans and round-over-round per-query diffs.
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+    }
+    if partial:
+        compact["partial"] = True
+        compact["error_queries"] = sorted(errors)
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -17,7 +17,8 @@ Scale notes per operator:
   component structure comes out WITHOUT materializing candidate pairs.
   Iterations = graph diameter in key-hops; each is two shuffles
   (groupBy key, groupBy doc) with map-side combine on MIN.
-  ``localCheckpoint`` truncates the growing lineage each round.
+  ``reliable_checkpoint`` truncates the growing lineage each round
+  (fault-tolerant ``checkpoint()`` on clusters, local otherwise).
 - **Split + shard packing** — hash-split (train/val/test) then greedy
   token-budget packing via a running sum windowed over (split, bucket):
   bucketing bounds every window partition to ~1/n_buckets of the split,
@@ -35,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cupertino_nvr_spark.llm.text import token_count, ws_tokens
+from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
 # RE2-compatible (DuckDB) AND java.util.regex-compatible (Spark): no
 # lookaround, no backrefs; \b and bounded repetition work in both.
@@ -104,7 +106,9 @@ def components_over_keys(
     a loud failure beats a silently-wrong clustering.
     """
     labels = nodes.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
-    memb = membership.select(F.col(id_col), F.col(key_col)).distinct().localCheckpoint()
+    memb = reliable_checkpoint(
+        membership.select(F.col(id_col), F.col(key_col)).distinct()
+    )
 
     for _ in range(max_iter):
         key_min = (
@@ -120,7 +124,7 @@ def components_over_keys(
         # the change flag rides in the checkpointed frame, so convergence
         # detection is a column sum over the rows this round materializes
         # anyway — no extra old-vs-new join per round
-        new_labels = (
+        new_labels = reliable_checkpoint(
             labels.join(via_keys, id_col, "left")
             .select(
                 F.col(id_col),
@@ -129,7 +133,6 @@ def components_over_keys(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).cast("int").alias("_changed"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
         labels = new_labels.drop("_changed")

@@ -22,6 +22,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
 # Hard ceiling on the IVF centroid count: the centroid table is BROADCAST
 # to every task during assignment/routing, so it must stay bounded no
 # matter the corpus size. 4096 × (64 dims × 8 B) ≈ 2 MiB — comfortably
@@ -769,10 +771,12 @@ def kmeans_refine(
         )
         # k x dim rows: materialize per round so the next assignment's
         # plan doesn't replay the whole prior chain (the PageRank rule)
-        cents = dims.groupBy("cell_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centvec")
-        ).localCheckpoint()
+        cents = reliable_checkpoint(
+            dims.groupBy("cell_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centvec")
+            )
+        )
     return _assign(cents), cents

@@ -75,16 +75,33 @@ def compact_parquet(
     )
     plan = plan_compaction(listing, target_bytes, n_buckets)
     n_bins = max(plan.select("bucket", "bin").distinct().count(), 1)
+    # the rewrite join rides on internal columns; collision-proof names so
+    # a source table legitimately containing `bucket`/`bin`/`_file` never
+    # hits an ambiguous-reference error or a wrongly-dropped data column
+    fcol, bkcol, bncol = "__compact_file", "__compact_bucket", "__compact_bin"
+    src_cols = set(spark.read.parquet(src_dir).columns)
+    clash = src_cols & {fcol, bkcol, bncol}
+    if clash:
+        raise ValueError(
+            f"compact_parquet: source schema uses reserved internal "
+            f"column name(s) {sorted(clash)}"
+        )
     data = spark.read.parquet(src_dir).withColumn(
-        "_file", _norm(F.input_file_name())
+        fcol, _norm(F.input_file_name())
     )
     grouped = data.join(
-        F.broadcast(plan.select(F.col("path").alias("_file"), "bucket", "bin")),
-        "_file",
+        F.broadcast(
+            plan.select(
+                F.col("path").alias(fcol),
+                F.col("bucket").alias(bkcol),
+                F.col("bin").alias(bncol),
+            )
+        ),
+        fcol,
     )
     (
-        grouped.repartition(n_bins, "bucket", "bin")
-        .drop("_file", "bucket", "bin")
+        grouped.repartition(n_bins, bkcol, bncol)
+        .drop(fcol, bkcol, bncol)
         .write.mode("overwrite")
         .parquet(dst_dir)
     )

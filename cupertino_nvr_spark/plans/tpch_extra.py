@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 from cupertino_nvr_spark.plans.registry import register
 from cupertino_nvr_spark.sources.tables import load_table, register_views
 
@@ -1113,9 +1114,13 @@ def _pr_iter_sql(prev: str, out: str) -> str:
         "3-iteration PageRank (d=0.85) over the part co-purchase graph, "
         "top-20 by rank. Edges come from an order-keyed self-join "
         "(bounded by items-per-order squared, the orders_part_pairs "
-        "rule) and are localCheckpoint'd ONCE so the three iterations "
+        "rule) and are checkpointed ONCE so the three iterations "
         "reuse the materialized edge/degree frames instead of replaying "
-        "the lineitem derivation per iteration. Each iteration is one "
+        "the lineitem derivation per iteration — via reliable_checkpoint, "
+        "which uses fault-tolerant checkpoint() when a checkpoint dir is "
+        "configured (spark.cupertino.checkpoint.dir) and localCheckpoint "
+        "only under local masters, so one lost executor cannot strand "
+        "unreplicated blocks on a real cluster. Each iteration is one "
         "src-keyed join + one dst-keyed sum — O(|E|) per round, the "
         "canonical distributed PageRank step; the undirected edge set "
         "guarantees every node receives mass, so no dangling-node "
@@ -1140,9 +1145,9 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    edges = reliable_checkpoint(edges)
+    deg = reliable_checkpoint(edges.groupBy("src").agg(F.count("*").alias("deg")))
     n = deg.count()
     # carry (node, deg, r) together so each iteration joins the edge
     # stream ONCE — re-attaching deg onto the nodes-sized rank frame is

@@ -67,3 +67,28 @@ def test_compacted_sizes_bounded(spark, tmp_path):
     assert max(sizes) <= 2 * target + max(
         os.path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
     )
+
+
+def test_compact_survives_reserved_looking_columns(spark, tmp_path):
+    """A source whose schema legitimately contains `bucket`, `bin`, and
+    `_file` columns compacts cleanly: the rewrite join rides on
+    collision-proof __compact_* internals (ADVICE r5)."""
+    ev = (
+        load_table(spark, "events", SF)
+        .select(
+            "event_id",
+            F.col("user_id").alias("bucket"),
+            (F.col("value") > 0).alias("bin"),
+            F.lit("keep-me").alias("_file"),
+        )
+    )
+    src = f"{tmp_path}/clash_src"
+    ev.repartition(16).write.parquet(src)
+    dst = f"{tmp_path}/clash_dst"
+    compact_parquet(spark, src, dst, target_bytes=512 * 1024)
+    back = spark.read.parquet(dst)
+    assert set(back.columns) == {"event_id", "bucket", "bin", "_file"}
+    chk = lambda df: df.agg(  # noqa: E731
+        F.count("*"), F.sum(F.crc32(F.concat_ws(":", "event_id", "bucket")))
+    ).first()
+    assert chk(back) == chk(ev)

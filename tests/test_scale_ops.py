@@ -120,3 +120,43 @@ def test_embedding_neardup_full_recall(spark):
     # and nothing in the natural corpus is a false near-dup of itself
     natural = [(a, b) for (a, b) in pairs if a < 1000000 and b < 1000000]
     assert natural == []
+
+
+def test_reliable_checkpoint_local_fallback(spark):
+    """Under a local master with no checkpoint dir, reliable_checkpoint
+    falls back to localCheckpoint: lineage truncated, values unchanged."""
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = reliable_checkpoint(df)
+    assert [r.v for r in out.orderBy("id").collect()] == [2 * i for i in range(100)]
+    # lineage is truncated: the checkpointed frame scans a materialized RDD
+    assert "ExistingRDD" in physical_plan(out)
+
+
+def test_reliable_checkpoint_uses_reliable_dir(spark, tmp_path):
+    """With spark.cupertino.checkpoint.dir set, blocks go to the reliable
+    store (DataFrame.checkpoint), surviving executor loss on a cluster."""
+    from cupertino_nvr_spark.operators.checkpoint import (
+        CHECKPOINT_DIR_CONF,
+        reliable_checkpoint,
+    )
+
+    ckdir = str(tmp_path / "ck")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        df = spark.range(50).withColumn("v", F.col("id") + 1)
+        out = reliable_checkpoint(df)
+        assert "ExistingRDD" in physical_plan(out)
+        import os
+
+        assert any(os.scandir(ckdir)), "no files written to the reliable dir"
+        assert out.count() == 50
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+        # clear the session-wide dir so later tests see the local fallback
+        jsc = spark.sparkContext._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )

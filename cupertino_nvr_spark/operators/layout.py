@@ -28,10 +28,15 @@ MAX_TOTAL_BITS = 60
 
 def _bucket(c: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Min-max normalize ``c`` into [0, 2^bits) as a long; constant
-    columns (hi == lo) land in bucket 0."""
+    columns (hi == lo) land in bucket 0, and so do NULLs — without the
+    explicit coalesce, floor(null*top) is NULL and F.least skips NULLs,
+    so null rows would silently cluster at the curve's MAX corner and
+    give the files there artificially wide min-max stats on every other
+    dimension (ADVICE r5)."""
     span = (hi - lo).cast("double")
-    frac = F.when(span > 0, (c.cast("double") - lo.cast("double")) / span).otherwise(
-        F.lit(0.0)
+    frac = F.coalesce(
+        F.when(span > 0, (c.cast("double") - lo.cast("double")) / span),
+        F.lit(0.0),
     )
     top = F.lit((1 << bits) - 1)
     return F.least(F.floor(frac * top).cast("long"), top.cast("long"))

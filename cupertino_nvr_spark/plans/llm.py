@@ -3000,7 +3000,12 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic); both count tables come from ONE corpus aggregation pass
 # (conditional sums), the totals from the 1024-row bucket table itself, so
 # the corpus is tokenized exactly twice: counts pass + scoring pass.
-_DSIR_TARGET_SQL = "('src1', 'src2', 'src3')"
+# single source of truth for the curated-target source set: the SQL
+# IN-list and the Spark isin() both derive from this tuple so the oracle
+# and the plan cannot drift (ADVICE r5 — the failure mode the shared
+# MinHash/Jaccard CTE fragments exist to prevent)
+_DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
+_DSIR_TARGET_SQL = "(" + ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES) + ")"
 
 
 @register(
@@ -3048,7 +3053,7 @@ _DSIR_TARGET_SQL = "('src1', 'src2', 'src3')"
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.dedup import md5_int
 
-    target = ("src1", "src2", "src3")
+    target = _DSIR_TARGET_SOURCES
     docs = load_table(spark, "documents", sf_dir)
     feat = docs.select(
         "doc_id",
@@ -3091,6 +3096,12 @@ _KM_VECS_SQL = (
     "SELECT vec_id AS member_id, CAST(embedding AS DOUBLE[]) AS mvec FROM embeddings"
 )
 
+# the oracle's per-dim CTE must enumerate every vector position; the Spark
+# path asserts the data really has this many dims (embedding_kmeans below),
+# so a dimensionality change fails loudly instead of silently computing
+# means over the wrong dim set (ADVICE r5)
+_KM_DIM = 64
+
 
 def _km_assign_sql(cent: str, out: str) -> str:
     """argmax-cosine assignment CTE (ivf_assign's max_by tie-break: rounded
@@ -3116,7 +3127,7 @@ def _km_recompute_sql(assign: str, out: str) -> str:
              round(CAST(SUM(CAST(round(v.mvec[p.pos + 1], 9) AS DECIMAL(24,9))) AS DOUBLE)
                    / COUNT(*), 9) AS m
       FROM {assign} a JOIN vecs v USING (member_id)
-      CROSS JOIN range(0, 64) AS p(pos)
+      CROSS JOIN range(0, {_KM_DIM}) AS p(pos)
       GROUP BY a.cell_id, p.pos
     ),
     {out} AS (
@@ -3162,6 +3173,15 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.similarity import kmeans_refine
 
     emb = load_table(spark, "embeddings", sf_dir)
+    # the unrolled oracle enumerates exactly _KM_DIM positions; fail
+    # loudly on a dimensionality change instead of silently averaging the
+    # wrong dim set (one-row probe, negligible next to the Lloyd rounds)
+    probe = emb.select(F.size("embedding").alias("d")).first()
+    if probe is not None and probe.d != _KM_DIM:
+        raise ValueError(
+            f"embedding_kmeans: expected {_KM_DIM}-dim embeddings, "
+            f"data has {probe.d}"
+        )
     assign, _cents = kmeans_refine(emb, iterations=2)
     w = Window.partitionBy("cell_id")
     return assign.select(

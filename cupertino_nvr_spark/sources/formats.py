@@ -88,13 +88,21 @@ def read_csv(
         lines = lines.select(
             "value",
             F.input_file_name().alias("_f"),
+            F.input_file_block_start().alias("_bs"),
             F.monotonically_increasing_id().alias("_i"),
         )
-        # the true header is each file's first line, and split/partition
-        # ids are assigned in (file, offset) order, so the minimum id
-        # among a file's header-valued lines IS its header
+        # the true header is each file's first line, i.e. the first row of
+        # the block at byte offset 0. Restricting candidates to _bs == 0
+        # makes the min-id pick CONTRACTUAL: one block is scanned
+        # sequentially inside one partition, where monotonically
+        # increasing ids follow row order by construction — no reliance
+        # on how FileSourceScan orders splits across partitions (which is
+        # size-sorted, internal, and was the r5 ADVICE hazard). A data
+        # row equal to the header string in any later block can never be
+        # picked; in block 0 it always carries a larger id than the true
+        # header above it.
         headers = (
-            lines.filter(F.col("value") == header_line)
+            lines.filter((F.col("value") == header_line) & (F.col("_bs") == 0))
             .groupBy("_f")
             .agg(F.min("_i").alias("_i"))
         )

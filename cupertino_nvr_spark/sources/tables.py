@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import warnings
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
@@ -41,12 +42,13 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """
     try:
         df = spark.read.parquet(path)
-    except Exception as exc:
+    except AnalysisException as exc:
         # Older driver data: parquet TIMESTAMP(NANOS) fails schema inference
         # unless the legacy conf maps it to long. Retry once with it set —
-        # but ONLY for that failure: an unrelated error (missing/corrupt
-        # file) must surface as itself, not as the retry's error, and must
-        # not mutate session config as a side effect.
+        # but ONLY for that exact failure class (an AnalysisException naming
+        # NANOS): an unrelated error (missing/corrupt file, IO) must surface
+        # as itself, not as the retry's error, and must not mutate session
+        # config as a side effect.
         if "NANOS" not in str(exc).upper():
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

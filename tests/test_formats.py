@@ -171,3 +171,25 @@ def test_chunk_udtf_matches_codegen_on_null_text(spark):
     a = sorted(map(tuple, chunk_docs_udtf(df).collect()))
     b = sorted(map(tuple, codegen.collect()))
     assert a == b
+
+
+def test_csv_header_drop_is_block_anchored(spark, tmp_path):
+    """The header drop only considers candidates in the byte-0 block of
+    each file (input_file_block_start == 0), where min-id-equals-first-
+    line is contractual — not dependent on FileSourceScan's internal
+    split ordering (ADVICE r5). A header-valued data row far into the
+    file (a later block under adversarial splitting) can never be the
+    drop target."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType().add("a", "string").add("b", "string")
+    p = tmp_path / "blocky.csv"
+    # header + many rows, one of which repeats the header string mid-file
+    rows = ["a,b"] + [f"r{i},v{i}" for i in range(500)]
+    rows[250] = "a,b"  # data row equal to the header line
+    p.write_text("\n".join(rows) + "\n")
+    good, bad = read_csv(spark, str(p), schema, header=True)
+    out = good.collect()
+    assert len(out) == 500  # 499 distinct rows + the header-valued one
+    assert sum(1 for r in out if (r.a, r.b) == ("a", "b")) == 1
+    assert bad.count() == 0

@@ -81,3 +81,22 @@ def test_zorder_rejects_oversized_keys(spark):
     ev = load_table(spark, "events", SF)
     with pytest.raises(ValueError, match="bits"):
         zorder_key(ev, ["user_id", "value", "event_id"], bits=21)
+
+
+def test_zorder_nulls_go_to_min_corner(spark):
+    """NULL dimension values bucket to 0 (the min corner), not the max:
+    floor(null*top) is NULL and F.least skips NULLs, so without the
+    explicit coalesce nulls would cluster in the max-corner file and
+    widen its stats on every other dimension (ADVICE r5)."""
+    from cupertino_nvr_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (100, 0), (None, 0), (None, 100)], "x int, y int"
+    )
+    keys = {
+        (r.x, r.y): r._zkey
+        for r in zorder_key(df, ["x", "y"], bits=4).collect()
+    }
+    assert keys[(None, 0)] == keys[(0, 0)]  # null == min corner on x
+    assert keys[(None, 100)] == keys[(0, 100)] if (0, 100) in keys else True
+    assert keys[(None, 0)] != keys[(100, 0)]

@@ -88,12 +88,16 @@ class ControlPlane:
         config: EngineConfig,
         query_factory: Callable[[EngineConfig], Any] | None = None,
         clock: Callable[[], float] = time.time,
+        metrics_provider: Callable[[], dict[str, Any] | None] | None = None,
     ) -> None:
         self.instance_id = instance_id
         self.config = config.validated()
         self._query_factory = query_factory
         self._query: Any = None
         self._clock = clock
+        # `metrics` command source: typically a closure over a
+        # ProgressListener's latest snapshot (attach_metrics_listener)
+        self._metrics_provider = metrics_provider
         self._start_time = clock()
         self._lock = threading.RLock()
         self.paused = False
@@ -183,6 +187,11 @@ class ControlPlane:
                 "add_stream": self._cmd_add_stream,
                 "remove_stream": self._cmd_remove_stream,
                 "update_config": self._cmd_update_config,
+                # command-plane parity with the reference registration
+                # (processor.py:390-407): stop / metrics / rename_instance
+                "stop": self._cmd_stop,
+                "metrics": self._cmd_metrics,
+                "rename_instance": self._cmd_rename_instance,
             }
         )
 
@@ -231,6 +240,49 @@ class ControlPlane:
         self._config_change(
             "streams", tuple(s for s in self.config.streams if s != uri), restart=True
         )
+
+    def _cmd_stop(self, params: dict[str, str]) -> None:
+        # STOP terminates the data plane completely (reference
+        # command_handlers.py:164-180: terminate_pipeline + a terminal
+        # "stopped" status). Delegates to the lifecycle stop() — query
+        # factory teardown — so the command plane and the programmatic API
+        # share one teardown path; the instance stays alive to answer
+        # ping/get_status/restart, as the reference processor does until
+        # its shutdown completes.
+        with self._lock:
+            self.stop()
+
+    def _cmd_metrics(self, params: dict[str, str]) -> None:
+        # METRICS returns the latest performance snapshot (reference
+        # command_handlers.py:340-373: full watchdog report published to
+        # the status plane). Provider absent -> "metrics_unavailable"
+        # status and a completed ack, mirroring the reference's
+        # warn-and-return rather than an error.
+        if self._metrics_provider is None:
+            self._set_status(self.status, metrics=None, metrics_available=False)
+            return
+        snapshot = self._metrics_provider()
+        self._set_status(
+            self.status,
+            metrics=snapshot,
+            metrics_available=snapshot is not None,
+            uptime_s=round(self.uptime_s(), 3),
+        )
+
+    def _cmd_rename_instance(self, params: dict[str, str]) -> None:
+        # RENAME_INSTANCE changes instance_id WITHOUT a restart (reference
+        # command_handlers.py:430-475). The received ack is emitted under
+        # the OLD id before this handler runs and the completed ack under
+        # the NEW one after — both identities appear on the ack stream, so
+        # an orchestrator can stitch the rename. Status carries
+        # renamed_from for the same reason.
+        new_id = (params or {}).get("new_instance_id")
+        if not new_id:
+            raise ValueError("Missing required parameter: new_instance_id")
+        with self._lock:
+            old_id = self.instance_id
+            self.instance_id = new_id
+            self._set_status(self.status, renamed_from=old_id)
 
     def _cmd_update_config(self, params: dict[str, str]) -> None:
         coerced: dict[str, Any] = {}

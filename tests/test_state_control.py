@@ -347,3 +347,98 @@ def test_stream_add_remove_and_pause_resume():
     assert plane.paused and plane.status == "paused"
     plane.handle_command_row(Row(ts=5.0, command="resume", params=None, target_instances=None))
     assert not plane.paused and plane.status == "running"
+
+
+def test_stop_command_tears_down_query():
+    """`stop` (reference processor.py:392) delegates to the lifecycle
+    teardown: query stopped and cleared, terminal status, completed ack —
+    and the instance still answers ping afterwards."""
+    plane, built = make_plane()
+    q0 = plane.query
+    plane.handle_command_row(
+        Row(ts=1.0, command="stop", params=None, target_instances=None)
+    )
+    assert q0.stopped and plane.query is None
+    assert plane.status == "stopped"
+    assert [(a["command"], a["ack_status"]) for a in plane.acks] == [
+        ("stop", "received"),
+        ("stop", "completed"),
+    ]
+    plane.handle_command_row(
+        Row(ts=2.0, command="ping", params=None, target_instances=None)
+    )
+    assert plane.acks[-1] == {
+        "instance_id": "i1",
+        "command": "ping",
+        "ack_status": "completed",
+        "ts": plane.acks[-1]["ts"],
+        "message": None,
+    }
+
+
+def test_metrics_command_returns_snapshot():
+    """`metrics` (reference command_handlers.py:340-373) publishes the
+    provider's latest snapshot on the status stream; without a provider it
+    reports metrics_available=False but still completes (the reference
+    warns and returns, never errors)."""
+    snap = {"batch_id": 7, "processed_rows_per_second": 123.4}
+    built = []
+
+    def factory(config):
+        built.append(config)
+        return FakeQuery()
+
+    plane = ControlPlane(
+        "i1",
+        EngineConfig(streams=("rtsp://cam:8554/1",)),
+        query_factory=factory,
+        metrics_provider=lambda: snap,
+    )
+    plane.start()
+    plane.handle_command_row(
+        Row(ts=1.0, command="METRICS", params=None, target_instances=None)
+    )
+    st = plane.statuses[-1]
+    assert st["metrics"] == snap and st["metrics_available"] is True
+    assert plane.acks[-1]["ack_status"] == "completed"
+
+    bare, _ = make_plane()
+    bare.handle_command_row(
+        Row(ts=1.0, command="metrics", params=None, target_instances=None)
+    )
+    st = bare.statuses[-1]
+    assert st["metrics"] is None and st["metrics_available"] is False
+    assert bare.acks[-1]["ack_status"] == "completed"
+
+
+def test_rename_instance_acks_from_both_ids():
+    """`rename_instance` (reference command_handlers.py:430-475) mutates
+    instance_id without a restart; the received ack carries the old id,
+    the completed ack the new one, and status records renamed_from."""
+    plane, built = make_plane()
+    q0 = plane.query
+    plane.handle_command_row(
+        Row(
+            ts=1.0,
+            command="rename_instance",
+            params={"new_instance_id": "i2"},
+            target_instances=["i1"],
+        )
+    )
+    assert plane.instance_id == "i2"
+    assert plane.query is q0 and not q0.stopped  # no restart
+    recv, done = plane.acks[-2], plane.acks[-1]
+    assert (recv["ack_status"], recv["instance_id"]) == ("received", "i1")
+    assert (done["ack_status"], done["instance_id"]) == ("completed", "i2")
+    assert plane.statuses[-1]["renamed_from"] == "i1"
+    # addressed commands now resolve under the NEW identity only
+    plane.handle_command_row(
+        Row(ts=2.0, command="ping", params=None, target_instances=["i1"])
+    )
+    assert plane.acks[-1]["command"] != "ping"  # old id no longer targeted
+    # missing param -> error ack, identity untouched
+    plane.handle_command_row(
+        Row(ts=3.0, command="rename_instance", params={}, target_instances=None)
+    )
+    assert plane.acks[-1]["ack_status"] == "error"
+    assert plane.instance_id == "i2"

@@ -156,8 +156,9 @@ def _op_zorder_events(spark, sf_dir: str, scratch: str) -> None:
 
 def _op_incremental_merge(spark, sf_dir: str, scratch: str) -> None:
     """3-batch incremental maintenance of a per-user SUM/COUNT/MAX
-    materialization: base build from batch 0, then two delta merges —
-    the O(|delta|) refresh path, never a full recompute."""
+    materialization plus a mergeable HLL distinct-event-type sketch:
+    base build from batch 0, then two delta merges — the O(|delta|)
+    refresh path, never a full recompute."""
     from pyspark.sql import functions as F
 
     from cupertino_nvr_spark.operators.incremental import (
@@ -166,7 +167,10 @@ def _op_incremental_merge(spark, sf_dir: str, scratch: str) -> None:
     )
 
     ev = load_table(spark, "events", sf_dir)
-    kw = dict(keys=["user_id"], sums=["value"], maxs=["ts"])
+    kw = dict(
+        keys=["user_id"], sums=["value"], maxs=["ts"],
+        approx_distincts=["event_type"],
+    )
     batches = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
     current = aggregate_base(batches[0], **kw)
     current.write.mode("overwrite").parquet(f"{scratch}/mat")
@@ -257,20 +261,29 @@ def main() -> None:
             errors[name] = repr(exc)[:200]
             return None
 
+    # headline-only mode for stress runs at larger scale factors (the
+    # extras include deliberately-quadratic correctness baselines that
+    # have no business running at sf1+)
+    headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") == "1"
     timings = {name: timed_safe(name) for name in HEADLINE}
-    variants = {name: timed_safe(name) for name in VARIANTS}
-    extras = {name: timed_safe(name, include_build=True) for name in EXTRAS}
+    variants = {} if headline_only else {name: timed_safe(name) for name in VARIANTS}
+    extras = (
+        {}
+        if headline_only
+        else {name: timed_safe(name, include_build=True) for name in EXTRAS}
+    )
 
-    scratch = str(Path(__file__).resolve().parent / ".bench_tmp")
-    for name, op in OPS.items():
-        try:
-            t0 = time.perf_counter()
-            op(spark, sf_dir, scratch)
-            extras[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            errors[name] = repr(exc)[:200]
-            extras[name] = None
-    shutil.rmtree(scratch, ignore_errors=True)
+    if not headline_only:
+        scratch = str(Path(__file__).resolve().parent / ".bench_tmp")
+        for name, op in OPS.items():
+            try:
+                t0 = time.perf_counter()
+                op(spark, sf_dir, scratch)
+                extras[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                errors[name] = repr(exc)[:200]
+                extras[name] = None
+        shutil.rmtree(scratch, ignore_errors=True)
 
     # a degraded total (some headline query errored) must not be mistaken
     # for an improvement in round-over-round comparisons: emit null + an

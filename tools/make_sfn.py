@@ -1,0 +1,156 @@
+"""Deterministic scale-up of the driver's test data for stress runs.
+
+The driver ships sf0.001/0.01/0.1; the 100 TB posture claims need at
+least one data point a size up to surface skew, window growth, and
+spill behavior that 600k rows cannot. This tool replicates a source
+scale-factor directory ``factor`` times with deterministic, seedless
+transforms (pure column arithmetic — reproducible run-over-run):
+
+- ``events``: copies keep the SAME user population (per-user history
+  grows ``factor``x — the window/session stress case) with ids shifted
+  by a per-copy stride and timestamps offset by ``copy * 11s`` so
+  ordering stays strict.
+- ``documents``: ids shifted; copies > 0 get a per-copy suffix token so
+  exact dedup doesn't trivially collapse them while shingle overlap
+  keeps the near-dup pipeline loaded.
+- ``embeddings``: ids shifted; one vector dimension (vec_id mod dim)
+  nudged by ``copy * 3e-3`` so copies are near- but not exact
+  neighbors — the ANN stress case.
+- ``orders``/``lineitem``: order keys shifted by one shared stride so
+  the FK holds; customers/parts/suppliers stay fixed, so per-customer
+  and per-part fan-in grows ``factor``x (the realistic skew direction).
+- dimension tables (``region nation customer supplier part``): copied
+  unchanged.
+
+Usage:
+    python tools/make_sfn.py [--src /root/testdata/sf0.1] \
+        [--dst /root/repo/.sf1] [--factor 10]
+Then:
+    SPARK_GRAFT_SF_DIR=/root/repo/.sf1 python bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from cupertino_nvr_spark.session import get_spark  # noqa: E402
+from cupertino_nvr_spark.sources.tables import load_table  # noqa: E402
+
+COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")
+
+
+def _stride(df: DataFrame, key: str) -> int:
+    return int(df.agg(F.max(key)).first()[0]) + 1
+
+
+def _replicate(df: DataFrame, factor: int, per_copy) -> DataFrame:
+    out = None
+    for i in range(factor):
+        c = per_copy(df, i)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def scale_dir(spark, src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+
+    for name in COPY_UNCHANGED:
+        load_table(spark, name, src).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
+
+    ev = load_table(spark, "events", src)
+    ev_stride = _stride(ev, "event_id")
+    _replicate(
+        ev,
+        factor,
+        lambda df, i: df.select(
+            (F.col("event_id") + F.lit(i * ev_stride)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 11} SECONDS")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ),
+    ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+    docs = load_table(spark, "documents", src)
+    d_stride = _stride(docs, "doc_id")
+    _replicate(
+        docs,
+        factor,
+        lambda df, i: df.select(
+            (F.col("doc_id") + F.lit(i * d_stride)).alias("doc_id"),
+            (
+                F.col("text")
+                if i == 0
+                else F.concat(F.col("text"), F.lit(f" rep{i}"))
+            ).alias("text"),
+            "lang",
+            "source",
+            F.length(
+                F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" rep{i}"))
+            ).cast("long").alias("n_chars"),
+        ),
+    ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+    emb = load_table(spark, "embeddings", src)
+    v_stride = _stride(emb, "vec_id")
+    dim = emb.select(F.size("embedding")).first()[0]
+    _replicate(
+        emb,
+        factor,
+        lambda df, i: df.select(
+            (F.col("vec_id") + F.lit(i * v_stride)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda v, p: F.when(
+                    p == F.pmod(F.col("vec_id"), F.lit(dim)).cast("int"),
+                    v + F.lit(i * 3e-3),
+                ).otherwise(v).cast("float"),
+            ).alias("embedding"),
+            "label",
+        ),
+    ).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+
+    orders = load_table(spark, "orders", src)
+    li = load_table(spark, "lineitem", src)
+    o_stride = _stride(orders, "o_orderkey")
+    _replicate(
+        orders,
+        factor,
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * o_stride)
+        ),
+    ).write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+    _replicate(
+        li,
+        factor,
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * o_stride)
+        ),
+    ).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default=str(Path(__file__).resolve().parent.parent / ".sf1"))
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    spark = get_spark("make-sfn")
+    scale_dir(spark, args.src, args.dst, args.factor)
+    for p in sorted(Path(args.dst).glob("*.parquet")):
+        n = spark.read.parquet(str(p)).count()
+        print(f"{p.name}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,8 @@ EXTRAS = [
     "events_hourly_profile",
     "orders_seasonality",
     "docs_token_entropy",
+    "events_cdc_apply",
+    "event_type_user_overlap",
 ]
 
 

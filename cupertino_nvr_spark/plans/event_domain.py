@@ -387,3 +387,175 @@ def per_source_latest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resolution",
         )
     )
+
+
+@register(
+    "events_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM events)
+    SELECT user_id, n_ops, n_deletes, value AS last_value, ts AS last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc=(
+        "CDC/MERGE apply — the lakehouse upsert-and-delete pattern the "
+        "incremental-maintenance family needs upstream of it: the events "
+        "stream is read as a change log keyed by user_id ('error' rows "
+        "are tombstones, everything else an upsert), applied in "
+        "(ts, event_id) order, producing the final table state — "
+        "surviving keys with their last payload plus op/tombstone "
+        "counts. One user-keyed window (ROW_NUMBER + two frame-free "
+        "window aggregates share a single sort/shuffle), then a filter: "
+        "O(n) with one Exchange, the exact shape a MERGE INTO compiles "
+        "to when the change log fits one pass. A key whose LAST op is a "
+        "tombstone vanishes from the output — delete-wins semantics, "
+        "checked by the oracle row count."
+    ),
+)
+def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    wk = Window.partitionBy("user_id")
+    wo = wk.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(wk)
+        .cast("bigint")
+        .alias("n_deletes"),
+        F.count("*").over(wk).alias("n_ops"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        "n_ops",
+        "n_deletes",
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "event_type_user_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    cnt AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS users_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, users_both,
+           round(users_both * 1.0 / (ca.n + cb.n - users_both), 6) AS jaccard
+    FROM p
+    JOIN cnt ca ON type_a = ca.event_type
+    JOIN cnt cb ON type_b = cb.event_type
+    """,
+    doc=(
+        "audience-overlap matrix: for every unordered pair of event "
+        "types, the number of distinct users doing BOTH, plus the "
+        "Jaccard overlap of the two audiences — the exact companion to "
+        "what a theta-sketch intersection estimates at 100 TB. The "
+        "self-join is keyed on user_id and the per-user type set is "
+        "bounded by the (small, fixed) type vocabulary, so the join "
+        "output is at most |users| * C(|types|, 2) rows with C a "
+        "constant — O(n), one user-keyed shuffle after a map-side "
+        "distinct; the per-type totals are a types-sized broadcast."
+    ),
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    cnt = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("users_both"))
+    )
+    ca = F.broadcast(cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")))
+    cb = F.broadcast(cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")))
+    return (
+        pairs.join(ca, "type_a")
+        .join(cb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_both",
+            F.round(
+                F.col("users_both")
+                / (F.col("na") + F.col("nb") - F.col("users_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "event_type_user_overlap_sketch",
+    None,  # sketch estimates are impl-defined (HLL register layout), so no
+    # cross-engine hash oracle — bench_only like user_value_sketches; the
+    # error bound vs the exact overlap matrix is pinned in
+    # tests/test_sketches.py, and event_type_user_overlap is the
+    # oracle-checked exact companion.
+    doc=(
+        "audience-overlap matrix on sketches — the 100 TB form of "
+        "event_type_user_overlap: ONE corpus pass builds a per-type HLL "
+        "sketch of the user audience (constant memory per type), then "
+        "the |types|-sized sketch table self-joins (25 pairs) and "
+        "|A∩B| comes from inclusion-exclusion over hll_union — no "
+        "user-keyed shuffle, no per-user rows after the first "
+        "aggregation. Spark ships no sketch-intersection builtin; "
+        "union + inclusion-exclusion is the standard identity, with "
+        "error growing toward small intersections (documented "
+        "DataSketches behavior — the exact twin is the answer when the "
+        "overlap itself is tiny)."
+    ),
+    bench_only=True,
+)
+def event_type_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_est"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_est").alias("na"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_est").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    union_est = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    both = F.greatest(F.col("na") + F.col("nb") - union_est, F.lit(0))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        both.alias("users_both_est"),
+        F.round(both / union_est, 6).alias("jaccard_est"),
+    )

@@ -120,7 +120,47 @@ def main(argv: list[str] | None = None) -> int:
     demo_p = sub.add_parser("demo", help="run the end-to-end streaming pipeline demo")
     _add_stream_options(demo_p)
 
+    sub.add_parser("list-queries", help="list every registered query (name + one-line doc)")
+
+    query_p = sub.add_parser("query", help="run a registered query against a scale-factor dir")
+    query_p.add_argument("name", help="query name (see list-queries)")
+    query_p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="scale-factor directory of parquet tables",
+    )
+    query_p.add_argument("--limit", type=int, default=20, help="rows to show (0 = all)")
+    query_p.add_argument(
+        "--explain", action="store_true", help="print the formatted physical plan instead of rows"
+    )
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "list-queries":
+        from cupertino_nvr_spark.plans import REGISTRY
+
+        for name, spec in REGISTRY.items():
+            tag = " [bench-only]" if spec.bench_only else ""
+            first_line = (spec.doc or "").strip().splitlines()[0][:100] if spec.doc else ""
+            print(f"{name}{tag}: {first_line}")
+        return 0
+
+    if args.cmd == "query":
+        from cupertino_nvr_spark.plans import REGISTRY
+        from cupertino_nvr_spark.session import get_spark
+
+        if args.name not in REGISTRY:
+            parser.error(
+                f"unknown query {args.name!r}; run list-queries for the inventory"
+            )
+        spark = get_spark("cupertino-nvr-spark-cli")
+        df = REGISTRY[args.name].spark(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit or df.count(), truncate=False)
+        return 0
+
     plan = build_stream_plan(args.n, args.start, args.end, args.streams, args.stream_server)
     config = build_engine_config(
         plan, args.model, args.max_fps, args.confidence, args.metrics_interval

@@ -60,3 +60,36 @@ def test_plan_subcommand_prints_json(capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["plan"]["stream_indices"] == [2, 5]
     assert out["config"]["streams"] == ["rtsp://x:1/l/2", "rtsp://x:1/l/5"]
+
+
+def test_list_queries_covers_registry(capsys):
+    from cupertino_nvr_spark.cli import main
+    from cupertino_nvr_spark.plans import REGISTRY
+
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().splitlines() if l]
+    assert len(lines) == len(REGISTRY)
+    assert any(l.startswith("asof_ttl_overlay:") for l in lines)
+    assert any("[bench-only]" in l for l in lines)
+
+
+def test_query_subcommand_runs_and_explains(spark, capsys):
+    from cupertino_nvr_spark.cli import main
+
+    assert main(["query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out and "sum_qty" in out
+
+    assert main(["query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001", "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "AdaptiveSparkPlan" in out or "HashAggregate" in out
+
+
+def test_query_subcommand_unknown_name():
+    import pytest as _pytest
+
+    from cupertino_nvr_spark.cli import main
+
+    with _pytest.raises(SystemExit):
+        main(["query", "no_such_query"])

@@ -760,3 +760,61 @@ def test_windowed_distinct_count_stream_matches_batch(spark, stream_dir):
     expected = {(r["s"], r["n"]) for r in batch}
     assert got == expected  # days 1-3, closed by the flushed watermark
     assert dict(got)[ts(0)] == 3  # day 1: users {1,2,3}, dedup across batches
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (streaming twin of the batch events_cdc_apply plan)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_stream_matches_batch(spark, stream_dir):
+    """The stream's retained view (latest state per key, tombstoned keys
+    dropped) equals the batch events_cdc_apply result on the same log —
+    for ANY batch chopping, since counters are order-independent and the
+    payload only overwrites on a strictly newer (ts, event_id)."""
+    from cupertino_nvr_spark.plans import REGISTRY
+    from cupertino_nvr_spark.sources.tables import load_table
+    from cupertino_nvr_spark.streaming.cdc import cdc_apply_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # four replay batches, chopped by event_id hash (arbitrary order)
+    src = f"{stream_dir}/cdclog"
+    write_batches(
+        [ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i) for i in range(4)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        cdc_apply_stream(stream), stream_dir, output_mode="update"
+    ).collect()
+
+    # n_ops is strictly monotonic per key, so the final state per key is
+    # its max-n_ops row (no reliance on sink row order)
+    final = {}
+    for r in out:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_ops"] > cur["n_ops"]:
+            final[r["user_id"]] = r
+
+    survivors = {
+        u: (r["n_ops"], r["n_deletes"], r["last_value"], r["last_ts"])
+        for u, r in final.items()
+        if not r["deleted"]
+    }
+    batch = {
+        r["user_id"]: (r["n_ops"], r["n_deletes"], r["last_value"], r["last_ts"])
+        for r in REGISTRY["events_cdc_apply"].spark(spark, sf).collect()
+    }
+    assert survivors == batch
+    # every key appears exactly once in the final view; tombstoned keys
+    # are precisely the users whose newest op is an 'error'
+    all_users = {r["user_id"] for r in ev.select("user_id").distinct().collect()}
+    assert set(final) == all_users
+    assert {u for u, r in final.items() if r["deleted"]} == all_users - set(batch)

@@ -55,6 +55,7 @@ VARIANTS = [
     "embedding_cosine_topk_fast",
     "embedding_int8_ann",
     "docs_chunked_udtf",
+    "event_type_user_overlap_sketch",
 ]
 
 # also timed outside the headline total: queries added after round 1

@@ -104,6 +104,12 @@ ALLOWED_BNLJ = {
     "docs_lsh_quality_eval",
     # 1-row revenue-total attach onto the 12-row month table
     "orders_seasonality",
+    # the pair join runs over the |types|-sized per-type SKETCH table
+    # (both sides are post-aggregation, bounded by the event-type
+    # vocabulary — never per-user rows); a theta `<` join on a
+    # broadcast-tiny side is the right physical shape for the
+    # unordered-pair enumeration
+    "event_type_user_overlap_sketch",
 }
 
 

@@ -133,6 +133,8 @@ EXTRAS = [
     "docs_token_entropy",
     "events_cdc_apply",
     "event_type_user_overlap",
+    "orders_open_backlog",
+    "events_value_mad",
 ]
 
 

@@ -1099,3 +1099,70 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev_d.alias("revenue"),
         F.round(rev_d / tot_d, 6).alias("revenue_share"),
     )
+
+
+@register(
+    "events_value_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MAX(med) AS med, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(MAX(s.med), 6) AS value_median,
+           round(MAX(s.mad), 6) AS value_mad,
+           CAST(SUM(CASE WHEN d.ad > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           COUNT(*) AS n_events
+    FROM dev d JOIN mad s USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc=(
+        "robust dispersion + outlier gate per event type: median, median "
+        "absolute deviation, and the count of |x - median| > 3*MAD "
+        "outliers — the robust-statistics alternative to the z-score "
+        "family (a single wild value moves a z-score threshold but not "
+        "a MAD one). Two exact per-group percentile aggregations with a "
+        "types-sized broadcast between them, then one counting pass — "
+        "every corpus-sized stage is a map-side-combinable aggregate or "
+        "a broadcast join, no user-keyed shuffle at all. Spark "
+        "`percentile` and DuckDB `quantile_cont` interpolate at the "
+        "same rank, and |x-med| / 3*mad comparisons are deterministic "
+        "IEEE, so the oracle hash-matches without fixed-point tricks. "
+        "At 100 TB the exact percentiles swap for the KLL sketch path "
+        "(operators/incremental.py) at the cost of rank error."
+    ),
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(ad, 0.5)").alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("value_median"),
+            F.round(F.max("mad"), 6).alias("value_mad"),
+            F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+    )

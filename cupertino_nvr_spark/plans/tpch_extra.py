@@ -1277,3 +1277,77 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "n_suppliers")
         .agg(F.round(F.sum("sq_share").cast("double"), 6).alias("hhi"))
     )
+
+
+@register(
+    "orders_open_backlog",
+    """
+    WITH span AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(MAX(l.l_shipdate) AS DATE) + 1 AS end_day
+      FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+        SELECT start_day AS day, 1 AS d FROM span
+        UNION ALL
+        SELECT end_day AS day, -1 AS d FROM span)
+      GROUP BY day
+    )
+    SELECT day, delta,
+           CAST(SUM(delta) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_open
+    FROM deltas
+    """,
+    doc=(
+        "concurrent-interval counting via delta encoding + prefix sum — "
+        "how many orders are OPEN (placed, not yet fully shipped) on "
+        "each day. The naive formulation is a point-in-interval range "
+        "join (every day x every order — quadratic and unshuffleable); "
+        "the scalable identity instead emits +1/-1 boundary deltas per "
+        "order, aggregates them to DATE granularity with map-side "
+        "combine (one keyed shuffle over order-count rows), and runs "
+        "the prefix sum over the DATES-sized series — the unpartitioned "
+        "running-sum window is safe precisely because it executes on "
+        "the calendar-sized aggregate, never on facts (the "
+        "daily_revenue_gapfill rule). Each order's close date is its "
+        "max l_shipdate; the interval is [orderdate, close], close "
+        "inclusive via the +1-day exclusive bound."
+    ),
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+        .select(
+            F.to_date("o_orderdate").alias("start_day"),
+            F.date_add(F.to_date("close_ts"), 1).alias("end_day"),
+        )
+    )
+    # explode the two boundary deltas instead of a self-union: the union
+    # form duplicates the whole span subtree (two fact scans + two
+    # aggregations); the explode emits both rows from ONE pass
+    deltas = (
+        span.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("start_day").alias("day"), F.lit(1).alias("d")),
+                    F.struct(F.col("end_day").alias("day"), F.lit(-1).alias("d")),
+                )
+            ).alias("b")
+        )
+        .select("b.day", "b.d")
+        .groupBy("day")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day", "delta", F.sum("delta").over(w).cast("bigint").alias("n_open")
+    )

@@ -356,6 +356,71 @@ class ControlPlane:
         )
 
 
+def full_metrics_report(
+    instance_id: str,
+    listener: "ProgressListener | None" = None,
+    per_source_rows: list[dict[str, Any]] | None = None,
+    status_updates: list[dict[str, Any]] | None = None,
+    clock: Callable[[], float] = time.time,
+) -> dict[str, Any]:
+    """The METRICS command's full report, shaped exactly like the
+    reference's ``MetricsReporter.get_full_report``
+    (``metrics_reporter.py:111-156``): timestamp, instance id, current
+    throughput, per-source latency reports, per-source metadata
+    (fps/resolution), and recent status updates.
+
+    Pure shaping — the inputs are the ProgressListener (U4 hook), the
+    collected rows of the ``per_source_latest_metrics`` plan (P8/A3:
+    source_id, avg_inference_ms, last_fps, last_latency_ms, resolution),
+    and the control plane's status side-output, so it runs identically
+    against live listeners or test fakes. Wire it as the plane's
+    ``metrics_provider``:
+
+        plane = ControlPlane(..., metrics_provider=lambda:
+            full_metrics_report(plane.instance_id, listener, rows,
+                                plane.statuses))
+    """
+    import datetime as _dt
+
+    latest = listener.progress[-1] if listener and listener.progress else None
+    rows = per_source_rows or []
+    return {
+        "timestamp": _dt.datetime.fromtimestamp(
+            clock(), tz=_dt.timezone.utc
+        ).isoformat(),
+        "instance_id": instance_id,
+        "inference_throughput": (
+            latest.get("processed_rows_per_second") if latest else None
+        ),
+        "latency_reports": [
+            {
+                "source_id": r.get("source_id"),
+                # the Spark engine has no frame-decoding stage (pixels are
+                # out of scope); inference + e2e mirror the reference keys
+                "inference_latency_ms": r.get("avg_inference_ms"),
+                "e2e_latency_ms": r.get("last_latency_ms"),
+            }
+            for r in rows
+        ],
+        "sources_metadata": [
+            {
+                "source_id": r.get("source_id"),
+                "fps": r.get("last_fps"),
+                "resolution": r.get("resolution"),
+            }
+            for r in rows
+        ],
+        "status_updates": [
+            {
+                "status": u.get("status"),
+                "ts": u.get("ts"),
+                "message": u.get("message", ""),
+            }
+            for u in (status_updates or [])[-10:]
+        ],
+    }
+
+
 def attach_metrics_listener(spark) -> "ProgressListener":
     """Register a StreamingQueryListener capturing per-batch progress
     (rows/sec, batch duration, state rows) — the watchdog/metrics hook
@@ -404,5 +469,6 @@ __all__ = [
     "ControlPlane",
     "targeted",
     "attach_metrics_listener",
+    "full_metrics_report",
     "ProgressListener",
 ]

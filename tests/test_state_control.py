@@ -442,3 +442,45 @@ def test_rename_instance_acks_from_both_ids():
     )
     assert plane.acks[-1]["ack_status"] == "error"
     assert plane.instance_id == "i2"
+
+
+def test_full_metrics_report_shape():
+    """full_metrics_report mirrors the reference get_full_report shape
+    (metrics_reporter.py:111-156) and wires cleanly as a plane's
+    metrics_provider end-to-end through the metrics command."""
+    from cupertino_nvr_spark.streaming.control import full_metrics_report
+
+    class FakeListener:
+        progress = [
+            {"batch_id": 1, "processed_rows_per_second": 10.0},
+            {"batch_id": 2, "processed_rows_per_second": 42.5},
+        ]
+
+    rows = [
+        {
+            "source_id": 1, "avg_inference_ms": 12.3, "last_fps": 25.0,
+            "last_latency_ms": 50.0, "resolution": "1280x720",
+        }
+    ]
+    plane, _ = make_plane()
+    plane._metrics_provider = lambda: full_metrics_report(
+        plane.instance_id, FakeListener(), rows, plane.statuses,
+        clock=lambda: 1_700_000_000.0,
+    )
+    plane.handle_command_row(
+        Row(ts=1.0, command="metrics", params=None, target_instances=None)
+    )
+    rep = plane.statuses[-1]["metrics"]
+    assert rep["instance_id"] == "i1"
+    assert rep["inference_throughput"] == 42.5
+    assert rep["latency_reports"] == [
+        {"source_id": 1, "inference_latency_ms": 12.3, "e2e_latency_ms": 50.0}
+    ]
+    assert rep["sources_metadata"] == [
+        {"source_id": 1, "fps": 25.0, "resolution": "1280x720"}
+    ]
+    assert rep["status_updates"][-1]["status"] == "running"
+    assert rep["timestamp"].startswith("2023-11-14T22:13:20")
+    # provider without listener data degrades to None throughput
+    bare = full_metrics_report("x", None, None, None, clock=lambda: 0.0)
+    assert bare["inference_throughput"] is None and bare["latency_reports"] == []

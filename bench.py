@@ -135,6 +135,7 @@ EXTRAS = [
     "event_type_user_overlap",
     "orders_open_backlog",
     "events_value_mad",
+    "events_activity_streaks",
 ]
 
 

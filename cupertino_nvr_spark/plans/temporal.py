@@ -1166,3 +1166,48 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    doc=(
+        "gaps-and-islands: consecutive-day activity streaks per user via "
+        "the date-minus-row-number anchor trick — consecutive days share "
+        "one anchor, so streaks fall out of a plain groupBy with NO "
+        "self-join or lag-chain materialization. One user-keyed window "
+        "shuffle (which the distinct day set and both aggregations "
+        "reuse), state bounded by active days per user. The pattern "
+        "behind every 'longest streak' product metric; the companion "
+        "lifecycle view is events_user_lifecycle."
+    ),
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("anchor", F.date_sub("day", F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )

@@ -19,3 +19,15 @@ def test_demo_pipeline(spark):
     assert out["model_id"] == "synthetic-detector-v2"
     assert out["progress_batches"] > 0
     assert out["statuses"][-1] == "stopped"
+
+
+def test_table_maintenance_demo(spark, tmp_path):
+    from table_maintenance_demo import run_maintenance_demo
+
+    out = run_maintenance_demo(work_dir=str(tmp_path))
+    assert out["cdc_surviving_keys"] > 0
+    assert out["incremental_mismatches"] == 0
+    # event-type cardinality per user is <=5, far under HLL error onset
+    assert out["sketch_worst_abs_err"] == 0.0
+    assert out["files_after"] < out["files_before"]
+    assert out["compaction_rows_match"]

@@ -136,6 +136,8 @@ EXTRAS = [
     "orders_open_backlog",
     "events_value_mad",
     "events_activity_streaks",
+    "events_state_intervals",
+    "events_type_hour_chisq",
 ]
 
 

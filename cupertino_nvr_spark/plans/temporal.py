@@ -1211,3 +1211,132 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+@register(
+    "events_state_intervals",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, event_type AS state, run_id,
+           MIN(ts) AS valid_from, MAX(ts) AS last_seen,
+           COUNT(*) AS n_observations
+    FROM runs GROUP BY user_id, event_type, run_id
+    """,
+    doc=(
+        "SCD2-style state history: consecutive identical event types per "
+        "user collapse into validity intervals (valid_from, last_seen, "
+        "observation count) — the change-detect (LAG) + change-count "
+        "prefix sum + group-by-run pattern, i.e. run-length encoding "
+        "over time, the standard way to build a slowly-changing-"
+        "dimension history from an observation stream. All three window "
+        "passes and the final aggregation share ONE user-keyed "
+        "shuffle/sort; no self-join, no interval materialization "
+        "before the group. The (ts, event_id) total order makes run "
+        "boundaries deterministic under timestamp ties."
+    ),
+)
+def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("run_id"),
+    )
+    return runs.groupBy(
+        "user_id", F.col("event_type").alias("state"), "run_id"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_observations"),
+    )
+
+
+@register(
+    "events_type_hour_chisq",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr, COUNT(*) AS o
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    rowt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY event_type),
+    colt AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY hr),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT o.event_type, o.hr, o.o,
+             rt * ct * 1.0 / n AS expected
+      FROM obs o JOIN rowt USING (event_type) JOIN colt USING (hr)
+      CROSS JOIN tot
+    )
+    SELECT event_type,
+           CAST(SUM(o) AS BIGINT) AS n_events,
+           round(SUM((o - expected) * (o - expected) / expected), 6)
+             AS chisq_contrib
+    FROM cells GROUP BY event_type
+    """,
+    doc=(
+        "independence diagnostics: the chi-square statistic of the "
+        "event-type x hour-of-day contingency table, reported as "
+        "per-type contributions (their sum is the full statistic; "
+        "degrees of freedom = (types-1)*(23)). The corpus collapses to "
+        "the types x 24 cell table in ONE map-side-combined aggregate; "
+        "margins and the grand total derive from the cell table itself "
+        "(three tiny aggregates, broadcast back), so no second corpus "
+        "pass. The expected-count formula is deterministic IEEE on "
+        "exact integer margins, hash-stable after rounding."
+    ),
+)
+def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("o"))
+    rowt = obs.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rt"))
+    colt = obs.groupBy("hr").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "hr")
+        .join(F.broadcast(tot))
+        .withColumn("expected", F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    return cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("expected"))
+                * (F.col("o") - F.col("expected"))
+                / F.col("expected")
+            ),
+            6,
+        ).alias("chisq_contrib"),
+    )

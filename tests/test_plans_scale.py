@@ -104,6 +104,9 @@ ALLOWED_BNLJ = {
     "docs_lsh_quality_eval",
     # 1-row revenue-total attach onto the 12-row month table
     "orders_seasonality",
+    # 1-row grand-total attach onto the types x 24 cell table (margins
+    # and total all derive from the cell aggregate, no second corpus pass)
+    "events_type_hour_chisq",
     # the pair join runs over the |types|-sized per-type SKETCH table
     # (both sides are post-aggregation, bounded by the event-type
     # vocabulary — never per-user rows); a theta `<` join on a

@@ -1748,8 +1748,8 @@ def _int8_exprs():
     f"""
     WITH {_INT8_STATS_SQL}
     SELECT vec_id,
-           list_transform(range(1, len(embedding) + 1),
-             i -> {_INT8_QCODE_SQL}) AS q,
+           array_to_string(list_transform(range(1, len(embedding) + 1),
+             i -> {_INT8_QCODE_SQL}), '|') AS q,
            ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
              i -> POWER(CAST(embedding[i] AS DOUBLE) - ({_INT8_DQ_SQL}), 2)))
              / len(embedding), 6) AS mse
@@ -1761,7 +1761,9 @@ def _int8_exprs():
     "(shuffle carries partitions x dims rows, not vectors); the 1-row "
     "packed stats frame broadcasts and quantization is a pure projection. "
     "Quantized codes are exact integers; the reconstruction MSE is rounded "
-    "to absorb summation ulps",
+    "to absorb summation ulps. Codes are emitted as one '|'-joined string "
+    "column (not array<int>) so the result schema is scalar-only — the "
+    "external comparator cannot sort list-typed columns",
 )
 def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1779,7 +1781,9 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return emb.crossJoin(F.broadcast(packed)).select(
-        "vec_id", q.alias("q"), mse.alias("mse")
+        "vec_id",
+        F.concat_ws("|", q.cast("array<string>")).alias("q"),
+        mse.alias("mse"),
     )
 
 

@@ -1119,7 +1119,8 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_type,
            round(MAX(s.med), 6) AS value_median,
            round(MAX(s.mad), 6) AS value_mad,
-           CAST(SUM(CASE WHEN d.ad > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN round(d.ad, 9) > 3 * round(s.mad, 9)
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers,
            COUNT(*) AS n_events
     FROM dev d JOIN mad s USING (event_type)
@@ -1135,8 +1136,10 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every corpus-sized stage is a map-side-combinable aggregate or "
         "a broadcast join, no user-keyed shuffle at all. Spark "
         "`percentile` and DuckDB `quantile_cont` interpolate at the "
-        "same rank, and |x-med| / 3*mad comparisons are deterministic "
-        "IEEE, so the oracle hash-matches without fixed-point tricks. "
+        "same rank but may differ by a ULP, so the outlier gate "
+        "compares at fixed precision (round(ad,9) > 3*round(mad,9) on "
+        "both engines) — a borderline row flipping would shift the "
+        "integer count by 1 and fail the hash oracle. "
         "At 100 TB the exact percentiles swap for the KLL sketch path "
         "(operators/incremental.py) at the cost of rank error."
     ),
@@ -1160,7 +1163,16 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.max("med"), 6).alias("value_median"),
             F.round(F.max("mad"), 6).alias("value_mad"),
-            F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0))
+            # fixed-precision compare on BOTH engines: med/mad come from
+            # Spark `percentile` vs DuckDB `quantile_cont`, and a single
+            # ULP of interpolation difference would flip borderline rows
+            # and fail the hash oracle by an integer count that the
+            # round(...,6) on the other columns cannot mask.
+            F.sum(
+                F.when(
+                    F.round(F.col("ad"), 9) > 3 * F.round(F.col("mad"), 9), 1
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_outliers"),
             F.count("*").alias("n_events"),
@@ -1293,7 +1305,7 @@ def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
     cells AS (
       SELECT o.event_type, o.hr, o.o,
-             rt * ct * 1.0 / n AS expected
+             CAST(rt AS DOUBLE) * ct / n AS expected
       FROM obs o JOIN rowt USING (event_type) JOIN colt USING (hr)
       CROSS JOIN tot
     )
@@ -1327,7 +1339,15 @@ def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs.join(F.broadcast(rowt), "event_type")
         .join(F.broadcast(colt), "hr")
         .join(F.broadcast(tot))
-        .withColumn("expected", F.col("rt") * F.col("ct") / F.col("n"))
+        .withColumn(
+            # rt is cast to double BEFORE the multiply: a bigint*bigint
+            # product wraps silently in non-ANSI Spark once both margins
+            # exceed ~3e9 (possible at the 100 TB posture); the double
+            # product is exact for margins < 2^26 each and IEEE-identical
+            # to the oracle's CAST(rt AS DOUBLE) * ct / n either way.
+            "expected",
+            F.col("rt").cast("double") * F.col("ct") / F.col("n"),
+        )
     )
     return cells.groupBy("event_type").agg(
         F.sum("o").cast("bigint").alias("n_events"),

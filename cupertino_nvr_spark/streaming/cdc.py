@@ -18,8 +18,16 @@ Out-of-order delivery is safe: counters are order-independent, and the
 payload only overwrites on a strictly newer (ts, event_id), so a
 late-arriving old op can never regress the state.
 
-State is O(live keys), sharded by the groupBy key across executors —
-the same posture as ``ttl_latest_per_key``.
+State is O(distinct keys ever seen) by default — tombstoned keys keep
+their counter/payload row so a late out-of-order upsert can never
+resurrect with reset counters. On a long-running change log where keys
+are born and deleted forever, pass ``drop_tombstoned=True`` to
+``state.remove()`` a key once its newest op is a tombstone, making
+state O(live keys + keys tombstoned this batch) at the documented
+cost: an upsert arriving AFTER the tombstone was dropped (i.e. more
+out-of-order than one batch) restarts that key's counters from zero.
+Sharded by the groupBy key across executors either way — the same
+posture as ``ttl_latest_per_key``.
 """
 
 from __future__ import annotations
@@ -48,9 +56,15 @@ def cdc_apply_stream(
     key_col: str = "user_id",
     ts_col: str = "ts",
     seq_col: str = "event_id",
+    drop_tombstoned: bool = False,
 ) -> DataFrame:
     """Apply a keyed upsert/tombstone change-log stream; emits the
-    current per-key state on every batch that touches the key."""
+    current per-key state on every batch that touches the key.
+
+    ``drop_tombstoned=True`` removes a key's state once its newest op is
+    a tombstone (after emitting the final ``deleted=True`` row), bounding
+    state to live keys on a long-running log — see the module docstring
+    for the counter-resurrection tradeoff."""
 
     def update_fn(
         key: tuple[Any, ...],
@@ -87,7 +101,13 @@ def cdc_apply_stream(
                 )
         if not touched:
             return
-        state.update((n_ops, n_deletes, last_value, last_ts, last_seq, deleted))
+        if drop_tombstoned and deleted:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (n_ops, n_deletes, last_value, last_ts, last_seq, deleted)
+            )
         yield pd.DataFrame(
             [
                 {

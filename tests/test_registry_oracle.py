@@ -30,6 +30,32 @@ def test_every_declared_query_has_an_oracle():
 
 
 @pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_declared_output_schema_is_scalar_only(spark, name):
+    """Driver contract: the external comparator sorts the result pandas
+    frame raw, and pandas `sort_values` on a list-typed column throws
+    `TypeError: unhashable type: 'list'` (round 6's sole red row,
+    embedding_int8_quant, `q: array<int>`). The local `_normalize`
+    converts lists to tuples before sorting, so the rehearsal would pass
+    where the gate fails — this analysis-only guard closes that gap: no
+    declared query may expose an Array/Map/Struct top-level column.
+    Flatten (c0..cN), stringify (concat_ws/to_json on both engines), or
+    explode instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = REGISTRY[name].spark(spark, SF_DIR).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} exposes non-scalar top-level columns {bad} "
+        f"({schema.simpleString()}) — the driver's canonicalizer cannot "
+        "sort these; flatten or stringify on both engines"
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
 def test_oracle_match(spark, name):
     spec = REGISTRY[name]
     result = spec.spark(spark, SF_DIR)

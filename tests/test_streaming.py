@@ -818,3 +818,67 @@ def test_cdc_apply_stream_matches_batch(spark, stream_dir):
     all_users = {r["user_id"] for r in ev.select("user_id").distinct().collect()}
     assert set(final) == all_users
     assert {u for u, r in final.items() if r["deleted"]} == all_users - set(batch)
+
+
+def test_cdc_apply_stream_drop_tombstoned(spark, stream_dir):
+    """drop_tombstoned=True bounds state to live keys: a tombstoned key's
+    state is removed after its final deleted=True row, so (a) a key that
+    stays dead emits nothing further, and (b) an upsert arriving in a
+    LATER batch than the drop restarts the key's counters from zero — the
+    documented resurrection tradeoff of the TTL mode."""
+    from cupertino_nvr_spark.streaming.cdc import cdc_apply_stream
+
+    def log_df(rows):
+        return spark.createDataFrame(
+            [
+                (eid, datetime(2024, 1, 1, 0, 0, sec), uid, et, val)
+                for eid, sec, uid, et, val in rows
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        )
+
+    src = f"{stream_dir}/cdcdrop"
+    write_batches(
+        [
+            # b0: users 1,2,3 born
+            log_df([(1, 1, 1, "click", 1.0), (2, 1, 2, "click", 2.0),
+                    (3, 1, 3, "click", 3.0)]),
+            # b1: users 1 and 3 tombstoned -> state removed under TTL mode
+            log_df([(4, 2, 1, "error", 0.0), (5, 2, 3, "error", 0.0)]),
+            # b2: user 1 resurrects with a strictly newer op; user 3 stays dead
+            log_df([(6, 3, 1, "click", 9.0)]),
+        ],
+        src,
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        cdc_apply_stream(stream, drop_tombstoned=True),
+        stream_dir,
+        output_mode="update",
+    ).collect()
+
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r["last_ts"], r["n_ops"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+
+    # user 2: never tombstoned, one state row
+    assert [(r["n_ops"], r["deleted"]) for r in by_user[2]] == [(1, False)]
+    # user 3: born then dead, final row flagged deleted, nothing after
+    assert [(r["n_ops"], r["deleted"]) for r in by_user[3]] == [
+        (1, False), (2, True),
+    ]
+    # user 1: counters RESET after the drop (1 op, not 3) — resurrection
+    # starts a fresh life under TTL mode
+    assert [(r["n_ops"], r["deleted"]) for r in by_user[1]] == [
+        (1, False), (2, True), (1, False),
+    ]
+    assert by_user[1][-1]["last_value"] == 9.0

@@ -138,6 +138,7 @@ EXTRAS = [
     "events_activity_streaks",
     "events_state_intervals",
     "events_type_hour_chisq",
+    "wall_grid_plan",
 ]
 
 
@@ -293,6 +294,47 @@ def main() -> None:
                 extras[name] = None
         shutil.rmtree(scratch, ignore_errors=True)
 
+    # Outlier isolation (VERDICT r6 #6): on this single-JVM box an extra
+    # can sporadically read 3-15x its true cost when GC/memory pressure
+    # lands mid-query (docs_ngram_novelty: 20.7 s in bench context,
+    # 1.9-2.5 s warm isolated). Any extra above the threshold is re-timed
+    # once in a FRESH session (stop + new JVM-side state, warm scan +
+    # UDF workers first — cold probes overstate ~4x) and both numbers go
+    # on the record: the sweep number stays in `extras` (comparable with
+    # past rounds), the isolated number lands in `reprobe`. A reprobe far
+    # below the sweep number marks the sweep number as scheduling noise,
+    # not a plan regression. Disable with SPARK_GRAFT_NO_REPROBE=1.
+    reprobe: dict[str, float | None] = {}
+    reprobe_threshold = float(os.environ.get("SPARK_GRAFT_REPROBE_SEC", "3.0"))
+    outliers = [
+        n
+        for n, t in extras.items()
+        if n not in OPS and t is not None and t > reprobe_threshold
+    ]
+    if outliers and not headline_only and os.environ.get("SPARK_GRAFT_NO_REPROBE") != "1":
+        spark.stop()
+        spark = get_spark("cupertino_nvr_spark-bench-reprobe")
+        try:
+            load_table(spark, "events", sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            warm = spark.range(64).selectExpr("id", "cast(id as string) s")
+            warm.mapInPandas(lambda it: it, warm.schema).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as exc:
+            errors["warm:reprobe"] = repr(exc)[:200]
+        for name in outliers:
+            try:
+                t0 = time.perf_counter()
+                REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reprobe[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                errors[f"reprobe:{name}"] = repr(exc)[:200]
+                reprobe[name] = None
+
     # a degraded total (some headline query errored) must not be mistaken
     # for an improvement in round-over-round comparisons: emit null + an
     # explicit partial flag instead of a silently-shrunken sum
@@ -307,6 +349,7 @@ def main() -> None:
         "queries": timings,
         "variants": variants,
         "extras": extras,
+        "reprobe": reprobe,
         "sf": float(sf),
     }
     if partial:

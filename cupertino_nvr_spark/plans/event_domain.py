@@ -559,3 +559,77 @@ def event_type_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         both.alias("users_both_est"),
         F.round(both / union_est, 6).alias("jaccard_est"),
     )
+
+
+# --- wall grid layout (reference wall/wall.py:129-164) -----------------------
+
+_WALL_STREAMS = 14  # configured stream_uris (slots 12-13 never produce events)
+_WALL_COLS = 4  # VideoWallConfig.grid_columns default (wall/config.py:40)
+_WALL_TILE_W, _WALL_TILE_H = 480, 360  # tile_size default (wall/config.py:37)
+_WALL_TILES = -(-_WALL_STREAMS // _WALL_COLS) * _WALL_COLS  # last row padded
+
+
+@register(
+    "wall_grid_plan",
+    f"""
+    WITH live AS (
+      SELECT CAST(user_id % 12 AS INT) AS source_id,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT t.tile_idx,
+           CASE WHEN t.tile_idx < {_WALL_STREAMS}
+                THEN t.tile_idx END AS source_id,
+           CAST(t.tile_idx // {_WALL_COLS} AS INT) AS grid_row,
+           CAST(t.tile_idx % {_WALL_COLS} AS INT) AS grid_col,
+           CAST(t.tile_idx % {_WALL_COLS} * {_WALL_TILE_W} AS INT) AS px_x,
+           CAST(t.tile_idx // {_WALL_COLS} * {_WALL_TILE_H} AS INT) AS px_y,
+           CASE WHEN t.tile_idx >= {_WALL_STREAMS} THEN 'pad'
+                WHEN l.source_id IS NULL THEN 'black'
+                ELSE 'live' END AS status,
+           CAST(COALESCE(l.n_events, 0) AS BIGINT) AS n_events
+    FROM (SELECT CAST(unnest(range({_WALL_TILES})) AS INT) AS tile_idx) t
+    LEFT JOIN live l ON l.source_id = t.tile_idx
+    ORDER BY t.tile_idx
+    """,
+    doc=(
+        "the video wall's grid-assignment metadata (reference "
+        "wall/wall.py:129-164, wall/config.py:37-40): each configured "
+        "stream idx renders at tile (idx // grid_columns, idx % "
+        "grid_columns) with pixel origin (col*tile_w, row*tile_h); "
+        "configured sources with no frames become black tiles, and the "
+        "last grid row is padded to full width with pure-pad tiles — "
+        "exactly the reference's two padding kinds (_render_frame_batch "
+        "fills to n_streams, _create_grid fills the final row). Live "
+        "sources derive as user_id % 12 against 14 configured slots, so "
+        "slots 12-13 are deterministically 'black' at every sf. The "
+        "layout domain is a 16-row spark.range; the corpus collapses to "
+        "a 12-row live set in one map-side-combined aggregate that "
+        "broadcasts onto the domain — O(corpus) scan, O(1) everything "
+        "else, at any scale."
+    ),
+)
+def wall_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    live = ev.groupBy(
+        (F.col("user_id") % 12).cast("int").alias("source_id")
+    ).agg(F.count("*").alias("n_events"))
+    tiles = spark.range(_WALL_TILES).select(F.col("id").cast("int").alias("tile_idx"))
+    t = F.col("tile_idx")
+    return (
+        tiles.join(F.broadcast(live), live.source_id == t, "left")
+        .select(
+            "tile_idx",
+            F.when(t < _WALL_STREAMS, t).alias("source_id"),
+            (t / _WALL_COLS).cast("int").alias("grid_row"),
+            (t % _WALL_COLS).cast("int").alias("grid_col"),
+            (t % _WALL_COLS * _WALL_TILE_W).cast("int").alias("px_x"),
+            ((t / _WALL_COLS).cast("int") * _WALL_TILE_H).cast("int").alias("px_y"),
+            F.when(t >= _WALL_STREAMS, "pad")
+            .when(live.source_id.isNull(), "black")
+            .otherwise("live")
+            .alias("status"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("tile_idx")
+    )

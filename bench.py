@@ -56,6 +56,8 @@ VARIANTS = [
     "embedding_int8_ann",
     "docs_chunked_udtf",
     "event_type_user_overlap_sketch",
+    "embedding_semdedup_fast",
+    "embedding_cosine_neardup_lsh",
 ]
 
 # also timed outside the headline total: queries added after round 1

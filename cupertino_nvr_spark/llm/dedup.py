@@ -399,3 +399,133 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .distinct()  # a pair sharing both probed cells counts once
     )
+
+
+def embedding_neardup_pairs_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    dim: int = 64,
+    n_planes: int | None = None,
+    n_flip: int = 2,
+    bucket_cap: int = 256,
+    sim_decimals: int = 6,
+    kernel: str = "pandas",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via CENTERED sign-bit LSH blocking — the
+    linear-time alternative to ``embedding_neardup_pairs``'s IVF cells.
+
+    Why it exists: single-level exact-assignment IVF blocking is Θ(n^1.5)
+    at its own optimum (assignment n·c + within-cell pairs n²/c is
+    minimized at c = sqrt(n)) — measured 11.7-18.6x for 10x data at sf1
+    (round 7). Hyperplane buckets cost O(n · planes · dim) to assign with
+    no centroid set, and with ``n_planes ≈ log2(n)`` the bucket count
+    tracks n, keeping expected candidate volume Σ|bucket|² at O(n).
+
+    Two scale guards both matter in practice (round-7 measurements):
+
+    - **Centering.** Raw sign bits assume a corpus centered at the
+      origin; this corpus is not, so fixed hyperplanes split it 90/10
+      instead of 50/50 and collapse 2^12 buckets into ~250 with a
+      210-member hot bucket at sf0.1 — the candidate join degenerates
+      toward quadratic (36.7x for 10x data, WORSE than IVF). Subtracting
+      the per-plane mean projection (ONE 1-row aggregate, broadcast back
+      — still linear) restores balanced splits. Exact copies project
+      identically, so centering never separates them.
+    - **Hot-bucket cap.** Correlated dimensions leave residual skew, so
+      buckets with more than ``bucket_cap`` members are anti-joined out
+      of candidate generation — the same documented recall-for-boundedness
+      trade as the MinHash band cap (`lsh_band_membership`). A dropped
+      bucket costs recall only for pairs WHOLLY inside it; the multi-probe
+      flips give those pairs other chances to meet.
+
+    A 0.99-cosine pair (≈8 degrees apart) flips each centered plane with
+    small probability; both sides also probe their ``n_flip``
+    least-confident flip buckets, and near-equal vectors rank the same
+    planes weakest, so the probe sets align where it matters. Candidates
+    are distinct-deduped BEFORE the exact cosine so a pair sharing
+    several probed buckets pays the kernel once. Recall vs the IVF-exact
+    pair set is pinned in tests/test_similarity_kernels.py.
+    """
+    from cupertino_nvr_spark.llm.similarity import (
+        as_double,
+        ensure_min_parallelism,
+        lsh_projections,
+        make_cosine,
+    )
+
+    if n_planes is None:
+        n = vectors.count() if n_rows is None else n_rows
+        n_planes = max(8, min(20, max(n, 2).bit_length()))
+    cosine = make_cosine(kernel)
+
+    projected = ensure_min_parallelism(
+        vectors.select(
+            F.col(id_col).alias("member_id"),
+            as_double(F.col(vec_col)).alias("mvec"),
+        )
+    ).withColumn("projs", lsh_projections(F.col("mvec"), dim, n_planes))
+    # per-plane mean projection: one 1-row aggregate, broadcast back —
+    # centers every hyperplane on the corpus so each bit splits ~50/50
+    offsets = projected.agg(
+        F.array(
+            *[F.avg(F.col("projs")[p]) for p in range(n_planes)]
+        ).alias("offs")
+    )
+    centered = projected.crossJoin(F.broadcast(offsets)).withColumn(
+        "cprojs", F.zip_with("projs", "offs", lambda pr, o: pr - o)
+    )
+
+    base = None
+    for p in range(n_planes):
+        bit = F.when(F.col("cprojs")[p] >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        base = bit if base is None else base + bit
+    base = base.cast("int")
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.col("cprojs")[p]).alias("a"), F.lit(p).alias("plane")
+                )
+                for p in range(n_planes)
+            ]
+        )
+    )  # weakest |centered projection| first
+    powers = F.array(*[F.lit(1 << p) for p in range(n_planes)])
+    flips = F.transform(
+        F.slice(ranked, 1, n_flip),
+        lambda s: base.bitwiseXOR(F.element_at(powers, s["plane"] + 1)).cast("int"),
+    )
+    exploded = centered.select(
+        "member_id",
+        "mvec",
+        F.explode(
+            F.array_distinct(F.concat(F.array(base), flips))
+        ).alias("bucket"),
+    )
+    hot = (
+        exploded.groupBy("bucket")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") > bucket_cap)
+        .select("bucket")
+    )
+    exploded = exploded.join(F.broadcast(hot), "bucket", "left_anti")
+    a = exploded.select(
+        "bucket", F.col("member_id").alias("id_a"), F.col("mvec").alias("avec")
+    )
+    b = exploded.select(
+        "bucket", F.col("member_id").alias("id_b"), F.col("mvec").alias("bvec")
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "avec", "bvec")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("avec"), F.col("bvec")), sim_decimals).alias("sim"),
+    ).filter(F.col("sim") >= threshold)

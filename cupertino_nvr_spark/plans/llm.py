@@ -655,6 +655,77 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cosine_neardup_fast",
+    None,  # numpy pairwise summation differs from the HOF sequential sum in
+    # the last ulp, so no cross-engine hash oracle; equivalence to the HOF
+    # path is asserted in tests/test_similarity_kernels.py
+    doc="embedding near-dup pairs, Arrow/numpy cosine kernel: identical "
+    "blocking (multi-probe IVF cells) and pair rule as "
+    "embedding_cosine_neardup, with centroid assignment and pair scoring "
+    "on the vectorized kernel instead of the interpreted HOF path — the "
+    "production form. The r7 sf1 probe put the HOF semdedup chain at "
+    "18.6x for 10x data (n*sqrt(n) interpreted assignment, the same term "
+    "embedding_ivf_ann documents); this kernel removes the interpreted "
+    "constant while the candidate-pair volume stays sum(|cell|^2).",
+    bench_only=True,
+)
+def embedding_cosine_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        augmented_embeddings(spark, sf_dir), threshold=0.99, kernel="pandas"
+    )
+
+
+@register(
+    "embedding_cosine_neardup_lsh",
+    None,  # hyperplane sign bucketing has no tractable ANSI-SQL oracle;
+    # recall against the IVF-blocked exact pair set is pinned in
+    # tests/test_similarity_kernels.py
+    doc="embedding near-dup candidate pairs via sign-bit LSH blocking — "
+    "the LINEAR-time scale path. IVF-cell blocking is Θ(n^1.5) at its own "
+    "optimum (assignment n·c + pairs n²/c, minimized at c=sqrt(n); "
+    "measured 11.7-18.6x for 10x data at sf1): hyperplane sign buckets "
+    "cost O(n·planes·dim) to assign with NO centroid set, and with "
+    "planes ≈ log2(n) the bucket count tracks n so candidate volume "
+    "stays O(n). Both sides multi-probe their 2 least-confident flip "
+    "buckets; exact copies bucket identically and are never missed. "
+    "The recall/cost knob (more planes = fewer candidates, lower "
+    "recall) replaces IVF's cell-count knob.",
+    bench_only=True,
+)
+def embedding_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
+        augmented_embeddings(spark, sf_dir), threshold=0.99
+    )
+
+
+@register(
+    "embedding_semdedup_fast",
+    None,  # same last-ulp caveat as embedding_cosine_neardup_fast
+    doc="SemDeDup drop/keep materialization on the Arrow/numpy cosine "
+    "kernel — same one-pass lower-id drop rule and candidate chain as "
+    "embedding_semdedup, production scoring path",
+    bench_only=True,
+)
+def embedding_semdedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+
+    aug = augmented_embeddings(spark, sf_dir)
+    pairs = embedding_neardup_pairs(aug, threshold=0.99, kernel="pandas")
+    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count("*").alias("dup_n")
+    )
+    return aug.select("vec_id").join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("dup_n"), F.lit(0)).alias("n_dup_neighbors"),
+        F.col("dup_n").isNotNull().alias("is_dup"),
+    )
+
+
+@register(
     "media_features",
     """
     SELECT doc_id AS media_id,

@@ -51,6 +51,14 @@ ALLOWED_BNLJ = {
     # broadcast(centroids)); its own additions are a pair groupBy + keyed
     # left join
     "embedding_semdedup",
+    # the Arrow-kernel twins of the two above: identical routing stage
+    # (corpus x broadcast(centroids)), only the cosine kernel differs
+    "embedding_cosine_neardup_fast",
+    "embedding_semdedup_fast",
+    # 1-row per-plane mean-projection attach (the centering stats); the
+    # candidate generation itself is a bucket equi-join with a hot-bucket
+    # cap — the linear-time blocking path
+    "embedding_cosine_neardup_lsh",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

@@ -141,6 +141,9 @@ EXTRAS = [
     "events_state_intervals",
     "events_type_hour_chisq",
     "wall_grid_plan",
+    "docs_bpe_pair_stats",
+    "docs_softdedup_weights",
+    "embedding_ann_recall_eval",
 ]
 
 

@@ -3546,3 +3546,186 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("lang", "n_tokens", "vocab_size").agg(
         F.round(F.sum("h").cast("double"), 6).alias("entropy_bits")
     )
+
+
+# --- round-7 additions: BPE merge stats, soft dedup, ANN recall eval ---------
+
+
+@register(
+    "docs_bpe_pair_stats",
+    r"""
+    WITH toked AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                    i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM toked
+    ),
+    counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, rank FROM (
+      SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+      FROM counts) WHERE rank <= 50
+    """,
+    doc=(
+        "top-50 adjacent-token-pair frequencies over the lowercased "
+        "BPE-ish token stream — the statistic the first BPE merge step "
+        "maximizes, and the heart of distributed tokenizer training "
+        "(count pairs -> merge the argmax -> repeat; each round is "
+        "exactly this plan over the re-tokenized corpus). One explode + "
+        "one map-side-combined count shuffle keyed by pair; the top-50 "
+        "is TakeOrderedAndProject over distinct pairs (per-partition "
+        "heaps + a 50-row driver merge), never a global sort of the "
+        "pair stream. At 100 TB the pair vocabulary, not the corpus, "
+        "bounds the shuffle."
+    ),
+)
+def docs_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select(regex_tokens(F.lower(F.col("text"))).alias("t"))
+    tc = F.col("t")
+    pairs = F.transform(
+        _shingle_spans(F.size(tc), 2),
+        lambda i: F.concat_ws(" ", F.element_at(tc, i), F.element_at(tc, i + 1)),
+    )
+    counts = (
+        toked.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "n", "rank"
+    )
+
+
+@register(
+    "docs_softdedup_weights",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM aug
+    ),
+    clusters AS (
+      SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM fps GROUP BY fp
+    )
+    SELECT f.doc_id,
+           c.n_copies,
+           ROUND(1.0 / c.n_copies, 6) AS train_weight,
+           (f.doc_id = c.keeper_id) AS is_keeper
+    FROM fps f JOIN clusters c USING (fp)
+    """,
+    doc=(
+        "SoftDeDup down-weighting (the alternative to dropping "
+        "duplicates: keep every copy, scale its training weight by "
+        "1/n_copies so each CONTENT contributes one document's worth of "
+        "gradient — what SlimPajama-style pipelines apply when hard "
+        "dedup would distort the mixture). Shares "
+        "docs_fingerprint_dedup's normalized-digest clusters; one "
+        "digest-keyed aggregate plus one digest-keyed join back to the "
+        "corpus — both map-side-combinable/equi-keyed at any scale."
+    ),
+)
+def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    fps = aug.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    clusters = fps.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+    return fps.join(clusters, "fp").select(
+        "doc_id",
+        "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("train_weight"),
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+
+
+@register(
+    "embedding_ann_recall_eval",
+    f"""
+    WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    exact_scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM probes p JOIN embeddings c ON p.vec_id <> c.vec_id
+    ),
+    truth AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM exact_scored) WHERE rank <= 5
+    ),
+    {_LSH_BASE_SQL},
+    pbuckets AS (
+      SELECT vec_id AS probe_id, e AS pvec, bucket
+      FROM bucketed WHERE vec_id % 100 = 0
+    ),
+    cand AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.pvec, c.e), 6) AS sim
+      FROM pbuckets p JOIN bucketed c USING (bucket)
+      WHERE p.probe_id <> c.vec_id
+    ),
+    approx AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM cand) WHERE rank <= 5
+    )
+    SELECT t.probe_id,
+           COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM truth t
+    LEFT JOIN approx a USING (probe_id, neighbor_id)
+    GROUP BY t.probe_id
+    """,
+    doc=(
+        "per-probe recall@5 of the LSH-bucketed ANN against exact "
+        "brute-force top-5 — the standard ANN quality harness "
+        "(ann-benchmarks shape), the embedding-side sibling of "
+        "docs_lsh_quality_eval. Ground truth pays the bounded "
+        "probes x corpus exact scoring (1% probe side, same cost class "
+        "as embedding_cosine_topk — an eval harness runs on a sampled "
+        "probe set, never the full corpus); the candidate side reuses "
+        "embedding_lsh_ann's bucket equi-join; the comparison is a "
+        "(probe, neighbor)-keyed left join plus one per-probe count "
+        "aggregate. Every stage equi-keyed or bounded at any scale."
+    ),
+)
+def embedding_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    approx = lsh_ann_topk(emb, probes, dim=64, k=5).select(
+        "probe_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    joined = truth.join(
+        approx,
+        (truth.probe_id == approx.probe_id)
+        & (truth.neighbor_id == approx.a_neighbor),
+        "left",
+    ).select(truth.probe_id, "neighbor_id", "a_neighbor")
+    hits = F.sum(
+        F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy("probe_id").agg(
+        F.count("*").alias("n_true"),
+        hits.alias("n_hits"),
+        F.round(hits.cast("double") / F.count("*"), 6).alias("recall"),
+    )

@@ -44,6 +44,10 @@ def plan_of(spark, name: str) -> str:
 # itself is a cell_id equi-join).
 ALLOWED_BNLJ = {
     "embedding_cosine_topk",
+    # ground-truth side IS embedding_cosine_topk's bounded probes x
+    # corpus exact scoring (1% sampled probe set — an eval harness);
+    # the candidate side and the comparison are equi-joins
+    "embedding_ann_recall_eval",
     "embedding_ivf_ann",
     "embedding_ivf_ann_fast",
     "embedding_cosine_neardup",

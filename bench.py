@@ -58,6 +58,7 @@ VARIANTS = [
     "event_type_user_overlap_sketch",
     "embedding_semdedup_fast",
     "embedding_cosine_neardup_lsh",
+    "embedding_semdedup_lsh",
 ]
 
 # also timed outside the headline total: queries added after round 1

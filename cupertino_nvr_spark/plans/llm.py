@@ -703,6 +703,35 @@ def embedding_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_semdedup_lsh",
+    None,  # same no-SQL-oracle caveat as embedding_cosine_neardup_lsh;
+    # the drop rule itself is pinned against the IVF-blocked twin's tags
+    # in tests/test_similarity_kernels.py
+    doc="SemDeDup drop/keep materialization over the LINEAR-time "
+    "LSH-blocked candidate chain (embedding_cosine_neardup_lsh) — the "
+    "form that actually runs at 100 TB: same one-pass lower-id drop "
+    "rule as embedding_semdedup, pair generation O(n) instead of "
+    "Θ(n^1.5). Recall loss shows up only as a missed drop (a duplicate "
+    "surviving), never a false drop — every emitted pair passed the "
+    "exact cosine gate.",
+    bench_only=True,
+)
+def embedding_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs_lsh
+
+    aug = augmented_embeddings(spark, sf_dir)
+    pairs = embedding_neardup_pairs_lsh(aug, threshold=0.99)
+    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count("*").alias("dup_n")
+    )
+    return aug.select("vec_id").join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("dup_n"), F.lit(0)).alias("n_dup_neighbors"),
+        F.col("dup_n").isNotNull().alias("is_dup"),
+    )
+
+
+@register(
     "embedding_semdedup_fast",
     None,  # same last-ulp caveat as embedding_cosine_neardup_fast
     doc="SemDeDup drop/keep materialization on the Arrow/numpy cosine "

@@ -63,6 +63,7 @@ ALLOWED_BNLJ = {
     # candidate generation itself is a bucket equi-join with a hot-bucket
     # cap — the linear-time blocking path
     "embedding_cosine_neardup_lsh",
+    "embedding_semdedup_lsh",  # same chain + pair groupBy/keyed left join
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

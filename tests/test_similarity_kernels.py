@@ -204,3 +204,22 @@ def test_lsh_blocked_neardup_recall(spark):
     assert exact_copies <= lsh
     # overall recall floor vs the IVF-blocked set
     assert len(lsh & exact) / len(exact) >= 0.8
+
+    # the drop rule over the LSH chain: is_dup iff a lower-id LSH pair
+    # exists — a recall miss can only KEEP a duplicate, never drop a
+    # non-duplicate, so dropped ⊆ the IVF twin's dropped set
+    ivf_dropped = {
+        r.vec_id
+        for r in REGISTRY["embedding_semdedup"].spark(spark, SF).collect()
+        if r.is_dup
+    }
+    lsh_dropped = {
+        r.vec_id
+        for r in REGISTRY["embedding_semdedup_lsh"].spark(spark, SF).collect()
+        if r.is_dup
+    }
+    extra_drops = lsh_dropped - ivf_dropped
+    # pairs the LSH blocking finds that IVF's 2-probe cells missed are
+    # legitimate (both passed the exact cosine); they must be rare
+    assert len(extra_drops) <= max(2, len(ivf_dropped) // 10)
+    assert len(lsh_dropped & ivf_dropped) / max(len(ivf_dropped), 1) >= 0.8

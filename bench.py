@@ -145,6 +145,7 @@ EXTRAS = [
     "docs_bpe_pair_stats",
     "docs_softdedup_weights",
     "embedding_ann_recall_eval",
+    "docs_oov_rate",
 ]
 
 

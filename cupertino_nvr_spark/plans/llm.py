@@ -3758,3 +3758,60 @@ def embedding_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.alias("n_hits"),
         F.round(hits.cast("double") / F.count("*"), 6).alias("recall"),
     )
+
+
+@register(
+    "docs_oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lower(term) AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents)
+    ),
+    counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+        FROM counts) WHERE rank <= 1000
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "per-document out-of-vocabulary rate against the corpus top-1000 "
+        "token vocabulary — the tokenizer-coverage eval run before fixing "
+        "a vocab (high-OOV docs are either noise or the long tail the "
+        "tokenizer will fragment). The vocabulary derives like "
+        "docs_vocab_topk (map-side-combined term counts, "
+        "TakeOrderedAndProject head) and broadcasts — 1000 rows at any "
+        "corpus size — so the per-doc pass is one broadcast-hash left "
+        "join over the token stream plus one doc-keyed count aggregate; "
+        "no token-keyed shuffle at all."
+    ),
+)
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    ).select("doc_id", F.lower(F.col("term")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(1000)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "term", "left")
+    oov = F.sum(
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+    )

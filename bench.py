@@ -146,6 +146,7 @@ EXTRAS = [
     "docs_softdedup_weights",
     "embedding_ann_recall_eval",
     "docs_oov_rate",
+    "docs_bpe_train_merges",
 ]
 
 

@@ -3815,3 +3815,147 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("n_oov"),
         F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
     )
+
+
+# --- distributed BPE trainer (K merge rounds, fully oracle-checked) ----------
+
+# Words are encoded as separator-delimited symbol strings with DOUBLED
+# boundaries: "<SS>c1<SS>c2<SS>" where SS = two U+001F chars. Applying
+# merge (a, b) is then ONE plain string replace of "<S>a<SS>b<S>" with
+# "<S>ab<S>" (S = one U+001F): the pattern consumes only the INNER half
+# of each doubled boundary, so consecutive occurrences keep their shared
+# boundary and leftmost non-overlapping replace reproduces exactly the
+# greedy left-to-right merge BPE specifies ([a,a,a,a] -> [aa,aa], not
+# [aa,a,a]). Both engines' replace() scan leftmost non-overlapping, so
+# the oracle replays the merge bit-identically — no fold/UDF needed.
+_BPE_S = "\x1f"
+_BPE_SS = _BPE_S * 2
+_BPE_MERGES = 6
+
+
+def _bpe_round_sql(i: int) -> str:
+    s, ss = _BPE_S, _BPE_SS
+    return f"""
+    s{i} AS (SELECT string_split(enc, '{ss}') AS syms, f FROM w{i}),
+    p{i} AS (
+      SELECT syms[j] AS l, syms[j+1] AS r2, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM (SELECT syms, f,
+                   unnest(range(2, greatest(len(syms) - 1, 2))) AS j
+            FROM s{i})
+      GROUP BY 1, 2
+    ),
+    m{i} AS (SELECT l, r2, cnt FROM p{i} ORDER BY cnt DESC, l, r2 LIMIT 1),
+    w{i + 1} AS (
+      SELECT replace(enc, '{s}' || m.l || '{ss}' || m.r2 || '{s}',
+                     '{s}' || m.l || m.r2 || '{s}') AS enc, f
+      FROM w{i}, m{i} m
+    )"""
+
+
+_BPE_FINAL_SQL = "\n    UNION ALL ".join(
+    f"SELECT {i + 1} AS merge_rank, l AS left_sym, r2 AS right_sym, "
+    f"l || r2 AS merged, cnt AS pair_count FROM m{i}"
+    for i in range(_BPE_MERGES)
+)
+
+
+@register(
+    "docs_bpe_train_merges",
+    f"""
+    WITH toks AS (
+      SELECT lower(term) AS w FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    w0 AS (
+      SELECT '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
+             COUNT(*) AS f
+      FROM toks GROUP BY w
+    ),
+    {",".join(_bpe_round_sql(i) for i in range(_BPE_MERGES))}
+    {_BPE_FINAL_SQL}
+    """,
+    doc=(
+        f"distributed BPE tokenizer training, {_BPE_MERGES} merge rounds "
+        "(Sennrich et al. 2016 exactly: weighted adjacent-pair counts "
+        "over the word-frequency table, argmax pair, greedy "
+        "left-to-right merge, repeat) — the full trainer, not just one "
+        "round's statistic (docs_bpe_pair_stats). The corpus collapses "
+        "ONCE to the distinct-word/frequency table (vocabulary-bounded "
+        "at any corpus size — the classic trainer trick), and every "
+        "round is: split symbols, one map-side-combined pair count, a "
+        "1-row argmax broadcast back, one string replace — no UDF, no "
+        "driver-side state; merge application is a plain replace over a "
+        "doubled-boundary symbol encoding that reproduces greedy BPE "
+        "semantics under leftmost non-overlapping replacement on both "
+        "engines. Spark rounds checkpoint the word table "
+        "(reliable_checkpoint) so round k+1 reads a materialized round "
+        "k instead of replaying the whole chain; the oracle unrolls the "
+        "identical rounds as SQL CTEs, pagerank-style."
+    ),
+)
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    enc0 = F.concat(
+        F.lit(_BPE_SS), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SS)
+    )
+    state = reliable_checkpoint(words.select(enc0.alias("enc"), "f"))
+    merge_rows = []
+    for i in range(_BPE_MERGES):
+        syms = F.split(F.col("enc"), _BPE_SS)
+        n = F.size(syms)
+        # guard n >= 4 (>= 2 real symbols): F.sequence(2, n-2) silently
+        # REVERSES to [2, 1] when n = 3 (a word collapsed to one symbol),
+        # which would index the boundary empties as a phantom pair — the
+        # same trap _shingle_spans documents; DuckDB's range() is empty
+        spans = F.when(
+            n >= 4, F.sequence(F.lit(2), n - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pair = F.explode(
+            F.transform(
+                spans,
+                lambda j: F.struct(
+                    F.element_at(syms, j).alias("l"),
+                    F.element_at(syms, j + 1).alias("r2"),
+                ),
+            )
+        )
+        counts = (
+            state.select(pair.alias("p"), "f")
+            .groupBy("p.l", "p.r2")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+        m = counts.orderBy(
+            F.col("cnt").desc(), F.col("l"), F.col("r2")
+        ).limit(1)
+        merge_rows.append(
+            m.select(
+                F.lit(i + 1).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r2").alias("right_sym"),
+                F.concat("l", "r2").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        pattern = F.concat(
+            F.lit(_BPE_S), F.col("l"), F.lit(_BPE_SS), F.col("r2"), F.lit(_BPE_S)
+        )
+        replacement = F.concat(
+            F.lit(_BPE_S), F.col("l"), F.col("r2"), F.lit(_BPE_S)
+        )
+        state = reliable_checkpoint(
+            state.crossJoin(F.broadcast(m)).select(
+                F.replace(F.col("enc"), pattern, replacement).alias("enc"), "f"
+            )
+        )
+    out = merge_rows[0]
+    for mr in merge_rows[1:]:
+        out = out.unionAll(mr)
+    return out

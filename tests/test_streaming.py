@@ -882,3 +882,61 @@ def test_cdc_apply_stream_drop_tombstoned(spark, stream_dir):
         (1, False), (2, True), (1, False),
     ]
     assert by_user[1][-1]["last_value"] == 9.0
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup (first-occurrence filter, twin of fingerprint dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_stream_matches_batch(spark, stream_dir):
+    """The stream's retained view (latest cluster row per digest) equals
+    the batch fingerprint-dedup clusters for ANY batch chopping: n_copies
+    is order-independent and the keeper (min id seen) can only decrease,
+    so once the true min arrives the stream keeper equals the batch
+    min(doc_id)."""
+    from cupertino_nvr_spark.plans.llm import augmented_docs
+    from cupertino_nvr_spark.streaming.dedup import (
+        dedup_stream,
+        normalized_digest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = augmented_docs(spark, sf).select(
+        "doc_id", normalized_digest(F.col("text")).alias("digest")
+    )
+    src = f"{stream_dir}/dedupdocs"
+    write_batches(
+        [docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i) for i in range(4)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, digest string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        dedup_stream(stream), stream_dir, output_mode="update"
+    ).collect()
+
+    final = {}
+    for r in out:
+        cur = final.get(r["digest"])
+        if cur is None or r["n_copies"] > cur["n_copies"]:
+            final[r["digest"]] = r
+    got = {d: (r["keeper_id"], r["n_copies"]) for d, r in final.items()}
+
+    from cupertino_nvr_spark.llm.dedup import exact_dedup
+    from cupertino_nvr_spark.llm.text import fingerprint
+
+    batch = {
+        r["digest"]: (r["keeper_id"], r["n_copies"])
+        for r in augmented_docs(spark, sf)
+        .select(fingerprint(F.col("text")).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .collect()
+    }
+    assert got == batch
+    # the fixture actually contains duplicate clusters
+    assert any(n > 1 for _, n in got.values())

@@ -147,6 +147,7 @@ EXTRAS = [
     "embedding_ann_recall_eval",
     "docs_oov_rate",
     "docs_bpe_train_merges",
+    "docs_bpe_compression",
 ]
 
 

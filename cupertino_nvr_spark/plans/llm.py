@@ -3895,6 +3895,17 @@ _BPE_FINAL_SQL = "\n    UNION ALL ".join(
     ),
 )
 def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merge_rows, _, _ = _bpe_train(spark, sf_dir)
+    out = merge_rows[0]
+    for mr in merge_rows[1:]:
+        out = out.unionAll(mr)
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared trainer loop: returns (merge_rows, initial_state,
+    final_state) — the merges query unions the former, the compression
+    eval aggregates the two states."""
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
     docs = load_table(spark, "documents", sf_dir)
@@ -3907,6 +3918,7 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_BPE_SS), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SS)
     )
     state = reliable_checkpoint(words.select(enc0.alias("enc"), "f"))
+    state0 = state
     merge_rows = []
     for i in range(_BPE_MERGES):
         syms = F.split(F.col("enc"), _BPE_SS)
@@ -3955,7 +3967,71 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.replace(F.col("enc"), pattern, replacement).alias("enc"), "f"
             )
         )
-    out = merge_rows[0]
-    for mr in merge_rows[1:]:
-        out = out.unionAll(mr)
-    return out
+    return merge_rows, state0, state
+
+
+@register(
+    "docs_bpe_compression",
+    f"""
+    WITH toks AS (
+      SELECT lower(term) AS w FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    w0 AS (
+      SELECT '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
+             COUNT(*) AS f
+      FROM toks GROUP BY w
+    ),
+    {",".join(_bpe_round_sql(i) for i in range(_BPE_MERGES))},
+    before AS (
+      SELECT CAST(SUM(f) AS BIGINT) AS n_words,
+             CAST(SUM(f * (len(string_split(enc, '{_BPE_SS}')) - 2)) AS BIGINT)
+               AS n_chars
+      FROM w0
+    ),
+    after AS (
+      SELECT CAST(SUM(f * (len(string_split(enc, '{_BPE_SS}')) - 2)) AS BIGINT)
+        AS n_symbols
+      FROM w{_BPE_MERGES}
+    )
+    SELECT n_words, n_chars, n_symbols,
+           ROUND(CAST(n_chars AS DOUBLE) / n_symbols, 6) AS chars_per_symbol,
+           ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbols_per_word
+    FROM before CROSS JOIN after
+    """,
+    doc=(
+        f"tokenizer compression eval after the {_BPE_MERGES} learned BPE "
+        "merges: corpus token counts before (= characters) and after, "
+        "chars-per-symbol and symbols-per-word — the number a tokenizer "
+        "team watches as the merge list grows (fertility's inverse). "
+        "Reuses the trainer's word-table rounds verbatim "
+        "(docs_bpe_train_merges) and adds two 1-row aggregates over the "
+        "initial and final word states cross-joined into the report row; "
+        "all costs identical to the trainer at any scale."
+    ),
+)
+def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, state0, state_k = _bpe_train(spark, sf_dir)
+
+    def syms_count(df):
+        return F.sum(
+            F.col("f") * (F.size(F.split(F.col("enc"), _BPE_SS)) - 2)
+        ).cast("bigint")
+
+    before = state0.agg(
+        F.sum("f").cast("bigint").alias("n_words"),
+        syms_count(state0).alias("n_chars"),
+    )
+    after = state_k.agg(syms_count(state_k).alias("n_symbols"))
+    return before.crossJoin(after).select(
+        "n_words",
+        "n_chars",
+        "n_symbols",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_symbols"), 6
+        ).alias("chars_per_symbol"),
+        F.round(
+            F.col("n_symbols").cast("double") / F.col("n_words"), 6
+        ).alias("symbols_per_word"),
+    )

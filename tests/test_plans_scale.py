@@ -126,6 +126,10 @@ ALLOWED_BNLJ = {
     # broadcast-tiny side is the right physical shape for the
     # unordered-pair enumeration
     "event_type_user_overlap_sketch",
+    # two 1-row aggregates (before/after token totals) cross-joined into
+    # the report row; the trainer rounds inside are checkpointed word
+    # tables + 1-row argmax attaches (the same bounded shape)
+    "docs_bpe_compression",
 }
 
 

@@ -1,0 +1,96 @@
+"""Streaming MinHash-LSH near-dup candidate generation — the streaming
+twin of the batch ``lsh_candidates`` banding (llm/dedup.py).
+
+An ingestion pipeline wants near-dup CANDIDATES for each arriving
+document against everything already ingested, without re-banding the
+corpus per batch. Keyed state per (band_idx, band_key) bucket holds the
+doc ids seen in that bucket; a micro-batch's new members pair against
+the stored members plus lower-id members of the same batch, so each
+unordered candidate pair is emitted exactly at the first batch where the
+two docs co-occupy a bucket. The union of emitted pairs (distinct —
+a pair can surface through several bands, once per band bucket at most)
+equals the batch candidate set on the same corpus, pinned in
+``tests/test_streaming.py``.
+
+Scale posture: state is the band membership itself — O(docs × bands)
+ids sharded by bucket key, each entry 8 bytes. ``band_cap`` bounds the
+hot-bucket blowup exactly like the batch path, with the streaming
+semantics difference made explicit: the batch form drops over-full
+buckets ENTIRELY (membership is known up front), while the stream caps
+a bucket's stored membership at the cap as it fills — the first
+``band_cap`` members still pair (the bucket was small when they
+arrived), later arrivals into a saturated bucket emit nothing from that
+bucket and are not stored. Members of a saturated bucket still pair
+through their other, more selective bands — the same recall argument as
+the batch cap.
+
+Reference analog: none (north-star dedup family, SURVEY §2.11); the
+batch twin is ``docs_minhash_lsh_candidates``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+NEARDUP_OUTPUT_SCHEMA = "id_a bigint, id_b bigint"
+NEARDUP_STATE_SCHEMA = "ids array<bigint>"
+
+
+def lsh_candidates_stream(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    band_cap: int = 64,
+) -> DataFrame:
+    """(band_idx, band_key, id) membership stream -> candidate pair stream.
+
+    ``members`` carries one row per (doc, band): build it with the same
+    ``lsh_band_membership`` projection the batch path uses (minus its
+    corpus-wide hot-bucket anti-join — capping is stateful here).
+    """
+
+    def update_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (stored,) = state.get if state.exists else ([],)
+        stored = list(stored)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # deterministic intra-batch order; drop re-observations
+            seen = set(stored)
+            for i in sorted(int(x) for x in pdf[id_col].values):
+                if i in seen:
+                    continue
+                if len(stored) >= band_cap:
+                    break  # saturated bucket: emit/store nothing more
+                for j in stored:
+                    a, b = (j, i) if j < i else (i, j)
+                    out_a.append(a)
+                    out_b.append(b)
+                stored.append(i)
+                seen.add(i)
+        if not out_a and not state.exists and not stored:
+            return
+        state.update((stored,))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return members.groupBy("band_idx", "band_key").applyInPandasWithState(
+        update_fn,
+        NEARDUP_OUTPUT_SCHEMA,
+        NEARDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = ["lsh_candidates_stream", "NEARDUP_OUTPUT_SCHEMA"]

@@ -940,3 +940,81 @@ def test_dedup_stream_matches_batch(spark, stream_dir):
     assert got == batch
     # the fixture actually contains duplicate clusters
     assert any(n > 1 for _, n in got.values())
+
+
+# ---------------------------------------------------------------------------
+# streaming MinHash-LSH candidate generation (twin of lsh_candidates)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_candidates_stream_matches_batch(spark, stream_dir):
+    """With an uncapped bucket, the distinct union of streamed candidate
+    pairs equals the batch banding's candidate set for ANY chopping: each
+    pair surfaces at the first batch where its docs co-occupy a bucket."""
+    from cupertino_nvr_spark.llm.dedup import (
+        lsh_band_membership,
+        lsh_candidates,
+        minhash_signature,
+    )
+    from cupertino_nvr_spark.plans.llm import augmented_docs
+    from cupertino_nvr_spark.streaming.neardup import lsh_candidates_stream
+
+    sf = "/root/testdata/sf0.001"
+    cap = 1_000_000  # uncapped: semantics of batch and stream caps differ
+    docs = augmented_docs(spark, sf)
+    sigs = minhash_signature(docs)
+    members = lsh_band_membership(sigs, band_cap=cap).select(
+        "doc_id", "band_idx", "band_key"
+    )
+    src = f"{stream_dir}/lshmembers"
+    write_batches(
+        [
+            members.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            for i in range(3)
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, band_idx int, band_key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        lsh_candidates_stream(stream, band_cap=cap),
+        stream_dir,
+        output_mode="update",
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    want = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates(sigs, band_cap=cap).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_lsh_candidates_stream_cap_saturates(spark, stream_dir):
+    """A saturated bucket stops emitting AND storing: with cap=2, three
+    members of one bucket yield exactly the one pair among the first two
+    arrivals."""
+    from cupertino_nvr_spark.streaming.neardup import lsh_candidates_stream
+
+    rows = spark.createDataFrame(
+        [(10, 0, "k"), (20, 0, "k"), (30, 0, "k")],
+        "doc_id bigint, band_idx int, band_key string",
+    )
+    src = f"{stream_dir}/capmembers"
+    write_batches(
+        [rows.filter(F.col("doc_id") == i) for i in (10, 20, 30)], src
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, band_idx int, band_key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        lsh_candidates_stream(stream, band_cap=2),
+        stream_dir,
+        output_mode="update",
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(10, 20)}

@@ -148,6 +148,7 @@ EXTRAS = [
     "docs_oov_rate",
     "docs_bpe_train_merges",
     "docs_bpe_compression",
+    "docs_bpe_tokenized_len",
 ]
 
 

@@ -3846,8 +3846,8 @@ def _bpe_round_sql(i: int) -> str:
     ),
     m{i} AS (SELECT l, r2, cnt FROM p{i} ORDER BY cnt DESC, l, r2 LIMIT 1),
     w{i + 1} AS (
-      SELECT replace(enc, '{s}' || m.l || '{ss}' || m.r2 || '{s}',
-                     '{s}' || m.l || m.r2 || '{s}') AS enc, f
+      SELECT w, replace(enc, '{s}' || m.l || '{ss}' || m.r2 || '{s}',
+                        '{s}' || m.l || m.r2 || '{s}') AS enc, f
       FROM w{i}, m{i} m
     )"""
 
@@ -3868,7 +3868,8 @@ _BPE_FINAL_SQL = "\n    UNION ALL ".join(
         FROM documents)
     ),
     w0 AS (
-      SELECT '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
+      SELECT w,
+             '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
              COUNT(*) AS f
       FROM toks GROUP BY w
     ),
@@ -3917,7 +3918,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     enc0 = F.concat(
         F.lit(_BPE_SS), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SS)
     )
-    state = reliable_checkpoint(words.select(enc0.alias("enc"), "f"))
+    state = reliable_checkpoint(words.select("w", enc0.alias("enc"), "f"))
     state0 = state
     merge_rows = []
     for i in range(_BPE_MERGES):
@@ -3964,7 +3965,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         )
         state = reliable_checkpoint(
             state.crossJoin(F.broadcast(m)).select(
-                F.replace(F.col("enc"), pattern, replacement).alias("enc"), "f"
+                "w",
+                F.replace(F.col("enc"), pattern, replacement).alias("enc"),
+                "f",
             )
         )
     return merge_rows, state0, state
@@ -3979,7 +3982,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         FROM documents)
     ),
     w0 AS (
-      SELECT '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
+      SELECT w,
+             '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
              COUNT(*) AS f
       FROM toks GROUP BY w
     ),
@@ -4034,4 +4038,63 @@ def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_symbols").cast("double") / F.col("n_words"), 6
         ).alias("symbols_per_word"),
+    )
+
+
+@register(
+    "docs_bpe_tokenized_len",
+    f"""
+    WITH toksd AS (
+      SELECT doc_id, lower(term) AS w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    toks AS (SELECT w FROM toksd),
+    w0 AS (
+      SELECT w,
+             '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
+             COUNT(*) AS f
+      FROM toks GROUP BY w
+    ),
+    {",".join(_bpe_round_sql(i) for i in range(_BPE_MERGES))},
+    wsyms AS (
+      SELECT w,
+             CAST(len(string_split(enc, '{_BPE_SS}')) - 2 AS BIGINT) AS n_syms
+      FROM w{_BPE_MERGES}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(s.n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM toksd t JOIN wsyms s USING (w)
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "per-document token count under the learned BPE merges — the "
+        "third leg of the tokenizer family (train: "
+        "docs_bpe_train_merges; corpus eval: docs_bpe_compression; "
+        "per-doc application: this). Tokenizing a document is a "
+        "vocabulary JOIN, not a re-segmentation: every word's "
+        "post-merge symbol count is already materialized in the "
+        "trainer's final word table, so the corpus-sized work is one "
+        "word-keyed equi-join of the token stream against the "
+        "vocabulary-bounded word table plus a doc-keyed count — "
+        "exactly how production pipelines tokenize (word-level cache "
+        "in front of the BPE automaton)."
+    ),
+)
+def docs_bpe_tokenized_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, state_k = _bpe_train(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    toksd = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    wsyms = state_k.select(
+        "w",
+        (F.size(F.split(F.col("enc"), _BPE_SS)) - 2)
+        .cast("bigint")
+        .alias("n_syms"),
+    )
+    return toksd.join(wsyms, "w").groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
     )

@@ -149,6 +149,7 @@ EXTRAS = [
     "docs_bpe_train_merges",
     "docs_bpe_compression",
     "docs_bpe_tokenized_len",
+    "docs_kneser_ney_score",
 ]
 
 

@@ -4098,3 +4098,89 @@ def docs_bpe_tokenized_len(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_words"),
         F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "docs_kneser_ney_score",
+    f"""
+    WITH toked AS (SELECT doc_id, {_LTOK_SQL} AS t FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram,
+             unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i+1])) AS w2
+      FROM toked
+    ),
+    bf AS (SELECT bigram, COUNT(*) AS bf FROM bi GROUP BY bigram),
+    uf AS (SELECT w1, COUNT(*) AS uf FROM bi GROUP BY w1),
+    fo AS (SELECT w1, COUNT(DISTINCT w2) AS fo FROM bi GROUP BY w1),
+    co AS (SELECT w2, COUNT(DISTINCT w1) AS co FROM bi GROUP BY w2),
+    nb AS (SELECT COUNT(DISTINCT bigram) AS nb FROM bi)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln(
+             greatest(bf - 0.75, 0) / uf
+             + 0.75 * fo / uf * (CAST(co AS DOUBLE) / nb)
+           )), 6) AS avg_neg_logp_kn
+    FROM bi JOIN bf USING (bigram) JOIN uf USING (w1)
+            JOIN fo USING (w1) JOIN co USING (w2)
+            CROSS JOIN nb
+    GROUP BY doc_id
+    """,
+    doc=(
+        "per-document fluency under an interpolated Kneser-Ney bigram "
+        "LM (d = 0.75) — the smoothing real LM-based quality scorers "
+        "use (KenLM/CCNet) where add-one (docs_bigram_lm_score) "
+        "systematically overweights frequent-word tails: the "
+        "continuation probability counts how many CONTEXTS a word "
+        "completes, not how often it occurs. All five statistics "
+        "(bigram count, context count, distinct continuations per "
+        "context, distinct contexts per word, distinct-bigram total) "
+        "are map-side-combined aggregates of the one exploded bigram "
+        "stream; scoring is three vocab-keyed equi-joins plus a 1-row "
+        "attach — the docs_bigram_lm_score shuffle plan with two more "
+        "bounded joins, nothing corpus-squared at any scale."
+    ),
+)
+def docs_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = ws_tokens(F.lower(F.col("text")))
+    toked = docs.select("doc_id", t.alias("t"))
+    tc = F.col("t")
+    trips = F.transform(
+        _shingle_spans(F.size(tc), 2),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.element_at(tc, i), F.element_at(tc, i + 1)
+            ).alias("bigram"),
+            F.element_at(tc, i).alias("w1"),
+            F.element_at(tc, i + 1).alias("w2"),
+        ),
+    )
+    bi = toked.select("doc_id", F.explode(trips).alias("p")).select(
+        "doc_id", "p.bigram", "p.w1", "p.w2"
+    )
+    bf = bi.groupBy("bigram").agg(F.count("*").alias("bf"))
+    uf = bi.groupBy("w1").agg(F.count("*").alias("uf"))
+    fo = bi.groupBy("w1").agg(F.countDistinct("w2").alias("fo"))
+    co = bi.groupBy("w2").agg(F.countDistinct("w1").alias("co"))
+    nb = bi.agg(F.countDistinct("bigram").alias("nb"))
+    p_kn = (
+        F.greatest(F.col("bf") - 0.75, F.lit(0)) / F.col("uf")
+        + F.lit(0.75) * F.col("fo") / F.col("uf")
+        * (F.col("co").cast("double") / F.col("nb"))
+    )
+    return (
+        bi.join(bf, "bigram")
+        .join(uf, "w1")
+        .join(fo, "w1")
+        .join(co, "w2")
+        .crossJoin(F.broadcast(nb))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 6).alias("avg_neg_logp_kn"),
+        )
+    )

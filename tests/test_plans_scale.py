@@ -86,6 +86,9 @@ ALLOWED_BNLJ = {
     # definition, like embedding_cosine_topk; probe side hard-bounded by
     # the _INT8_PROBE_BOUND predicate)
     "docs_bigram_lm_score",
+    # same 1-row attach (distinct-bigram total for the continuation
+    # probability); the scoring joins are vocab-keyed equi-joins
+    "docs_kneser_ney_score",
     "embedding_int8_ann",
     # int8 scale path: its BNLJ stages are the bounded attaches only —
     # 1-row packed codebook and <=IVF_MAX_CELLS centroid routing; the

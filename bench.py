@@ -150,6 +150,7 @@ EXTRAS = [
     "docs_bpe_compression",
     "docs_bpe_tokenized_len",
     "docs_kneser_ney_score",
+    "docs_winnowing_fingerprints",
 ]
 
 

@@ -4184,3 +4184,68 @@ def docs_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(p_kn)), 6).alias("avg_neg_logp_kn"),
         )
     )
+
+
+@register(
+    "docs_winnowing_fingerprints",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(lower(trim(text))) - 3, 1)),
+               j -> {_md5_int_sql("substr(lower(trim(text)), j, 5)", 3)}
+             ) AS hs
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, hs,
+             list_transform(range(1, greatest(len(hs) - 2, 1)),
+                            j -> list_min(hs[j:j+3])) AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS INT) AS n_grams,
+           CAST(len(list_distinct(fps)) AS INT) AS n_fingerprints,
+           list_min(fps) AS min_fp
+    FROM fp
+    """,
+    doc=(
+        "winnowing document fingerprints (Schleimer et al. 2003, the "
+        "MOSS scheme): hash every char 5-gram, keep the minimum of each "
+        "4-hash window — guarantees any shared substring of length >= 8 "
+        "chars shares a fingerprint, the LOCAL property MinHash "
+        "(whole-doc similarity) and SimHash (global signature) lack. "
+        "Reported per doc: gram count, distinct selected fingerprints, "
+        "and the smallest (the doc's winnow sample). Pure per-row "
+        "projection — zero shuffles, zero joins; the fingerprint "
+        "inverted index a plagiarism/clone detector builds next is one "
+        "explode + groupBy away (the shape docs_hot_ngram_coverage "
+        "already demonstrates)."
+    ),
+)
+def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    docs = load_table(spark, "documents", sf_dir)
+    tn = F.lower(F.trim(F.col("text")))
+    d = docs.select("doc_id", tn.alias("tn"))
+    gram_spans = F.when(
+        F.length("tn") - 3 >= 2, F.sequence(F.lit(1), F.length("tn") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    hs = F.transform(
+        gram_spans, lambda j: md5_int(F.col("tn").substr(j, F.lit(5)), seed=3)
+    )
+    d = d.select("doc_id", hs.alias("hs"))
+    fp_spans = F.when(
+        F.size("hs") - 2 >= 2, F.sequence(F.lit(1), F.size("hs") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.transform(
+        fp_spans, lambda j: F.array_min(F.slice("hs", j, 4))
+    )
+    d = d.select("doc_id", "hs", fps.alias("fps"))
+    return d.select(
+        "doc_id",
+        F.size("hs").alias("n_grams"),
+        F.size(F.array_distinct("fps")).alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+    )

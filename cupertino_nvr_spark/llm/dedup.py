@@ -483,11 +483,20 @@ def embedding_neardup_pairs_lsh(
         bit = F.when(F.col("cprojs")[p] >= 0, F.lit(2**p)).otherwise(F.lit(0))
         base = bit if base is None else base + bit
     base = base.cast("int")
+    # The rank key is |centered projection| ROUNDED to sim_decimals with
+    # the plane index as tie-break: raw doubles differ between engines in
+    # the last ulp (summation order), and two planes of one vector CAN
+    # land within an ulp of each other — rounding + a deterministic
+    # tie-break makes the flip choice replayable in an exact SQL oracle
+    # (a rank flip would change which buckets get probed, hence the
+    # emitted pair set). A key sitting exactly on a rounding boundary is
+    # the only residual risk, same measure as the sign test at zero.
     ranked = F.array_sort(
         F.array(
             *[
                 F.struct(
-                    F.abs(F.col("cprojs")[p]).alias("a"), F.lit(p).alias("plane")
+                    F.round(F.abs(F.col("cprojs")[p]), sim_decimals).alias("a"),
+                    F.lit(p).alias("plane"),
                 )
                 for p in range(n_planes)
             ]

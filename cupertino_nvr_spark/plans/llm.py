@@ -677,50 +677,226 @@ def embedding_cosine_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Centered sign-bit LSH near-dup chain, exact SQL oracle
+#
+# Every stage of embedding_neardup_pairs_lsh (llm/dedup.py) is replayable
+# in DuckDB because nothing in it is data-dependent randomness: the
+# hyperplanes are the same pure integer formula _LSH_PROJ_SQL already
+# verifies bit-identically for embedding_lsh_ann, per-plane mean centering
+# is one AVG, the sign test only flips across engines if a centered
+# projection sits within ~1e-15 of zero, the flip ranking orders by
+# ROUND(ABS(cproj), 6) with the plane index as tie-break (matching the
+# Spark side exactly — raw doubles would tie-break on last-ulp summation
+# order), the hot-bucket cap is a HAVING COUNT(*) filter, and the final
+# cosine is the same 6-decimal-rounded score every other embedding oracle
+# uses. Fixed n_planes (no corpus count) keeps the SQL static.
+_LSH_ND_PLANES = 12
+_LSH_ND_FLIP = 2
+_LSH_ND_CAP = 256
+
+
+def _lsh_neardup_pairs_cte_sql(
+    n_planes: int = _LSH_ND_PLANES,
+    dim: int = 64,
+    n_flip: int = _LSH_ND_FLIP,
+    bucket_cap: int = _LSH_ND_CAP,
+    threshold: float = 0.99,
+) -> str:
+    """CTE chain ending in lsh_pairs(id_a, id_b, sim) over aug."""
+    proj = (
+        f"list_transform(range(0, {n_planes}), p -> "
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "d -> e[d] * ((((p * 1000003 + (d-1) * 7919 + 12345) % 2003) / 1001.0) - 1.0))))"
+    )
+    return f"""aug AS ({_AUG_EMB_SQL}),
+    lshp AS (SELECT vec_id, e, {proj} AS projs FROM aug),
+    pp AS (
+      SELECT vec_id, t.p AS plane, projs[t.p + 1] AS proj
+      FROM lshp, range(0, {n_planes}) t(p)
+    ),
+    offs AS (SELECT plane, AVG(proj) AS off FROM pp GROUP BY plane),
+    cp AS (
+      SELECT pp.vec_id, pp.plane, pp.proj - offs.off AS cproj
+      FROM pp JOIN offs USING (plane)
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN cproj >= 0
+                           THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS INT) AS base
+      FROM cp GROUP BY vec_id
+    ),
+    rk AS (
+      SELECT vec_id, plane,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ROUND(ABS(cproj), 6), plane) AS r
+      FROM cp
+    ),
+    mem AS (
+      SELECT DISTINCT vec_id, bucket FROM (
+        SELECT vec_id, base AS bucket FROM sig
+        UNION ALL
+        SELECT rk.vec_id,
+               CAST(xor(CAST(sig.base AS BIGINT), CAST(1 AS BIGINT) << rk.plane) AS INT)
+        FROM rk JOIN sig USING (vec_id) WHERE rk.r <= {n_flip}
+      )
+    ),
+    hot AS (SELECT bucket FROM mem GROUP BY bucket HAVING COUNT(*) > {bucket_cap}),
+    mem2 AS (
+      SELECT m.vec_id, m.bucket FROM mem m
+      LEFT JOIN hot h USING (bucket) WHERE h.bucket IS NULL
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM mem2 a JOIN mem2 b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+    ),
+    lsh_pairs AS (
+      SELECT id_a, id_b,
+             ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS sim
+      FROM cand
+      JOIN aug ea ON ea.vec_id = cand.id_a
+      JOIN aug eb ON eb.vec_id = cand.id_b
+      WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= {threshold}
+    )"""
+
+
+# cheap cached row estimate so the adaptive-planes production twins never
+# pay a hidden corpus scan at plan-construction time (the parquet count
+# is metadata-cheap but still a job; once per sf_dir per process)
+_EMB_AUG_NROWS: dict[str, int] = {}
+
+
+def _aug_emb_nrows(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _EMB_AUG_NROWS:
+        n = load_table(spark, "embeddings", sf_dir).count()
+        # aug = base + exact copies (vec_id%9) + perturbed copies (vec_id%5);
+        # only the bit_length matters downstream, so the ratio is enough
+        _EMB_AUG_NROWS[sf_dir] = int(n * (1 + 1 / 9 + 1 / 5)) + 1
+    return _EMB_AUG_NROWS[sf_dir]
+
+
 @register(
     "embedding_cosine_neardup_lsh",
-    None,  # hyperplane sign bucketing has no tractable ANSI-SQL oracle;
-    # recall against the IVF-blocked exact pair set is pinned in
-    # tests/test_similarity_kernels.py
-    doc="embedding near-dup candidate pairs via sign-bit LSH blocking — "
-    "the LINEAR-time scale path. IVF-cell blocking is Θ(n^1.5) at its own "
-    "optimum (assignment n·c + pairs n²/c, minimized at c=sqrt(n); "
-    "measured 11.7-18.6x for 10x data at sf1): hyperplane sign buckets "
-    "cost O(n·planes·dim) to assign with NO centroid set, and with "
-    "planes ≈ log2(n) the bucket count tracks n so candidate volume "
+    f"""
+    WITH {_lsh_neardup_pairs_cte_sql()}
+    SELECT id_a, id_b, sim FROM lsh_pairs
+    """,
+    doc="embedding near-dup candidate pairs via CENTERED sign-bit LSH "
+    "blocking — the LINEAR-time scale path. IVF-cell blocking is Θ(n^1.5) "
+    "at its own optimum (assignment n·c + pairs n²/c, minimized at "
+    "c=sqrt(n); measured 11.7-18.6x for 10x data at sf1): hyperplane sign "
+    "buckets cost O(n·planes·dim) to assign with NO centroid set, and "
+    "with planes ≈ log2(n) the bucket count tracks n so candidate volume "
     "stays O(n). Both sides multi-probe their 2 least-confident flip "
-    "buckets; exact copies bucket identically and are never missed. "
-    "The recall/cost knob (more planes = fewer candidates, lower "
-    "recall) replaces IVF's cell-count knob.",
-    bench_only=True,
+    "buckets; exact copies bucket identically and are never missed. This "
+    "declared form fixes n_planes=12 and scores on the HOF kernel so the "
+    "DuckDB oracle replays the chain exactly (centering AVG, sign bits, "
+    "rounded flip ranking, hot-bucket cap, 6-decimal cosine); the "
+    "adaptive-planes Arrow-kernel twin embedding_cosine_neardup_lsh_fast "
+    "is the production configuration.",
 )
 def embedding_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs_lsh
 
     return embedding_neardup_pairs_lsh(
-        augmented_embeddings(spark, sf_dir), threshold=0.99
+        augmented_embeddings(spark, sf_dir),
+        threshold=0.99,
+        n_planes=_LSH_ND_PLANES,
+        n_flip=_LSH_ND_FLIP,
+        bucket_cap=_LSH_ND_CAP,
+        kernel="hof",
     )
 
 
 @register(
     "embedding_semdedup_lsh",
-    None,  # same no-SQL-oracle caveat as embedding_cosine_neardup_lsh;
-    # the drop rule itself is pinned against the IVF-blocked twin's tags
-    # in tests/test_similarity_kernels.py
+    f"""
+    WITH {_lsh_neardup_pairs_cte_sql()},
+    dups AS (
+      SELECT id_b AS vec_id, COUNT(*) AS n_dup_neighbors
+      FROM lsh_pairs GROUP BY id_b
+    )
+    SELECT a.vec_id,
+           COALESCE(d.n_dup_neighbors, 0) AS n_dup_neighbors,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM aug a LEFT JOIN dups d USING (vec_id)
+    """,
     doc="SemDeDup drop/keep materialization over the LINEAR-time "
     "LSH-blocked candidate chain (embedding_cosine_neardup_lsh) — the "
     "form that actually runs at 100 TB: same one-pass lower-id drop "
     "rule as embedding_semdedup, pair generation O(n) instead of "
     "Θ(n^1.5). Recall loss shows up only as a missed drop (a duplicate "
     "surviving), never a false drop — every emitted pair passed the "
-    "exact cosine gate.",
-    bench_only=True,
+    "exact cosine gate. Declared with the full exact oracle (same fixed "
+    "12-plane HOF chain as the pair query, so the pair definition and "
+    "its keep/drop materialization can never drift).",
 )
 def embedding_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs_lsh
 
     aug = augmented_embeddings(spark, sf_dir)
-    pairs = embedding_neardup_pairs_lsh(aug, threshold=0.99)
+    pairs = embedding_neardup_pairs_lsh(
+        aug,
+        threshold=0.99,
+        n_planes=_LSH_ND_PLANES,
+        n_flip=_LSH_ND_FLIP,
+        bucket_cap=_LSH_ND_CAP,
+        kernel="hof",
+    )
+    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count("*").alias("dup_n")
+    )
+    return aug.select("vec_id").join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("dup_n"), F.lit(0)).alias("n_dup_neighbors"),
+        F.col("dup_n").isNotNull().alias("is_dup"),
+    )
+
+
+@register(
+    "embedding_cosine_neardup_lsh_fast",
+    None,  # adaptive planes (log2 n) + Arrow/numpy cosine: the production
+    # configuration; last-ulp kernel caveat as the other _fast twins, and
+    # the plane count varies with the corpus so the static oracle of the
+    # declared form doesn't apply. Recall vs the IVF-exact pair set is
+    # pinned in tests/test_similarity_kernels.py.
+    doc="embedding near-dup pairs, centered sign-bit LSH blocking with "
+    "ADAPTIVE planes (≈log2 n, from a cached metadata count — no hidden "
+    "corpus scan at plan time) and the Arrow cosine kernel — the "
+    "production 100 TB configuration whose exact-pair semantics the "
+    "declared fixed-plane form oracle-checks.",
+    bench_only=True,
+)
+def embedding_cosine_neardup_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
+        augmented_embeddings(spark, sf_dir),
+        threshold=0.99,
+        kernel="pandas",
+        n_rows=_aug_emb_nrows(spark, sf_dir),
+    )
+
+
+@register(
+    "embedding_semdedup_lsh_fast",
+    None,  # same adaptive-planes/Arrow-kernel caveat as
+    # embedding_cosine_neardup_lsh_fast
+    doc="SemDeDup drop/keep materialization over the adaptive-planes "
+    "Arrow-kernel LSH chain — the production form; drop-rule semantics "
+    "oracle-checked via the declared fixed-plane twin.",
+    bench_only=True,
+)
+def embedding_semdedup_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs_lsh
+
+    aug = augmented_embeddings(spark, sf_dir)
+    pairs = embedding_neardup_pairs_lsh(
+        aug,
+        threshold=0.99,
+        kernel="pandas",
+        n_rows=_aug_emb_nrows(spark, sf_dir),
+    )
     dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.count("*").alias("dup_n")
     )

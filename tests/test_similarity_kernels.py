@@ -192,13 +192,25 @@ def test_lsh_blocked_neardup_recall(spark):
         (r.id_a, r.id_b)
         for r in embedding_neardup_pairs(aug, threshold=0.99).collect()
     }
-    lsh = {
-        (r.id_a, r.id_b)
-        for r in embedding_neardup_pairs_lsh(aug, threshold=0.99).collect()
-    }
+    lsh_rows = embedding_neardup_pairs_lsh(aug, threshold=0.99).collect()
+    lsh = {(r.id_a, r.id_b) for r in lsh_rows}
     assert exact, "fixture must plant near-dup pairs"
-    # no false positives: every LSH pair passed the same exact-cosine gate
-    assert all(True for _ in lsh)  # structural: threshold applied in-plan
+    # no false positives: recompute the exact cosine for every emitted
+    # pair and assert it clears the threshold (and matches the emitted sim)
+    import math
+
+    vecs = {r.vec_id: list(r.embedding) for r in aug.collect()}
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    assert lsh_rows
+    for r in lsh_rows:
+        ref = _cos(vecs[r.id_a], vecs[r.id_b])
+        assert round(ref, 6) >= 0.99, (r.id_a, r.id_b, ref)
+        assert abs(ref - r.sim) < 1e-6
     # exact copies: (id, id+1M) pairs must all be present
     exact_copies = {p for p in exact if p[1] - p[0] == 1000000}
     assert exact_copies <= lsh
@@ -223,3 +235,44 @@ def test_lsh_blocked_neardup_recall(spark):
     # legitimate (both passed the exact cosine); they must be rare
     assert len(extra_drops) <= max(2, len(ivf_dropped) // 10)
     assert len(lsh_dropped & ivf_dropped) / max(len(ivf_dropped), 1) >= 0.8
+
+
+def test_lsh_fast_twins_match_declared_chain(spark):
+    """Kernel equivalence at identical parameters: the Arrow cosine and
+    the HOF cosine produce the SAME pair set and drop tags when the
+    blocking (fixed 12 planes) is held constant — only summation order
+    differs, and every threshold compare happens on the 6-decimal-rounded
+    score. The registered _fast twins additionally use adaptive planes;
+    those must still never miss a planted exact copy."""
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs_lsh
+    from cupertino_nvr_spark.plans.llm import (
+        _LSH_ND_CAP,
+        _LSH_ND_FLIP,
+        _LSH_ND_PLANES,
+    )
+
+    aug = augmented_embeddings(spark, SF)
+    kw = dict(
+        threshold=0.99,
+        n_planes=_LSH_ND_PLANES,
+        n_flip=_LSH_ND_FLIP,
+        bucket_cap=_LSH_ND_CAP,
+    )
+    hof = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_lsh(aug, kernel="hof", **kw).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_lsh(aug, kernel="pandas", **kw).collect()
+    }
+    assert hof == fast and hof
+
+    fast_reg = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["embedding_cosine_neardup_lsh_fast"]
+        .spark(spark, SF)
+        .collect()
+    }
+    exact_copies = {p for p in hof if p[1] - p[0] == 1000000}
+    assert exact_copies and exact_copies <= fast_reg

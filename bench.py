@@ -153,6 +153,10 @@ EXTRAS = [
     "docs_bpe_tokenized_len",
     "docs_kneser_ney_score",
     "docs_winnowing_fingerprints",
+    "docs_gopher_quality",
+    "docs_substring_dup_spans",
+    "docs_classifier_score",
+    "media_text_pairs",
 ]
 
 

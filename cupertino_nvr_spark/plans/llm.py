@@ -4425,3 +4425,358 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("fps")).alias("n_fingerprints"),
         F.array_min("fps").alias("min_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 debuts: Gopher rule filter, exact-substring dup spans, hashed linear
+# quality classifier, CLIP-style media-text pair mining.
+# ---------------------------------------------------------------------------
+
+# Union of all language stopword lists (the Gopher stopword rule is
+# language-agnostic here; a real deployment swaps a per-language broadcast
+# dim). Sorted for a deterministic SQL literal.
+_GOPHER_STOPWORDS = sorted(
+    {w for words in __import__("cupertino_nvr_spark.llm.text", fromlist=["STOPWORDS"]).STOPWORDS.values() for w in words}
+)
+
+
+@register(
+    "docs_gopher_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+             length(regexp_replace(text, '[^#.]', '', 'g')) AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks) AS mean_word_len,
+             n_symbols * 1.0 / len(toks) AS symbol_ratio,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_ratio,
+             len(list_filter(toks, w -> lower(w) IN ({", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)}))) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           n_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_ratio <= 0.1
+                AND alpha_word_ratio >= 0.8
+                AND n_stopwords >= 2 AS INT) AS passes_gopher
+    FROM m
+    """,
+    doc=(
+        "Gopher quality rules (Rae et al. 2021, public): word count in "
+        "[50,1e5], mean word length in [3,10], symbol-to-word ratio <=0.1 "
+        "('#'/'.'), >=80% alphabetic words, >=2 stopwords. One projection "
+        "over one scan — zero shuffles, whole-stage codegen, trivially "
+        "linear at 100 TB. Complements docs_quality_lang (heuristic "
+        "score) with the published hard-filter rule set."
+    ),
+)
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    toks = ws_tokens(text)
+    n_words = F.size(toks).cast("bigint")
+    total_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_word_len = total_chars * F.lit(1.0) / n_words
+    n_symbols = F.length(F.regexp_replace(text, r"[^#.]", ""))
+    symbol_ratio = n_symbols * F.lit(1.0) / n_words
+    alpha_word_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) * F.lit(1.0) / n_words
+    )
+    n_stopwords = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS))
+    ).cast("bigint")
+    passes = (
+        n_words.between(50, 100000)
+        & mean_word_len.between(3, 10)
+        & (symbol_ratio <= 0.1)
+        & (alpha_word_ratio >= 0.8)
+        & (n_stopwords >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        n_stopwords.alias("n_stopwords"),
+        passes.cast("int").alias("passes_gopher"),
+    )
+
+
+# Exact-substring dedup window width (tokens). Lee et al. 2022 use 50
+# BPE tokens on web corpora; the synthetic docs run 8-100 whitespace
+# tokens, so k=8 keeps the duplicated-span signal visible at every SF.
+_SUBSTR_K = 8
+
+
+@register(
+    "docs_substring_dup_spans",
+    f"""
+    WITH aug AS ({{aug}}),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM aug
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(CASE WHEN len(toks) >= {_SUBSTR_K}
+                         THEN range(1, len(toks) - {_SUBSTR_K} + 2)
+                         ELSE [] END) AS pos
+      FROM tok
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             {{gram_hash}} AS gram
+      FROM pos
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    per_doc AS (
+      SELECT g.doc_id, COUNT(*) AS n_dup_grams, MIN(g.pos) AS first_dup_pos
+      FROM grams g SEMI JOIN dup USING (gram)
+      GROUP BY g.doc_id
+    ),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(p.n_dup_grams, 0) * 1.0 / t.n_grams AS dup_gram_frac,
+           COALESCE(p.first_dup_pos, 0) AS first_dup_pos
+    FROM totals t LEFT JOIN per_doc p USING (doc_id)
+    """.format(
+        aug=_AUG_SQL,
+        gram_hash=_md5_int_sql(
+            f"array_to_string(list_slice(toks, pos, pos + {_SUBSTR_K} - 1), ' ')", 11
+        ),
+    ),
+    doc=(
+        "Exact-substring dedup spans (Lee et al. 2022, 'Deduplicating "
+        "Training Data Makes Language Models Better'): every k-token "
+        "window is hashed; windows whose hash appears in >1 distinct doc "
+        "are duplicated spans. Per doc: window count, duplicated-window "
+        "count/fraction, first duplicated offset. Suffix-array semantics "
+        "re-expressed as explode + one map-side-combined groupBy on the "
+        "gram digest + a semi join — O(k * total_tokens) rows, no "
+        "all-pairs stage, hash-partitioned by digest so it scales "
+        "linearly where a literal suffix array would need a global sort. "
+        "Runs over the augmented corpus (exact/cased copies share every "
+        "window; the tail-marker near-copies share all but the last)."
+    ),
+)
+def docs_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    k = _SUBSTR_K
+    aug = augmented_docs(spark, sf_dir)
+    tok = aug.select(
+        "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("toks")
+    )
+    spans = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = tok.select(
+        "doc_id",
+        F.explode(spans).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        md5_int(F.array_join(F.slice("toks", F.col("pos"), k), " "), seed=11).alias(
+            "gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    per_doc = (
+        grams.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_grams"),
+            F.min("pos").alias("first_dup_pos"),
+        )
+    )
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+        (F.coalesce(F.col("n_dup_grams"), F.lit(0)) * F.lit(1.0) / F.col("n_grams")).alias(
+            "dup_gram_frac"
+        ),
+        F.coalesce(F.col("first_dup_pos"), F.lit(0)).alias("first_dup_pos"),
+    )
+
+
+# Hashed-bag-of-words linear classifier (fastText/CCNet-style quality
+# classifier shape, public). The "model" is a deterministic weight table
+# over 4096 hash buckets: w(b) = ((b*1103515245 + 12345) % 1000003) /
+# 1000003 - 0.5 (LCG constants, public). Integer sums stay exact; the
+# only float ops are three IEEE ops applied in the same order on both
+# engines, and the squash is the rational fast-sigmoid x/(1+|x|) — no
+# libm exp whose last ulp could differ cross-engine.
+_CLF_BUCKETS = 4096
+_CLF_MOD = 1000003
+
+
+@register(
+    "docs_classifier_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> ({_md5_int_sql("w", 17)} % {_CLF_BUCKETS})
+                                 * 1103515245 + 12345) AS wints,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tok,
+             list_sum(list_transform(wints, x -> x % {_CLF_MOD})) AS sum_wint
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, n_tok,
+             (CAST(sum_wint AS DOUBLE) / {_CLF_MOD}.0 - 0.5 * n_tok) / n_tok AS raw_score
+      FROM s
+    )
+    SELECT doc_id, n_tok AS n_features, raw_score,
+           0.5 + 0.5 * raw_score / (1 + abs(raw_score)) AS keep_prob,
+           CAST(raw_score >= 0 AS INT) AS label_keep
+    FROM r
+    """,
+    doc=(
+        "Model-based quality filtering (fastText/CCNet classifier shape): "
+        "hashing-trick bag-of-words — token -> md5 bucket (4096) -> "
+        "broadcast weight lookup (here a closed-form LCG weight so both "
+        "engines replay it; production swaps a 4096-float broadcast "
+        "array) -> mean margin -> rational fast-sigmoid. Pure per-row "
+        "higher-order functions over the token array: zero shuffles, no "
+        "explode, linear at 100 TB; a learned model arrives as a "
+        "broadcast map lookup with the identical plan."
+    ),
+)
+def docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.lower(F.trim(F.col("text"))))
+    wints = F.transform(
+        toks,
+        lambda w: (md5_int(w, seed=17) % _CLF_BUCKETS) * 1103515245 + 12345,
+    )
+    n_tok = token_count(F.col("text"))
+    sum_wint = F.aggregate(
+        wints, F.lit(0).cast("bigint"), lambda a, x: a + x % _CLF_MOD
+    )
+    raw = (
+        sum_wint.cast("double") / F.lit(float(_CLF_MOD)) - F.lit(0.5) * n_tok
+    ) / n_tok
+    d = docs.select(
+        "doc_id", n_tok.alias("n_features"), raw.alias("raw_score")
+    )
+    raw_c = F.col("raw_score")
+    return d.select(
+        "doc_id",
+        "n_features",
+        "raw_score",
+        (F.lit(0.5) + F.lit(0.5) * raw_c / (F.lit(1) + F.abs(raw_c))).alias(
+            "keep_prob"
+        ),
+        (raw_c >= 0).cast("int").alias("label_keep"),
+    )
+
+
+# CLIP-style pair curation: web-scraped multimodal corpora pair each
+# media asset only with captions from the SAME page, then keep the best
+# caption above a similarity gate. The synthetic page key is vec_id//20
+# (~4 media x ~16 captions per page) — the point is the plan shape:
+# constant-size equi-join blocks, never media x all-captions.
+_PAIR_PAGE = 20
+_PAIR_TAU = 0.1
+
+
+@register(
+    "media_text_pairs",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, vec_id // {_PAIR_PAGE} AS page_id
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT m.vec_id AS media_id, t.vec_id AS caption_id,
+             ROUND(list_cosine_similarity(m.v, t.v), 6) AS sim
+      FROM e m JOIN e t ON m.page_id = t.page_id
+      WHERE m.vec_id % 5 = 0 AND t.vec_id % 5 <> 0
+    ),
+    gated AS (
+      SELECT media_id, caption_id, sim,
+             COUNT(*) OVER (PARTITION BY media_id) AS n_candidates,
+             ROW_NUMBER() OVER (PARTITION BY media_id
+                                ORDER BY sim DESC, caption_id) AS rk
+      FROM cand WHERE sim >= {_PAIR_TAU}
+    )
+    SELECT g.media_id, g.caption_id, g.sim, g.n_candidates,
+           d.lang AS caption_lang
+    FROM gated g JOIN documents d ON d.doc_id = g.caption_id
+    WHERE g.rk = 1
+    """,
+    doc=(
+        "Multimodal pair mining (CLIP-style caption alignment): media and "
+        "caption embeddings equi-join on their shared page key (constant-"
+        "size blocks -> linear candidate volume, hash-partitioned by "
+        "page), cosine gate at 0.1, best caption per media by (sim desc, "
+        "caption_id) window rank, caption language attached by a doc "
+        "lookup join. At 100 TB the page key is the crawl URL; the plan "
+        "is one bounded equi-join + one windowed top-1 — no all-pairs "
+        "stage, and the doc lookup broadcasts when the caption dim fits."
+    ),
+)
+def media_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import as_double, cosine
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        F.expr(f"vec_id div {_PAIR_PAGE}").alias("page_id"),
+    )
+    media = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("media_id"), F.col("v").alias("mv"), "page_id"
+    )
+    caps = emb.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("caption_id"), F.col("v").alias("tv"), "page_id"
+    )
+    cand = media.join(caps, "page_id").select(
+        "media_id",
+        "caption_id",
+        F.round(cosine(F.col("mv"), F.col("tv")), 6).alias("sim"),
+    )
+    gated = cand.filter(F.col("sim") >= _PAIR_TAU)
+    w = Window.partitionBy("media_id")
+    ranked = gated.select(
+        "media_id",
+        "caption_id",
+        "sim",
+        F.count("*").over(w).alias("n_candidates"),
+        F.row_number()
+        .over(w.orderBy(F.col("sim").desc(), F.col("caption_id")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("caption_id"), F.col("lang").alias("caption_lang")
+    )
+    return ranked.join(docs, "caption_id").select(
+        "media_id", "caption_id", "sim", "n_candidates", "caption_lang"
+    )

@@ -1,0 +1,59 @@
+"""Pins the r8 sampled-window composition.
+
+The driver's correctness gate samples list(all_queries())[:50] (verified
+r5-r7: the CORRECTNESS key set equals the first-50 slice). The rotation
+policy (plans/__init__.py) requires the window to contain, in priority
+order: the flagship, every query never driver-sampled in rounds 1-7, the
+r6 red-row fix (embedding_int8_quant), and this round's debuts. This test
+recomputes "never sampled" from the committed CORRECTNESS_r0*.json files
+so the pin can't drift from the actual history.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+from pathlib import Path
+
+from cupertino_nvr_spark.plans import all_oracles, all_queries
+
+REPO = Path(__file__).resolve().parent.parent
+
+R8_DEBUTS = {
+    "media_text_pairs",
+    "docs_gopher_quality",
+    "docs_substring_dup_spans",
+    "docs_classifier_score",
+}
+
+
+def _sampled_before_r8() -> set[str]:
+    sampled: set[str] = set()
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r0[1-7].json"))):
+        sampled.update(json.load(open(f)).keys())
+    return sampled
+
+
+def test_window_contains_never_sampled_and_debuts():
+    window = list(all_queries())[:50]
+    sampled = _sampled_before_r8()
+    never = {q for q in all_queries() if q not in sampled} - R8_DEBUTS
+    missing = (never | R8_DEBUTS | {"embedding_int8_quant", "asof_ttl_overlay"}) - set(
+        window
+    )
+    assert not missing, (
+        f"r8 window must contain the flagship, every never-driver-sampled "
+        f"query, the int8_quant fix, and the r8 debuts; missing: {sorted(missing)}"
+    )
+
+
+def test_flagship_registers_first():
+    assert next(iter(all_queries())) == "asof_ttl_overlay"
+
+
+def test_window_is_fully_declared():
+    """Every sampled row must have an oracle (a declared query without one
+    is a guaranteed red row)."""
+    oracles = all_oracles()
+    for name in list(all_queries())[:50]:
+        assert name in oracles, f"sampled query {name} has no oracle"

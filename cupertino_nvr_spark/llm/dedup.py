@@ -401,6 +401,117 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_probe_buckets(
+    cprojs: Column, n_planes: int, n_flip: int, sim_decimals: int = 6
+) -> Column:
+    """Probe-bucket array (base sign bucket + ``n_flip`` least-confident
+    flips, distinct) from CENTERED hyperplane projections.
+
+    The rank key is |centered projection| ROUNDED to sim_decimals with
+    the plane index as tie-break: raw doubles differ between engines in
+    the last ulp (summation order), and two planes of one vector CAN
+    land within an ulp of each other — rounding + a deterministic
+    tie-break makes the flip choice replayable in an exact SQL oracle
+    (a rank flip would change which buckets get probed, hence the
+    emitted pair set). A key sitting exactly on a rounding boundary is
+    the only residual risk, same measure as the sign test at zero.
+
+    Shared by the batch near-dup path (``embedding_neardup_pairs_lsh``)
+    and the streaming membership projection
+    (``embedding_bucket_membership``) so the two can never drift.
+    """
+    base = None
+    for p in range(n_planes):
+        bit = F.when(cprojs[p] >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        base = bit if base is None else base + bit
+    base = base.cast("int")
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.round(F.abs(cprojs[p]), sim_decimals).alias("a"),
+                    F.lit(p).alias("plane"),
+                )
+                for p in range(n_planes)
+            ]
+        )
+    )  # weakest |centered projection| first
+    powers = F.array(*[F.lit(1 << p) for p in range(n_planes)])
+    flips = F.transform(
+        F.slice(ranked, 1, n_flip),
+        lambda s: base.bitwiseXOR(F.element_at(powers, s["plane"] + 1)).cast("int"),
+    )
+    return F.array_distinct(F.concat(F.array(base), flips))
+
+
+def lsh_plane_offsets(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+) -> list[float]:
+    """Per-plane mean projections of a CALIBRATION corpus, collected to
+    the driver (one 1-row aggregate — a calibration-time action, not a
+    per-query one).
+
+    The streaming near-dup path must center against FIXED offsets: a
+    stream has no corpus-wide mean, and an offset that drifted between
+    micro-batches would put the same vector in different buckets at
+    different times, silently missing pairs. Production recipe: compute
+    offsets once from a bootstrap sample (any few million rows — the mean
+    projection converges fast), broadcast as literals, re-calibrate only
+    with a state rebuild.
+    """
+    from cupertino_nvr_spark.llm.similarity import as_double, lsh_projections
+
+    row = (
+        vectors.select(
+            lsh_projections(as_double(F.col(vec_col)), dim, n_planes).alias("projs")
+        )
+        .agg(F.array(*[F.avg(F.col("projs")[p]) for p in range(n_planes)]).alias("o"))
+        .collect()[0]
+    )
+    return [float(x) for x in row["o"]]
+
+
+def embedding_bucket_membership(
+    vectors: DataFrame,
+    offsets: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_flip: int = 2,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """(member_id, bucket) probe-bucket membership with FIXED centering
+    offsets — the streaming-safe projection: stateless per row, so it
+    applies unchanged to a micro-batch or the whole corpus. Feed the
+    result into ``streaming.neardup.embedding_lsh_candidates_stream`` (or
+    self-join on ``bucket`` for the equivalent batch candidate set).
+    """
+    from cupertino_nvr_spark.llm.similarity import as_double, lsh_projections
+
+    n_planes = len(offsets)
+    offs = F.array(*[F.lit(float(o)) for o in offsets])
+    projected = vectors.select(
+        F.col(id_col).alias("member_id"),
+        as_double(F.col(vec_col)).alias("mvec"),
+    ).withColumn(
+        "cprojs",
+        F.zip_with(
+            lsh_projections(F.col("mvec"), dim, n_planes),
+            offs,
+            lambda pr, o: pr - o,
+        ),
+    )
+    return projected.select(
+        "member_id",
+        F.explode(
+            lsh_probe_buckets(F.col("cprojs"), n_planes, n_flip, sim_decimals)
+        ).alias("bucket"),
+    )
+
+
 def embedding_neardup_pairs_lsh(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -477,41 +588,11 @@ def embedding_neardup_pairs_lsh(
     centered = projected.crossJoin(F.broadcast(offsets)).withColumn(
         "cprojs", F.zip_with("projs", "offs", lambda pr, o: pr - o)
     )
-
-    base = None
-    for p in range(n_planes):
-        bit = F.when(F.col("cprojs")[p] >= 0, F.lit(2**p)).otherwise(F.lit(0))
-        base = bit if base is None else base + bit
-    base = base.cast("int")
-    # The rank key is |centered projection| ROUNDED to sim_decimals with
-    # the plane index as tie-break: raw doubles differ between engines in
-    # the last ulp (summation order), and two planes of one vector CAN
-    # land within an ulp of each other — rounding + a deterministic
-    # tie-break makes the flip choice replayable in an exact SQL oracle
-    # (a rank flip would change which buckets get probed, hence the
-    # emitted pair set). A key sitting exactly on a rounding boundary is
-    # the only residual risk, same measure as the sign test at zero.
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    F.round(F.abs(F.col("cprojs")[p]), sim_decimals).alias("a"),
-                    F.lit(p).alias("plane"),
-                )
-                for p in range(n_planes)
-            ]
-        )
-    )  # weakest |centered projection| first
-    powers = F.array(*[F.lit(1 << p) for p in range(n_planes)])
-    flips = F.transform(
-        F.slice(ranked, 1, n_flip),
-        lambda s: base.bitwiseXOR(F.element_at(powers, s["plane"] + 1)).cast("int"),
-    )
     exploded = centered.select(
         "member_id",
         "mvec",
         F.explode(
-            F.array_distinct(F.concat(F.array(base), flips))
+            lsh_probe_buckets(F.col("cprojs"), n_planes, n_flip, sim_decimals)
         ).alias("bucket"),
     )
     hot = (

@@ -35,6 +35,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 NEARDUP_OUTPUT_SCHEMA = "id_a bigint, id_b bigint"
@@ -93,4 +94,44 @@ def lsh_candidates_stream(
     )
 
 
-__all__ = ["lsh_candidates_stream", "NEARDUP_OUTPUT_SCHEMA"]
+def embedding_lsh_candidates_stream(
+    members: DataFrame,
+    id_col: str = "vec_id",
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Streaming embedding near-dup candidates — the streaming twin of
+    ``embedding_neardup_pairs_lsh``'s centered sign-bit LSH blocking.
+
+    ``members`` is a (vec_id, bucket) probe-bucket membership stream:
+    build it by applying ``llm.dedup.embedding_bucket_membership`` with
+    FIXED calibration offsets (``lsh_plane_offsets``) to the arriving
+    embeddings — the projection is stateless per row, so batch and stream
+    compute identical buckets. An arriving embedding pairs against every
+    prior member of each bucket it probes, via the same keyed-state shape
+    as the text-side MinHash twin: one state entry per bucket holding
+    member ids, ``bucket_cap`` saturating hot buckets exactly like the
+    text path (first ``cap`` members pair; later arrivals into a
+    saturated bucket emit/store nothing there but still pair through
+    their other probe buckets).
+
+    The emitted pairs are CANDIDATES (bucket co-occupancy, pre-cosine):
+    score them with the exact kernel downstream, same as the batch chain.
+    With an uncapped bucket the distinct pair union equals the batch
+    membership self-join, pinned in tests/test_streaming.py.
+
+    State: O(vectors × (1 + n_flip)) ids sharded by bucket key, 8 bytes
+    each — identical asymptotics to the text twin's band membership.
+    """
+    m = members.select(
+        F.lit(0).alias("band_idx"),
+        F.col("bucket").cast("string").alias("band_key"),
+        F.col(id_col).alias("doc_id"),
+    )
+    return lsh_candidates_stream(m, band_cap=bucket_cap)
+
+
+__all__ = [
+    "lsh_candidates_stream",
+    "embedding_lsh_candidates_stream",
+    "NEARDUP_OUTPUT_SCHEMA",
+]

@@ -1018,3 +1018,112 @@ def test_lsh_candidates_stream_cap_saturates(spark, stream_dir):
         output_mode="update",
     ).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(10, 20)}
+
+
+# ---------------------------------------------------------------------------
+# streaming embedding near-dup candidates (twin of the centered sign-bit
+# LSH blocking, llm/dedup.py::embedding_neardup_pairs_lsh)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_lsh_candidates_stream_matches_batch(spark, stream_dir):
+    """With fixed calibration offsets and an uncapped bucket, the distinct
+    union of streamed embedding candidate pairs equals the batch probe-
+    bucket membership self-join for ANY chopping: bucket assignment is
+    stateless per row (same offsets -> same buckets in batch and stream),
+    so each pair surfaces exactly at the first micro-batch where its two
+    vectors co-occupy a probed bucket."""
+    from cupertino_nvr_spark.llm.dedup import (
+        embedding_bucket_membership,
+        lsh_plane_offsets,
+    )
+    from cupertino_nvr_spark.plans.llm import augmented_embeddings
+    from cupertino_nvr_spark.streaming.neardup import (
+        embedding_lsh_candidates_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vectors = augmented_embeddings(spark, sf)
+    offsets = lsh_plane_offsets(vectors, n_planes=10)
+    members = embedding_bucket_membership(vectors, offsets).select(
+        "member_id", "bucket"
+    )
+
+    # batch candidate set: membership self-join on bucket, unordered-distinct
+    a = members.select(F.col("bucket"), F.col("member_id").alias("id_a"))
+    b = members.select(F.col("bucket"), F.col("member_id").alias("id_b"))
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+
+    src = f"{stream_dir}/embmembers"
+    write_batches(
+        [
+            members.filter(F.pmod(F.col("member_id"), F.lit(3)) == i)
+            .withColumnRenamed("member_id", "vec_id")
+            for i in range(3)
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, bucket int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        embedding_lsh_candidates_stream(stream, bucket_cap=1_000_000),
+        stream_dir,
+        output_mode="update",
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert got == want
+    assert len(want) > 0
+    # the fixture contains planted exact copies — they MUST co-bucket
+    # (identical vectors project identically, centering preserves that)
+    planted = {p for p in want if p[1] - p[0] == 1_000_000}
+    assert planted
+
+
+def test_embedding_bucket_membership_matches_batch_blocking(spark):
+    """The fixed-offset membership projection assigns the same buckets as
+    the batch path's own corpus-aggregate centering when the offsets come
+    from that same corpus — the refactor (lsh_probe_buckets extraction)
+    cannot have forked the two."""
+    from cupertino_nvr_spark.llm.dedup import (
+        embedding_bucket_membership,
+        embedding_neardup_pairs_lsh,
+        lsh_plane_offsets,
+    )
+    from cupertino_nvr_spark.plans.llm import augmented_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    vectors = augmented_embeddings(spark, sf)
+    offsets = lsh_plane_offsets(vectors, n_planes=10)
+    members = embedding_bucket_membership(vectors, offsets)
+    a = members.select("bucket", F.col("member_id").alias("id_a"))
+    b = members.select("bucket", F.col("member_id").alias("id_b"))
+    cand = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .collect()
+    }
+    # every pair the batch near-dup emits must be a membership candidate
+    # (uncapped: cap differences aside, blocking is identical)
+    emitted = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_lsh(
+            vectors,
+            threshold=0.99,
+            n_planes=10,
+            bucket_cap=1_000_000,
+            kernel="hof",
+        ).collect()
+    }
+    assert emitted <= cand

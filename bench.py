@@ -157,6 +157,8 @@ EXTRAS = [
     "docs_substring_dup_spans",
     "docs_classifier_score",
     "media_text_pairs",
+    "docs_sequence_packing",
+    "docs_token_budget_sample",
 ]
 
 

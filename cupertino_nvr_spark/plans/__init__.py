@@ -59,6 +59,8 @@ _R8_WINDOW_PRIORITY = [
     "docs_gopher_quality",
     "docs_substring_dup_spans",
     "docs_classifier_score",
+    "docs_sequence_packing",
+    "docs_token_budget_sample",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

@@ -4780,3 +4780,136 @@ def media_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(docs, "caption_id").select(
         "media_id", "caption_id", "sim", "n_candidates", "caption_lang"
     )
+
+
+# Pretraining sequence packing: documents are concatenated shard-by-shard
+# into fixed-length training sequences (seq_len tokens); a doc can span a
+# sequence boundary. The pack order inside a shard is doc_id (any stable
+# order works); shards are hash buckets so the running-sum window state is
+# bounded per shard — the global-sort version would be a scale killer.
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 8
+
+
+@register(
+    "docs_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS tok_before
+      FROM t
+    )
+    SELECT doc_id, shard, n_tok,
+           CAST(tok_before // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(tok_before % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset,
+           CAST((tok_before + n_tok - 1) // {_PACK_SEQ_LEN}
+             - tok_before // {_PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs_spanned
+    FROM c
+    """,
+    doc=(
+        "Pretraining sequence packing plan: greedy contiguous concatenation "
+        "of each shard's documents into fixed-length training sequences "
+        "(seq_len tokens, docs may span boundaries — the standard GPT-style "
+        "packing). One running-sum window PARTITIONED BY shard: state per "
+        "partition is a single counter, shards pack independently, so the "
+        "plan is one shuffle on the shard key and linear at 100 TB; a "
+        "global ORDER BY (no partition) would be the scale killer this "
+        "shape exists to avoid. Emits each doc's first sequence id, offset "
+        "in it, and how many sequences it spans — exactly what a packed-"
+        "shard writer fans out over."
+    ),
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("tok_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    L = _PACK_SEQ_LEN
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.expr(f"tok_before div {L}").alias("seq_id"),
+        (F.col("tok_before") % L).alias("seq_offset"),
+        (
+            F.expr(f"(tok_before + n_tok - 1) div {L}")
+            - F.expr(f"tok_before div {L}")
+            + F.lit(1)
+        ).alias("n_seqs_spanned"),
+    )
+
+
+# Token-budget sampling: build a mixture by TOKEN count, not doc count —
+# each language contributes documents in hash order until its token
+# budget is hit (the doc that crosses the budget line is kept, truncated
+# at training time). Hash order (md5 of doc_id) makes the take-until
+# prefix a uniform sample; budgets would arrive as a broadcast dim.
+_BUDGET_TOKENS = 2000
+
+
+@register(
+    "docs_token_budget_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS tok_before
+      FROM t
+    )
+    SELECT doc_id, lang, n_tok, CAST(tok_before AS BIGINT) AS tok_before
+    FROM c WHERE tok_before < {_BUDGET_TOKENS}
+    """,
+    doc=(
+        "Token-budget mixture sampling: per language, take documents in "
+        "hash order (uniform sample prefix) until the language's token "
+        "budget is reached — mixtures are specified in TOKENS, the unit "
+        "training actually consumes, not documents. Same bounded "
+        "windowed-cumsum shape as docs_sequence_packing, partitioned by "
+        "lang (or (lang, shard) with per-shard budgets when one language "
+        "outgrows a partition at 100 TB); budgets swap in as a broadcast "
+        "dimension."
+    ),
+)
+def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("tok_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return c.filter(F.col("tok_before") < _BUDGET_TOKENS).select(
+        "doc_id", "lang", "n_tok", "tok_before"
+    )

@@ -24,6 +24,8 @@ R8_DEBUTS = {
     "docs_gopher_quality",
     "docs_substring_dup_spans",
     "docs_classifier_score",
+    "docs_sequence_packing",
+    "docs_token_budget_sample",
 }
 
 

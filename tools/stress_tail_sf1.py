@@ -20,6 +20,8 @@ from cupertino_nvr_spark.plans import REGISTRY  # noqa: E402
 from cupertino_nvr_spark.session import get_spark  # noqa: E402
 from cupertino_nvr_spark.sources.tables import load_table  # noqa: E402
 
+# default probe set (r6/r7 heavy tail); override with argv:
+#     python tools/stress_tail_sf1.py q1 q2 ...
 TAIL = [
     "docs_dup_clusters",
     "embedding_semdedup",
@@ -32,6 +34,10 @@ SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": "/root/repo/.sf1"}
 
 
 def main() -> None:
+    tail = sys.argv[1:] or TAIL
+    unknown = [q for q in tail if q not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     spark = get_spark("cupertino_nvr_spark-stress-tail")
     for sf_dir in SF_DIRS.values():
         for t in ("documents", "embeddings", "orders", "lineitem"):
@@ -44,7 +50,7 @@ def main() -> None:
     ).save()
 
     out: dict[str, dict[str, float | None]] = {}
-    for name in TAIL:
+    for name in tail:
         row: dict[str, float | None] = {}
         for sf, sf_dir in SF_DIRS.items():
             t0 = time.perf_counter()

@@ -64,6 +64,10 @@ ALLOWED_BNLJ = {
     # cap — the linear-time blocking path
     "embedding_cosine_neardup_lsh",
     "embedding_semdedup_lsh",  # same chain + pair groupBy/keyed left join
+    # the production-config twins (adaptive log2-n planes, Arrow cosine
+    # kernel): same 1-row centering attach, same bucket equi-join
+    "embedding_cosine_neardup_lsh_fast",
+    "embedding_semdedup_lsh_fast",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

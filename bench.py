@@ -159,6 +159,7 @@ EXTRAS = [
     "media_text_pairs",
     "docs_sequence_packing",
     "docs_token_budget_sample",
+    "docs_hybrid_rrf_search",
 ]
 
 

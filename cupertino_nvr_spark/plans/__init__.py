@@ -61,6 +61,7 @@ _R8_WINDOW_PRIORITY = [
     "docs_classifier_score",
     "docs_sequence_packing",
     "docs_token_budget_sample",
+    "docs_hybrid_rrf_search",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

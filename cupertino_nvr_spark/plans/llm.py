@@ -1361,10 +1361,11 @@ _BM25_QUERIES = [
 ]
 
 
-@register(
-    "docs_bm25_search",
-    f"""
-    WITH q(query_id, term) AS (
+# THE BM25 scoring chain (q→toks→tf→dl→stats→dft→contrib→scored→ranked
+# CTEs) — shared by docs_bm25_search and the hybrid-RRF fusion so the
+# sparse leg under fusion is exactly the retrieval being fused.
+def _bm25_chain_sql() -> str:
+    return f"""q(query_id, term) AS (
       VALUES {", ".join(f"({qid}, '{t}')" for qid, t in _BM25_QUERIES)}
     ),
     toks AS (
@@ -1390,11 +1391,19 @@ _BM25_QUERIES = [
     scored AS (
       SELECT query_id, doc_id, round(SUM(term_score), 6) AS score
       FROM contrib GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, score, rank FROM (
+    ),
+    bm_ranked AS (
       SELECT query_id, doc_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-      FROM scored) WHERE rank <= 10
+      FROM scored
+    )"""
+
+
+@register(
+    "docs_bm25_search",
+    f"""
+    WITH {_bm25_chain_sql()}
+    SELECT query_id, doc_id, score, rank FROM bm_ranked WHERE rank <= 10
     """,
     doc="BM25 top-10 retrieval for a 3-query term set: broadcast query terms "
     "semi-prune the exploded corpus before any aggregation; k1=1.25/b=0.75 are "
@@ -4912,4 +4921,103 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.withColumn("tok_before", F.sum("n_tok").over(w) - F.col("n_tok"))
     return c.filter(F.col("tok_before") < _BUDGET_TOKENS).select(
         "doc_id", "lang", "n_tok", "tok_before"
+    )
+
+
+# Hybrid retrieval: BM25 (sparse leg, the _bm25_chain_sql chain) fused
+# with dense cosine retrieval by reciprocal-rank fusion, the standard
+# RAG-serving pattern. Each BM25 query is paired with a dense probe
+# embedding (vec_id = 100*query_id — in a real deployment the query's
+# own encoder output). RRF k=60 (Cormack et al. 2009).
+_RRF_K = 60
+
+
+@register(
+    "docs_hybrid_rrf_search",
+    f"""
+    WITH {_bm25_chain_sql()},
+    probes AS (
+      SELECT vec_id // 100 AS query_id, vec_id AS probe_id,
+             CAST(embedding AS DOUBLE[]) AS pvec
+      FROM embeddings WHERE vec_id IN (100, 200, 300)
+    ),
+    dense AS (
+      SELECT p.query_id, c.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(p.pvec, CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM probes p JOIN embeddings c ON c.vec_id <> p.probe_id
+    ),
+    dense_ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+      FROM dense
+    ),
+    sparse10 AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+                 FROM bm_ranked WHERE rank <= 10),
+    dense10 AS (SELECT query_id, doc_id, rank FROM dense_ranked WHERE rank <= 10),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE(s.rank, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(d.rank, 0) AS BIGINT) AS ann_rank,
+             COALESCE(1.0 / ({_RRF_K} + s.rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + d.rank), 0.0) AS rrf_score
+      FROM sparse10 s FULL JOIN dense10 d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, bm25_rank, ann_rank, rrf_score, fused_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS fused_rank
+      FROM fused) WHERE fused_rank <= 10
+    """,
+    doc=(
+        "Hybrid retrieval with reciprocal-rank fusion (RRF k=60): the "
+        "BM25 sparse leg (shared _bm25_chain_sql chain — the fused "
+        "retrieval IS docs_bm25_search) full-outer-joined with a dense "
+        "cosine top-10 leg on (query, doc), 1/(k+rank) contributions "
+        "summed, re-ranked. Both legs are bounded-probe retrievals "
+        "(broadcast terms / broadcast probe vectors, one corpus scan "
+        "each); fusion touches only 2x10 rows per query, so the whole "
+        "extra cost of hybrid over either leg is the legs themselves. "
+        "rank=0 marks a doc absent from that leg."
+    ),
+)
+def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.pipeline import bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    sparse = bm25_scores(docs, queries, k1=1.25, b=0.75, top_k=10).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        "doc_id",
+        F.col("rank").alias("s_rank"),
+    )
+    probes = emb.filter(F.col("vec_id").isin(100, 200, 300))
+    dense = brute_force_topk(emb, probes, k=10).select(
+        F.expr("probe_id div 100").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("d_rank"),
+    )
+    k = _RRF_K
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("s_rank"), F.lit(0)).cast("bigint").alias("bm25_rank"),
+        F.coalesce(F.col("d_rank"), F.lit(0)).cast("bigint").alias("ann_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("s_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("d_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id", "doc_id", "bm25_rank", "ann_rank", "rrf_score", "fused_rank"
+        )
     )

@@ -68,6 +68,10 @@ ALLOWED_BNLJ = {
     # kernel): same 1-row centering attach, same bucket equi-join
     "embedding_cosine_neardup_lsh_fast",
     "embedding_semdedup_lsh_fast",
+    # dense leg is embedding_cosine_topk's shape: 3 broadcast probe
+    # vectors x one corpus scan; fusion itself is a 10-rows-per-leg
+    # full-outer equi-join
+    "docs_hybrid_rrf_search",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

@@ -26,6 +26,7 @@ R8_DEBUTS = {
     "docs_classifier_score",
     "docs_sequence_packing",
     "docs_token_budget_sample",
+    "docs_hybrid_rrf_search",
 }
 
 

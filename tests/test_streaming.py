@@ -1127,3 +1127,59 @@ def test_embedding_bucket_membership_matches_batch_blocking(spark):
         ).collect()
     }
     assert emitted <= cand
+
+
+# ---------------------------------------------------------------------------
+# streaming sequence packing (twin of docs_sequence_packing)
+# ---------------------------------------------------------------------------
+
+
+def test_packing_stream_matches_batch(spark, stream_dir):
+    """Under id-ordered replay (range-chopped batches, sorted within a
+    micro-batch) the streamed packing assignment equals the batch
+    running-sum window row-for-row: the per-shard counter IS the window's
+    prefix sum."""
+    from cupertino_nvr_spark.plans import REGISTRY
+    from cupertino_nvr_spark.sources.tables import load_table
+    from cupertino_nvr_spark.llm.text import token_count
+    from cupertino_nvr_spark.streaming.packing import packing_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    n = docs.count()
+    # range chopping preserves within-shard doc_id order across batches
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    src = f"{stream_dir}/packdocs"
+    write_batches(
+        [
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            for lo, hi in zip(bounds, bounds[1:])
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, shard bigint, n_tok bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        packing_stream(stream, seq_len=512), stream_dir, output_mode="update"
+    ).collect()
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tok"], r["seq_id"], r["seq_offset"], r["n_seqs_spanned"])
+        for r in out
+    }
+    want = {
+        r["doc_id"]: (r["shard"], r["n_tok"], r["seq_id"], r["seq_offset"], r["n_seqs_spanned"])
+        for r in REGISTRY["docs_sequence_packing"].spark(spark, sf).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # at least one doc actually spans a sequence boundary in the fixture
+    assert any(v[4] > 1 for v in want.values())

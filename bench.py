@@ -160,6 +160,7 @@ EXTRAS = [
     "docs_sequence_packing",
     "docs_token_budget_sample",
     "docs_hybrid_rrf_search",
+    "embedding_power_iteration_pc1",
 ]
 
 

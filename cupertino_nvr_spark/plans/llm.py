@@ -5021,3 +5021,150 @@ def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "doc_id", "bm25_rank", "ann_rank", "rrf_score", "fused_rank"
         )
     )
+
+
+# Distributed PCA first component by unrolled power iteration. The
+# covariance matvec is never materialized: w = X_c^T (X_c v) is two
+# corpus passes (a per-row dot, then a per-dim weighted sum). Per-dim
+# sums are fixed-point (round 9 -> DECIMAL(24,9) -> exact SUM), the same
+# rule that lets kmeans/pagerank carry multi-round SQL hash oracles;
+# everything downstream of the sums (norms, divisions) is computed from
+# identical doubles in identical order on both engines. Seed v0 = 0.125
+# per dim (||v0|| = 1 exactly for 64 dims).
+_PI_ROUNDS = 3
+
+
+def _pi_round_sql(i: int) -> str:
+    """One power-iteration round as CTEs: s{i} per-row dot, w{i} per-dim
+    fixed-point sum, v{i} normalized 1-row vector."""
+    prev = f"v{i - 1}"
+    return f"""s{i} AS (
+      SELECT vec_id, cx,
+             ROUND(list_sum(list_transform(range(1, 65), d -> cx[d] * {prev}.v[d])), 9) AS s
+      FROM centered CROSS JOIN {prev}
+    ),
+    w{i} AS (
+      SELECT pos,
+             CAST(SUM(CAST(ROUND(s * cx[pos], 9) AS DECIMAL(24,9))) AS DOUBLE) AS w
+      FROM s{i}, unnest(range(1, 65)) AS u(pos)
+      GROUP BY pos
+    ),
+    warr{i} AS (SELECT list(w ORDER BY pos) AS w FROM w{i}),
+    v{i} AS (
+      SELECT list_transform(w, y -> ROUND(y / sqrt(list_sum(list_transform(w, z -> z * z))), 9)) AS v,
+             sqrt(list_sum(list_transform(w, z -> z * z))) AS nrm
+      FROM warr{i}
+    )"""
+
+
+@register(
+    "embedding_power_iteration_pc1",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    dimvals AS (
+      SELECT vec_id, pos, x[pos] AS v
+      FROM vecs, unnest(range(1, 65)) AS u(pos)
+    ),
+    mean AS (
+      SELECT pos,
+             ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(24,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS m
+      FROM dimvals GROUP BY pos
+    ),
+    meanarr AS (SELECT list(m ORDER BY pos) AS marr FROM mean),
+    centered AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), d -> x[d] - marr[d]) AS cx
+      FROM vecs CROSS JOIN meanarr
+    ),
+    v0 AS (SELECT list_transform(range(1, 65), d -> 0.125) AS v),
+    {", ".join(_pi_round_sql(i) for i in range(1, _PI_ROUNDS + 1))}
+    SELECT u.pos AS dim, v[u.pos] AS loading,
+           ROUND(nrm, 6) AS eigval_est
+    FROM v{_PI_ROUNDS}, unnest(range(1, 65)) AS u(pos)
+    """,
+    doc=(
+        "PCA first principal component by 3 unrolled power-iteration "
+        "rounds over mean-centered embeddings. The covariance matrix is "
+        "never formed: each round is w = X_c^T(X_c v) as (a) one per-row "
+        "dot against the broadcast 1-row v, (b) one per-dim "
+        "map-side-combined aggregation (64 result rows), then a 1-row "
+        "normalize — O(n*dim) per round, dim^2 never materialized, so "
+        "the plan survives any corpus size (this is how Spark MLlib "
+        "shapes its own covariance-free PCA for tall-skinny matrices). "
+        "Fixed-point per-dim sums (round 9 -> DECIMAL(24,9)) make every "
+        "round bit-identical across engines and partitionings — the "
+        "kmeans/pagerank rule — which is what lets an iterative "
+        "eigenvector carry a SQL hash oracle. Eigenvalue estimate = "
+        "||w|| of the final round (the Rayleigh-quotient numerator under "
+        "a unit v)."
+    ),
+)
+def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import as_double
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
+    dec = lambda c: F.round(c, 9).cast("decimal(24,9)")  # noqa: E731
+    mean = (
+        vecs.select(F.posexplode("x").alias("p0", "v"))
+        .groupBy("p0")
+        .agg(
+            F.round(F.sum(dec(F.col("v"))).cast("double") / F.count("*"), 9).alias(
+                "m"
+            )
+        )
+    )
+    meanarr = mean.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p0", "m"))), lambda s: s["m"]
+        ).alias("marr")
+    )
+    centered = vecs.crossJoin(F.broadcast(meanarr)).select(
+        "vec_id", F.zip_with("x", "marr", lambda a, b: a - b).alias("cx")
+    )
+    sq_norm = lambda w: F.aggregate(  # noqa: E731
+        w, F.lit(0.0), lambda acc, z: acc + z * z
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(0.125)] * 64).alias("v"), F.lit(0.0).alias("nrm")
+    )
+    for _ in range(_PI_ROUNDS):
+        scored = centered.crossJoin(F.broadcast(v.select("v"))).select(
+            "cx",
+            F.round(
+                F.aggregate(
+                    F.zip_with("cx", "v", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                ),
+                9,
+            ).alias("s"),
+        )
+        wdims = (
+            scored.select("s", F.posexplode("cx").alias("p0", "cv"))
+            .groupBy("p0")
+            .agg(
+                F.sum(dec(F.col("s") * F.col("cv"))).cast("double").alias("w")
+            )
+        )
+        warr = wdims.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p0", "w"))), lambda s: s["w"]
+            ).alias("w")
+        )
+        v = reliable_checkpoint(
+            warr.select(
+                F.transform(
+                    "w", lambda y: F.round(y / F.sqrt(sq_norm(F.col("w"))), 9)
+                ).alias("v"),
+                F.sqrt(sq_norm(F.col("w"))).alias("nrm"),
+            )
+        )
+    return v.select(
+        F.posexplode("v").alias("p0", "loading"),
+        F.round("nrm", 6).alias("eigval_est"),
+    ).select((F.col("p0") + 1).cast("bigint").alias("dim"), "loading", "eigval_est")

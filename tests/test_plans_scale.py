@@ -72,6 +72,10 @@ ALLOWED_BNLJ = {
     # vectors x one corpus scan; fusion itself is a 10-rows-per-leg
     # full-outer equi-join
     "docs_hybrid_rrf_search",
+    # three 1-row attaches per corpus pass (mean vector, then the
+    # current iterate v each round) — the covariance matvec itself is a
+    # per-dim map-side-combined aggregation, never dim^2
+    "embedding_power_iteration_pc1",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

@@ -27,6 +27,7 @@ R8_DEBUTS = {
     "docs_sequence_packing",
     "docs_token_budget_sample",
     "docs_hybrid_rrf_search",
+    "embedding_power_iteration_pc1",
 }
 
 

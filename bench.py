@@ -161,6 +161,7 @@ EXTRAS = [
     "docs_token_budget_sample",
     "docs_hybrid_rrf_search",
     "embedding_power_iteration_pc1",
+    "media_phash_neardup",
 ]
 
 

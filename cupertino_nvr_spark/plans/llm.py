@@ -5168,3 +5168,171 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         F.posexplode("v").alias("p0", "loading"),
         F.round("nrm", 6).alias("eigval_est"),
     ).select((F.col("p0") + 1).cast("bigint").alias("dim"), "loading", "eigval_est")
+
+
+# Perceptual-hash-style media near-dup. A real image pipeline computes
+# pHash/dHash over decoded pixels; the decode is stubbed here (no image
+# libs in this container), so the locality-preserving surrogate samples
+# 64 payload bytes at length-proportional positions and thresholds each
+# against a fixed byte value — small localized edits flip few bits,
+# exact copies flip none. The PLAN is the real thing: 64-bit hash split
+# into 4 x 16-bit bands, band equi-join candidates (never all-pairs),
+# Hamming verify via xor+bit_count, cap tau.
+_PHASH_BITS = 64
+_PHASH_BANDS = 4
+_PHASH_TAU = 6
+_PHASH_THRESH = 109  # 'm' — splits the lowercase corpus ~50/50 per byte
+
+
+def _phash_media_sql() -> str:
+    """Augmented media corpus + per-row band values as CTEs."""
+    bits = ", ".join(
+        f"CASE WHEN ascii(substr(payload, 1 + ({i} * (length(payload) - 1)) // 63, 1)) >= {_PHASH_THRESH} THEN 1 ELSE 0 END AS bit{i}"
+        for i in range(_PHASH_BITS)
+    )
+    bands = ", ".join(
+        "CAST("
+        + " + ".join(f"(bit{b * 16 + j} << {j})" for j in range(16))
+        + f" AS BIGINT) AS band{b}"
+        for b in range(_PHASH_BANDS)
+    )
+    return f"""media AS (
+      SELECT doc_id AS media_id, text AS payload FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             upper(substr(text, 1, 3)) || substr(text, 4)
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    bits AS (SELECT media_id, {bits} FROM media),
+    hashes AS (SELECT media_id, {bands} FROM bits)"""
+
+
+@register(
+    "media_phash_neardup",
+    f"""
+    WITH {_phash_media_sql()},
+    membership AS (
+      {" UNION ALL ".join(f"SELECT media_id, {b} AS band_idx, band{b} AS band_val FROM hashes" for b in range(_PHASH_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM membership a JOIN membership b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.media_id < b.media_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             {" + ".join(f"bit_count(xor(ha.band{b}, hb.band{b}))" for b in range(_PHASH_BANDS))} AS hamming
+      FROM cand
+      JOIN hashes ha ON ha.media_id = id_a
+      JOIN hashes hb ON hb.media_id = id_b
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
+           CAST(hamming = 0 AS INT) AS is_exact
+    FROM scored WHERE hamming <= {_PHASH_TAU}
+    """,
+    doc=(
+        "Multimodal perceptual-hash near-dup: 64-bit locality-preserving "
+        "payload hash (byte samples at length-proportional positions - a "
+        "decoded-pixel pHash swaps in behind the same shape), split into "
+        "4 x 16-bit bands; band equi-join candidates, Hamming verify via "
+        "xor + bit_count, tau=6. The banding guarantee is pHash's "
+        "standard serving trick (any pair within Hamming 3 of 4 bands "
+        "shares a band exactly); candidate volume is bounded by band "
+        "balance exactly like the MinHash/SimHash chains - never "
+        "all-pairs, one distinct-pair dedup, two hash lookups per "
+        "candidate. Exact copies always collide (Hamming 0); the cased-"
+        "prefix near-variants flip only bits sampled in the edited span."
+    ),
+)
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(F.col("doc_id").alias("media_id"), F.col("text").alias("payload"))
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("media_id"), F.col("text").alias("payload")
+    )
+    near = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000000).alias("media_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 3)), F.expr("substring(text, 4)")
+        ).alias("payload"),
+    )
+    media = base.unionByName(exact).unionByName(near)
+
+    # substr with a column start needs expr-form; build all 64 bits once
+    bit_cols = [
+        F.when(
+            F.expr(
+                f"ascii(substr(payload, CAST(1 + ({i} * (length(payload) - 1)) div 63 AS INT), 1)) >= {_PHASH_THRESH}"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias(f"bit{i}")
+        for i in range(_PHASH_BITS)
+    ]
+    bits = media.select("media_id", *bit_cols)
+    band_cols = [
+        sum(
+            (F.col(f"bit{b * 16 + j}") * F.lit(1 << j) for j in range(16)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"band{b}")
+        for b in range(_PHASH_BANDS)
+    ]
+    hashes = bits.select("media_id", *band_cols)
+
+    membership = None
+    for b in range(_PHASH_BANDS):
+        m = hashes.select(
+            "media_id",
+            F.lit(b).alias("band_idx"),
+            F.col(f"band{b}").alias("band_val"),
+        )
+        membership = m if membership is None else membership.unionByName(m)
+    a = membership.select(
+        F.col("media_id").alias("id_a"), "band_idx", "band_val"
+    )
+    b_ = membership.select(
+        F.col("media_id").alias("id_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b_, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"band{b}").alias(f"a{b}") for b in range(_PHASH_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"band{b}").alias(f"b{b}") for b in range(_PHASH_BANDS)],
+    )
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+            for b in range(_PHASH_BANDS)
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_TAU)
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            (F.col("hamming") == 0).cast("int").alias("is_exact"),
+        )
+    )

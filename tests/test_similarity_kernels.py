@@ -276,3 +276,29 @@ def test_lsh_fast_twins_match_declared_chain(spark):
     }
     exact_copies = {p for p in hof if p[1] - p[0] == 1000000}
     assert exact_copies and exact_copies <= fast_reg
+
+
+def test_phash_neardup_exact_copies_never_missed(spark):
+    """Structural recall guarantee of the banded Hamming blocking: an
+    exact copy has the identical 64-bit hash, so it shares every band
+    and MUST surface at hamming 0."""
+    import duckdb
+
+    from cupertino_nvr_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["media_phash_neardup"].spark(spark, sf).collect()
+    got_exact = {
+        (r.id_a, r.id_b) for r in rows if r.is_exact == 1 and r.id_b - r.id_a == 1000000
+    }
+    want = {
+        (int(i), int(i) + 1000000)
+        for (i,) in duckdb.sql(
+            f"select doc_id from '{sf}/documents.parquet' where doc_id % 7 = 0"
+        ).fetchall()
+    }
+    assert want <= got_exact
+    # every emitted pair is within the Hamming cap, and the cased-prefix
+    # near-variants actually produce nonzero-distance matches
+    assert all(0 <= r.hamming <= 6 for r in rows)
+    assert any(r.hamming > 0 for r in rows)

@@ -162,6 +162,7 @@ EXTRAS = [
     "docs_hybrid_rrf_search",
     "embedding_power_iteration_pc1",
     "media_phash_neardup",
+    "embedding_pc1_outliers",
 ]
 
 

@@ -64,6 +64,7 @@ _R8_WINDOW_PRIORITY = [
     "docs_hybrid_rrf_search",
     "embedding_power_iteration_pc1",
     "media_phash_neardup",
+    "embedding_pc1_outliers",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

@@ -5336,3 +5336,158 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hamming") == 0).cast("int").alias("is_exact"),
         )
     )
+
+
+@register(
+    "embedding_pc1_outliers",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    dimvals AS (
+      SELECT vec_id, pos, x[pos] AS v
+      FROM vecs, unnest(range(1, 65)) AS u(pos)
+    ),
+    mean AS (
+      SELECT pos,
+             ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(24,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS m
+      FROM dimvals GROUP BY pos
+    ),
+    meanarr AS (SELECT list(m ORDER BY pos) AS marr FROM mean),
+    centered AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), d -> x[d] - marr[d]) AS cx
+      FROM vecs CROSS JOIN meanarr
+    ),
+    v0 AS (SELECT list_transform(range(1, 65), d -> 0.125) AS v),
+    {", ".join(_pi_round_sql(i) for i in range(1, _PI_ROUNDS + 1))},
+    proj AS (
+      SELECT vec_id,
+             ROUND(list_sum(list_transform(range(1, 65), d -> cx[d] * v[d])), 9) AS t
+      FROM centered CROSS JOIN v{_PI_ROUNDS}
+    ),
+    pstats AS (
+      SELECT ROUND(CAST(SUM(CAST(t AS DECIMAL(24,9))) AS DOUBLE) / COUNT(*), 9) AS mu,
+             ROUND(sqrt(
+               CAST(SUM(CAST(ROUND(t * t, 9) AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(t AS DECIMAL(24,9))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(t AS DECIMAL(24,9))) AS DOUBLE) / COUNT(*))
+             ), 9) AS sd
+      FROM proj
+    )
+    SELECT vec_id, t AS pc1_score,
+           ROUND((t - mu) / sd, 6) AS z,
+           CAST(abs((t - mu) / sd) >= 2.5 AS INT) AS is_outlier
+    FROM proj CROSS JOIN pstats
+    """,
+    doc=(
+        "Embedding outlier detection on the first principal axis: every "
+        "vector's projection onto the power-iteration PC1 (the SAME "
+        "unrolled chain as embedding_power_iteration_pc1 — one shared "
+        "_pi_round_sql definition, so detector and component cannot "
+        "drift), z-scored against fixed-point corpus moments, flagged at "
+        "|z| >= 2.5. The extra cost over the component itself is one "
+        "projection pass + a 1-row moment attach — the curation signal "
+        "(mislabeled/degenerate embeddings sit in the tails of the "
+        "dominant axis) at O(n*dim)."
+    ),
+)
+def embedding_pc1_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import as_double
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
+    dec = lambda c: F.round(c, 9).cast("decimal(24,9)")  # noqa: E731
+    mean = (
+        vecs.select(F.posexplode("x").alias("p0", "v"))
+        .groupBy("p0")
+        .agg(
+            F.round(F.sum(dec(F.col("v"))).cast("double") / F.count("*"), 9).alias(
+                "m"
+            )
+        )
+    )
+    meanarr = mean.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p0", "m"))), lambda s: s["m"]
+        ).alias("marr")
+    )
+    centered = vecs.crossJoin(F.broadcast(meanarr)).select(
+        "vec_id", F.zip_with("x", "marr", lambda a, b: a - b).alias("cx")
+    )
+    sq_norm = lambda w: F.aggregate(  # noqa: E731
+        w, F.lit(0.0), lambda acc, z: acc + z * z
+    )
+    v = spark.range(1).select(F.array(*[F.lit(0.125)] * 64).alias("v"))
+    for _ in range(_PI_ROUNDS):
+        scored = centered.crossJoin(F.broadcast(v.select("v"))).select(
+            "cx",
+            F.round(
+                F.aggregate(
+                    F.zip_with("cx", "v", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                ),
+                9,
+            ).alias("s"),
+        )
+        wdims = (
+            scored.select("s", F.posexplode("cx").alias("p0", "cv"))
+            .groupBy("p0")
+            .agg(F.sum(dec(F.col("s") * F.col("cv"))).cast("double").alias("w"))
+        )
+        warr = wdims.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p0", "w"))), lambda s: s["w"]
+            ).alias("w")
+        )
+        v = reliable_checkpoint(
+            warr.select(
+                F.transform(
+                    "w", lambda y: F.round(y / F.sqrt(sq_norm(F.col("w"))), 9)
+                ).alias("v")
+            )
+        )
+    proj = centered.crossJoin(F.broadcast(v)).select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("cx", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            9,
+        ).alias("t"),
+    )
+    pstats = proj.agg(
+        F.round(
+            F.sum(F.col("t").cast("decimal(24,9)")).cast("double") / F.count("*"), 9
+        ).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.sum(F.round(F.col("t") * F.col("t"), 9).cast("decimal(30,9)"))
+                .cast("double")
+                / F.count("*")
+                - (
+                    F.sum(F.col("t").cast("decimal(24,9)")).cast("double")
+                    / F.count("*")
+                )
+                * (
+                    F.sum(F.col("t").cast("decimal(24,9)")).cast("double")
+                    / F.count("*")
+                )
+            ),
+            9,
+        ).alias("sd"),
+    )
+    z = F.round((F.col("t") - F.col("mu")) / F.col("sd"), 6)
+    return proj.crossJoin(F.broadcast(pstats)).select(
+        "vec_id",
+        F.col("t").alias("pc1_score"),
+        z.alias("z"),
+        (F.abs((F.col("t") - F.col("mu")) / F.col("sd")) >= 2.5)
+        .cast("int")
+        .alias("is_outlier"),
+    )

@@ -76,6 +76,8 @@ ALLOWED_BNLJ = {
     # current iterate v each round) — the covariance matvec itself is a
     # per-dim map-side-combined aggregation, never dim^2
     "embedding_power_iteration_pc1",
+    # same chain + one projection pass + a 1-row moment attach
+    "embedding_pc1_outliers",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

@@ -29,6 +29,7 @@ R8_DEBUTS = {
     "docs_hybrid_rrf_search",
     "embedding_power_iteration_pc1",
     "media_phash_neardup",
+    "embedding_pc1_outliers",
 }
 
 

@@ -163,6 +163,7 @@ EXTRAS = [
     "embedding_power_iteration_pc1",
     "media_phash_neardup",
     "embedding_pc1_outliers",
+    "docs_char_ngram_langid",
 ]
 
 

@@ -65,6 +65,7 @@ _R8_WINDOW_PRIORITY = [
     "embedding_power_iteration_pc1",
     "media_phash_neardup",
     "embedding_pc1_outliers",
+    "docs_char_ngram_langid",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

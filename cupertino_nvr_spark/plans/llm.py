@@ -5491,3 +5491,133 @@ def embedding_pc1_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+# Cavnar-Trenkle (1994) n-gram-profile language ID: per-language profile
+# = top-N char 3-grams by frequency; a document is classified to the
+# language whose profile minimizes the rank-order distance of the doc's
+# own top-N grams (out-of-profile gram -> max penalty N). Trained on the
+# labeled corpus itself — the same self-eval framing as
+# docs_langid_confusion, but an actual trained classifier rather than
+# the stopword heuristic.
+_CT_TOP = 20
+
+
+@register(
+    "docs_char_ngram_langid",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, lower(text) AS tx FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, substr(tx, p, 3) AS g
+      FROM t, unnest(CASE WHEN length(tx) >= 3
+                          THEN range(1, length(tx) - 1)
+                          ELSE [] END) AS u(p)
+    ),
+    lp AS (SELECT lang, g, COUNT(*) AS c FROM grams GROUP BY lang, g),
+    lprof AS (
+      SELECT lang AS plang, g, lrank FROM (
+        SELECT lang, g,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) AS lrank
+        FROM lp) WHERE lrank <= {_CT_TOP}
+    ),
+    dp AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    dprof AS (
+      SELECT doc_id, g, drank FROM (
+        SELECT doc_id, g,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS drank
+        FROM dp) WHERE drank <= {_CT_TOP}
+    ),
+    langs AS (SELECT DISTINCT lang AS plang FROM t),
+    contrib AS (
+      SELECT d.doc_id, l.plang,
+             COALESCE(abs(d.drank - p.lrank), {_CT_TOP}) AS pen
+      FROM dprof d CROSS JOIN langs l
+      LEFT JOIN lprof p ON p.plang = l.plang AND p.g = d.g
+    ),
+    dists AS (
+      SELECT doc_id, plang, CAST(SUM(pen) AS BIGINT) AS dist
+      FROM contrib GROUP BY doc_id, plang
+    ),
+    best AS (
+      SELECT doc_id, plang AS predicted_ct_lang, dist FROM (
+        SELECT doc_id, plang, dist,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, plang) AS rk
+        FROM dists) WHERE rk = 1
+    )
+    SELECT b.doc_id, t.lang, b.predicted_ct_lang, b.dist,
+           CAST(b.predicted_ct_lang = t.lang AS INT) AS correct
+    FROM best b JOIN t ON t.doc_id = b.doc_id
+    """,
+    doc=(
+        "Cavnar-Trenkle char-3-gram-profile language ID: per-language "
+        "top-20 gram profiles (trained from the labeled corpus in one "
+        "(lang, gram) aggregation — 100 rows, a broadcast dim at any "
+        "corpus size), per-doc top-20 profiles (one (doc, gram) "
+        "aggregation + per-doc window), rank-order distance with "
+        "out-of-profile penalty, argmin with deterministic lang "
+        "tie-break. Gram explosion is O(total chars) with map-side "
+        "combine; the distance stage touches 20 x n_langs rows per doc. "
+        "Complements the stopword-argmax classifier "
+        "(docs_quality_lang/docs_langid_confusion) with the actual "
+        "published trained-profile method."
+    ),
+)
+def docs_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", "lang", F.lower(F.col("text")).alias("tx"))
+    spans = F.when(
+        F.length("tx") >= 3, F.sequence(F.lit(1), F.length("tx") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(spans, lambda p: F.col("tx").substr(p, F.lit(3)))
+        ).alias("g"),
+    )
+    lp = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+    lprof = (
+        lp.withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= _CT_TOP)
+        .select(F.col("lang").alias("plang"), "g", "lrank")
+    )
+    dp = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+    dprof = (
+        dp.withColumn("drank", F.row_number().over(wd))
+        .filter(F.col("drank") <= _CT_TOP)
+        .select("doc_id", "g", "drank")
+    )
+    langs = t.select(F.col("lang").alias("plang")).distinct()
+    contrib = (
+        dprof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lprof), ["plang", "g"], "left")
+        .select(
+            "doc_id",
+            "plang",
+            F.coalesce(
+                F.abs(F.col("drank") - F.col("lrank")), F.lit(_CT_TOP)
+            ).alias("pen"),
+        )
+    )
+    dists = contrib.groupBy("doc_id", "plang").agg(
+        F.sum("pen").cast("bigint").alias("dist")
+    )
+    wb = Window.partitionBy("doc_id").orderBy("dist", "plang")
+    best = (
+        dists.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("plang").alias("predicted_ct_lang"), "dist")
+    )
+    return best.join(t.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "predicted_ct_lang",
+        "dist",
+        (F.col("predicted_ct_lang") == F.col("lang")).cast("int").alias("correct"),
+    )

@@ -30,6 +30,7 @@ R8_DEBUTS = {
     "embedding_power_iteration_pc1",
     "media_phash_neardup",
     "embedding_pc1_outliers",
+    "docs_char_ngram_langid",
 }
 
 

@@ -4444,8 +4444,10 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Union of all language stopword lists (the Gopher stopword rule is
 # language-agnostic here; a real deployment swaps a per-language broadcast
 # dim). Sorted for a deterministic SQL literal.
+from cupertino_nvr_spark.llm.text import STOPWORDS as _LANG_STOPWORDS  # noqa: E402
+
 _GOPHER_STOPWORDS = sorted(
-    {w for words in __import__("cupertino_nvr_spark.llm.text", fromlist=["STOPWORDS"]).STOPWORDS.values() for w in words}
+    {w for words in _LANG_STOPWORDS.values() for w in words}
 )
 
 

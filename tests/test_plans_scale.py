@@ -78,6 +78,11 @@ ALLOWED_BNLJ = {
     "embedding_power_iteration_pc1",
     # same chain + one projection pass + a 1-row moment attach
     "embedding_pc1_outliers",
+    # doc-profile rows x broadcast(n_langs) candidate languages — the
+    # rank-distance must score every language; the build side is the
+    # distinct-language dim (5 rows), bounded by the catalog not the
+    # corpus; profile lookup itself is a broadcast equi-join
+    "docs_char_ngram_langid",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

@@ -164,6 +164,8 @@ EXTRAS = [
     "media_phash_neardup",
     "embedding_pc1_outliers",
     "docs_char_ngram_langid",
+    "events_ab_test",
+    "embedding_knn_label_eval",
 ]
 
 

@@ -5623,3 +5623,90 @@ def docs_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         (F.col("predicted_ct_lang") == F.col("lang")).cast("int").alias("correct"),
     )
+
+
+@register(
+    "embedding_knn_label_eval",
+    """
+    WITH probes AS (SELECT vec_id, embedding, label FROM embeddings
+                    WHERE vec_id % 100 = 0 AND vec_id < 20000),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM probes p JOIN embeddings c ON p.vec_id <> c.vec_id
+    ),
+    topk AS (
+      SELECT probe_id, true_label, neighbor_label FROM (
+        SELECT probe_id, true_label, neighbor_label,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT probe_id, true_label, neighbor_label AS predicted_label,
+             COUNT(*) AS votes
+      FROM topk GROUP BY probe_id, true_label, neighbor_label
+    )
+    SELECT probe_id, true_label, predicted_label, CAST(votes AS BIGINT) AS votes,
+           CAST(predicted_label = true_label AS INT) AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY votes DESC, predicted_label) AS rk
+      FROM votes) WHERE rk = 1
+    """,
+    doc=(
+        "k-NN label-vote evaluation of embedding quality: each probe's "
+        "top-5 exact cosine neighbors (embedding_cosine_topk's bounded-"
+        "probe brute-force chain) vote on its label by majority "
+        "(tie -> smallest label); correctness vs the probe's own label "
+        "is the standard linear-probe-free embedding sanity metric. The "
+        "probe panel is FIXED (200 slots) so the harness stays one "
+        "linear corpus scan at any SF; extra work over top-k is one "
+        "5-row-per-probe aggregation."
+    ),
+)
+def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # FIXED probe panel (first 200 panel slots): the eval set must not
+    # grow with the corpus, or probes x corpus scoring turns quadratic —
+    # a fixed panel keeps the harness one linear corpus scan at any SF
+    probes = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 20000))
+    topk = brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    labels = emb.select("vec_id", "label")
+    joined = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+            ),
+            "probe_id",
+        )
+    )
+    votes = joined.groupBy("probe_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("votes")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+            (F.col("neighbor_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )

@@ -1360,3 +1360,116 @@ def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chisq_contrib"),
     )
+
+
+# A/B experiment analysis. Variant assignment is the deterministic hash
+# both engines reproduce (md5-derived integer, seed 23, mod 2) — the
+# same bucketing a real experimentation system derives from
+# (user_id, experiment_id). Per (event_type, user, variant) the metric
+# is the user's total value; variants are compared with a two-sample
+# Welch z on per-user totals, all sums riding exact decimals so the
+# statistic is bit-identical across engines and partitionings.
+_AB_SEED = 23
+
+
+@register(
+    "events_ab_test",
+    f"""
+    WITH assigned AS (
+      SELECT event_type, user_id, value,
+             CAST(('0x' || substr(md5('{_AB_SEED}:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 2 AS variant
+      FROM events
+    ),
+    per_user AS (
+      SELECT event_type, variant, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+      FROM assigned GROUP BY event_type, variant, user_id
+    ),
+    per_variant AS (
+      SELECT event_type, variant,
+             COUNT(*) AS n_users,
+             CAST(SUM(CAST(ROUND(user_total, 2) AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(user_total * user_total, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s2
+      FROM per_user GROUP BY event_type, variant
+    ),
+    wide AS (
+      SELECT a.event_type,
+             a.n_users AS n0, b.n_users AS n1,
+             a.s1 / a.n_users AS mean0, b.s1 / b.n_users AS mean1,
+             (a.s2 / a.n_users - (a.s1 / a.n_users) * (a.s1 / a.n_users)) AS var0,
+             (b.s2 / b.n_users - (b.s1 / b.n_users) * (b.s1 / b.n_users)) AS var1
+      FROM per_variant a JOIN per_variant b
+        ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n0, n1,
+           ROUND(mean0, 6) AS mean0, ROUND(mean1, 6) AS mean1,
+           ROUND(mean1 - mean0, 6) AS lift,
+           ROUND((mean1 - mean0) / sqrt(var0 / n0 + var1 / n1), 6) AS z_stat
+    FROM wide
+    """,
+    doc=(
+        "A/B experiment analysis: deterministic md5 hash-mod-2 variant "
+        "assignment (the (user, experiment) bucketing an experimentation "
+        "platform uses), per-user value totals, two-sample Welch z per "
+        "event_type on per-user means. Two keyed aggregations (user "
+        "grain, then variant grain - both map-side combined) and a "
+        "2-row-per-type self-join; sums ride exact decimals (the "
+        "anomaly-zscore rule) so the statistic is bit-identical across "
+        "engines and partitionings. Linear at any event volume; the "
+        "variant summary is 2 rows per event_type regardless of corpus."
+    ),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    ev = load_table(spark, "events", sf_dir)
+    assigned = ev.select(
+        "event_type",
+        "user_id",
+        "value",
+        (md5_int(F.col("user_id").cast("string"), seed=_AB_SEED) % 2).alias(
+            "variant"
+        ),
+    )
+    per_user = assigned.groupBy("event_type", "variant", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("user_total")
+    )
+    per_variant = per_user.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.round(F.col("user_total"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("user_total") * F.col("user_total"), 4).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    a = per_variant.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n_users").alias("n0"),
+        (F.col("s1") / F.col("n_users")).alias("mean0"),
+        (F.col("s2") / F.col("n_users") - (F.col("s1") / F.col("n_users")) * (F.col("s1") / F.col("n_users"))).alias("var0"),
+    )
+    b = per_variant.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n_users").alias("n1"),
+        (F.col("s1") / F.col("n_users")).alias("mean1"),
+        (F.col("s2") / F.col("n_users") - (F.col("s1") / F.col("n_users")) * (F.col("s1") / F.col("n_users"))).alias("var1"),
+    )
+    wide = a.join(b, "event_type")
+    return wide.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round("mean0", 6).alias("mean0"),
+        F.round("mean1", 6).alias("mean1"),
+        F.round(F.col("mean1") - F.col("mean0"), 6).alias("lift"),
+        F.round(
+            (F.col("mean1") - F.col("mean0"))
+            / F.sqrt(F.col("var0") / F.col("n0") + F.col("var1") / F.col("n1")),
+            6,
+        ).alias("z_stat"),
+    )

@@ -83,6 +83,8 @@ ALLOWED_BNLJ = {
     # distinct-language dim (5 rows), bounded by the catalog not the
     # corpus; profile lookup itself is a broadcast equi-join
     "docs_char_ngram_langid",
+    # rides embedding_cosine_topk's bounded-probe brute-force chain
+    "embedding_knn_label_eval",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

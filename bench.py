@@ -166,6 +166,7 @@ EXTRAS = [
     "docs_char_ngram_langid",
     "events_ab_test",
     "embedding_knn_label_eval",
+    "docs_c4_filters",
 ]
 
 

@@ -68,6 +68,7 @@ _R8_WINDOW_PRIORITY = [
     "docs_char_ngram_langid",
     "events_ab_test",
     "embedding_knn_label_eval",
+    "docs_c4_filters",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

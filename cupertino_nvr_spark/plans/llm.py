@@ -5710,3 +5710,69 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+# C4-style heuristic cleaning flags (Raffel et al. 2020). The corpus has
+# no lines/markup, so the surviving rules are the doc-level ones: word
+# floor, blocklist hit, code-brace, lorem-ipsum, terminal punctuation.
+# The blocklist is a broadcast dim in production; literal here so both
+# engines replay it.
+_C4_BLOCKLIST = ("slow", "dup", "noise")
+_C4_MIN_WORDS = 5
+
+
+@register(
+    "docs_c4_filters",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ({", ".join(f"'{w}'" for w in _C4_BLOCKLIST)}))) AS n_blocked,
+             CAST(contains(text, '{{') OR contains(text, '}}') AS INT) AS has_brace,
+             CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+             CAST(substr(reverse(trim(text)), 1, 1) IN ('.', '!', '?') AS INT) AS ends_terminal
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_blocked, has_brace, has_lorem, ends_terminal,
+           CAST(n_words >= {_C4_MIN_WORDS} AND n_blocked = 0
+                AND has_brace = 0 AND has_lorem = 0 AS INT) AS passes_c4
+    FROM t
+    """,
+    doc=(
+        "C4 heuristic cleaning flags (Raffel et al. 2020): word floor, "
+        "blocklist hits (broadcast dim in production, literal here), "
+        "code-brace and lorem-ipsum detection, terminal-punctuation "
+        "check, combined keep gate. One zero-shuffle codegen projection "
+        "- the doc-level member of the published-filter trio next to "
+        "docs_gopher_quality (rules) and docs_classifier_score (model)."
+    ),
+)
+def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    toks_l = ws_tokens(F.lower(F.trim(text)))
+    n_words = token_count(text)
+    n_blocked = F.size(
+        F.filter(toks_l, lambda w: w.isin(*_C4_BLOCKLIST))
+    ).cast("bigint")
+    has_brace = (text.contains("{") | text.contains("}")).cast("int")
+    has_lorem = F.lower(text).contains("lorem ipsum").cast("int")
+    ends_terminal = (
+        F.substring(F.reverse(F.trim(text)), 1, 1).isin(".", "!", "?")
+    ).cast("int")
+    passes = (
+        (n_words >= _C4_MIN_WORDS)
+        & (n_blocked == 0)
+        & (has_brace == 0)
+        & (has_lorem == 0)
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_blocked.alias("n_blocked"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        ends_terminal.alias("ends_terminal"),
+        passes.alias("passes_c4"),
+    )

@@ -121,3 +121,50 @@ def test_misra_gries_invariants(stream, capacity, n_batches):
     for item, count in true.items():
         if count > err:
             assert item in summary, f"heavy item {item} (count {count}) evicted"
+
+
+@SLOW
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=2000), min_size=1, max_size=60
+    ),
+    seq_len=st.sampled_from([64, 512, 1024]),
+)
+def test_sequence_packing_invariants(spark, toks, seq_len):
+    """The packing plan is a dense concatenation: for ANY token-count
+    sequence, (a) offsets are the exact prefix sums mod seq_len (no gaps,
+    no overlaps), (b) spans are ceil-consistent with the doc's start and
+    length, (c) the final sequence id accounts for every token."""
+    from pyspark.sql import Window
+
+    rows = [(i, 0, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_tok long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = df.withColumn("tok_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    out = c.select(
+        "doc_id",
+        "n_tok",
+        "tok_before",
+        F.expr(f"tok_before div {seq_len}").alias("seq_id"),
+        (F.col("tok_before") % seq_len).alias("seq_offset"),
+        (
+            F.expr(f"(tok_before + n_tok - 1) div {seq_len}")
+            - F.expr(f"tok_before div {seq_len}")
+            + F.lit(1)
+        ).alias("n_seqs_spanned"),
+    ).collect()
+    out.sort(key=lambda r: r.doc_id)
+    prefix = 0
+    for r in out:
+        assert r.tok_before == prefix
+        assert r.seq_id == prefix // seq_len
+        assert r.seq_offset == prefix % seq_len
+        if r.n_tok > 0:
+            expect_span = (prefix + r.n_tok - 1) // seq_len - prefix // seq_len + 1
+            assert r.n_seqs_spanned == expect_span
+        prefix += r.n_tok
+    assert prefix == sum(toks)

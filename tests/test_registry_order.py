@@ -33,6 +33,7 @@ R8_DEBUTS = {
     "docs_char_ngram_langid",
     "events_ab_test",
     "embedding_knn_label_eval",
+    "docs_c4_filters",
 }
 
 

@@ -167,6 +167,7 @@ EXTRAS = [
     "events_ab_test",
     "embedding_knn_label_eval",
     "docs_c4_filters",
+    "events_cuped",
 ]
 
 

@@ -69,6 +69,7 @@ _R8_WINDOW_PRIORITY = [
     "events_ab_test",
     "embedding_knn_label_eval",
     "docs_c4_filters",
+    "events_cuped",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

@@ -1473,3 +1473,178 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# CUPED variance reduction (Deng et al. 2013): the experiment metric is
+# the user's POST-period total, the covariate its PRE-period total;
+# theta = cov(x,y)/var(x) pooled across variants, adjusted mean per
+# variant = mean(y) - theta*(mean(x) - pooled mean(x)). All moments ride
+# exact decimal sums of 2/4-decimal-rounded user totals, so theta, the
+# adjusted lift, and the variance-reduction factor are bit-identical
+# across engines and partitionings.
+_CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "events_cuped",
+    f"""
+    WITH per_user AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('{_AB_SEED}:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 2 AS variant,
+             user_id,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                                    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                                    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2, 3
+    ),
+    pooled AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 4) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(ROUND(x * y, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      FROM per_user GROUP BY event_type
+    ),
+    theta AS (
+      SELECT event_type, n, sx / n AS mx,
+             (sxy / n - (sx / n) * (sy / n))
+               / (sxx / n - (sx / n) * (sx / n)) AS th,
+             (syy / n - (sy / n) * (sy / n))
+               - (sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n))
+                 / (sxx / n - (sx / n) * (sx / n)) AS var_cv,
+             (sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n))
+               / ((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))) AS vr
+      FROM pooled
+    ),
+    per_variant AS (
+      SELECT event_type, variant, COUNT(*) AS nv,
+             CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(18,2))) AS DOUBLE) AS svx,
+             CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(18,2))) AS DOUBLE) AS svy
+      FROM per_user GROUP BY event_type, variant
+    ),
+    adj AS (
+      SELECT v.event_type, v.variant, v.nv,
+             v.svy / v.nv - t.th * (v.svx / v.nv - t.mx) AS adj_mean,
+             t.th, t.var_cv, t.vr
+      FROM per_variant v JOIN theta t ON v.event_type = t.event_type
+    )
+    SELECT a.event_type, a.nv AS n0, b.nv AS n1,
+           ROUND(a.adj_mean, 6) AS adj_mean0, ROUND(b.adj_mean, 6) AS adj_mean1,
+           ROUND(b.adj_mean - a.adj_mean, 6) AS adj_lift,
+           ROUND(a.th, 6) AS theta,
+           ROUND(a.vr, 6) AS var_reduction,
+           ROUND((b.adj_mean - a.adj_mean)
+                 / sqrt(a.var_cv / a.nv + a.var_cv / b.nv), 6) AS z_cuped
+    FROM adj a JOIN adj b
+      ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    """,
+    doc=(
+        "CUPED variance-reduced A/B analysis (Deng et al. 2013): "
+        "pre-period user totals as the covariate, pooled theta = "
+        "cov(x,y)/var(x), per-variant adjusted means, adjusted lift, the "
+        "variance-reduction factor (= pre/post corr^2), and the z on the "
+        "CUPED-adjusted variance. One user-grain conditional aggregation "
+        "+ two tiny keyed aggregations + 2-row joins; every moment is an "
+        "exact decimal sum (the events_ab_test rule), linear at any "
+        "event volume."
+    ),
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    ev = load_table(spark, "events", sf_dir)
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    per_user = (
+        ev.select(
+            "event_type",
+            (md5_int(F.col("user_id").cast("string"), seed=_AB_SEED) % 2).alias(
+                "variant"
+            ),
+            "user_id",
+            "ts",
+            "value",
+        )
+        .groupBy("event_type", "variant", "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < split, dec2(F.col("value")))),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= split, dec2(F.col("value")))),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    sum2 = lambda c: F.sum(F.round(c, 2).cast("decimal(18,2)")).cast("double")  # noqa: E731
+    sum4 = lambda c: F.sum(F.round(c, 4).cast("decimal(38,4)")).cast("double")  # noqa: E731
+    pooled = per_user.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        sum2(F.col("x")).alias("sx"),
+        sum2(F.col("y")).alias("sy"),
+        sum4(F.col("x") * F.col("x")).alias("sxx"),
+        sum4(F.col("y") * F.col("y")).alias("syy"),
+        sum4(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    covxy = sxy / n - (sx / n) * (sy / n)
+    varx = sxx / n - (sx / n) * (sx / n)
+    vary = syy / n - (sy / n) * (sy / n)
+    theta = pooled.select(
+        "event_type",
+        "n",
+        (sx / n).alias("mx"),
+        (covxy / varx).alias("th"),
+        (vary - covxy * covxy / varx).alias("var_cv"),
+        (covxy * covxy / (varx * vary)).alias("vr"),
+    )
+    per_variant = per_user.groupBy("event_type", "variant").agg(
+        F.count("*").alias("nv"),
+        sum2(F.col("x")).alias("svx"),
+        sum2(F.col("y")).alias("svy"),
+    )
+    adj = per_variant.join(theta, "event_type").select(
+        "event_type",
+        "variant",
+        "nv",
+        (
+            F.col("svy") / F.col("nv")
+            - F.col("th") * (F.col("svx") / F.col("nv") - F.col("mx"))
+        ).alias("adj_mean"),
+        "th",
+        "var_cv",
+        "vr",
+    )
+    a = adj.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("nv").alias("n0"),
+        F.col("adj_mean").alias("am0"),
+        "th",
+        "var_cv",
+        "vr",
+    )
+    b = adj.filter(F.col("variant") == 1).select(
+        "event_type", F.col("nv").alias("n1"), F.col("adj_mean").alias("am1")
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round("am0", 6).alias("adj_mean0"),
+        F.round("am1", 6).alias("adj_mean1"),
+        F.round(F.col("am1") - F.col("am0"), 6).alias("adj_lift"),
+        F.round("th", 6).alias("theta"),
+        F.round("vr", 6).alias("var_reduction"),
+        F.round(
+            (F.col("am1") - F.col("am0"))
+            / F.sqrt(F.col("var_cv") / F.col("n0") + F.col("var_cv") / F.col("n1")),
+            6,
+        ).alias("z_cuped"),
+    )

@@ -34,6 +34,7 @@ R8_DEBUTS = {
     "events_ab_test",
     "embedding_knn_label_eval",
     "docs_c4_filters",
+    "events_cuped",
 }
 
 

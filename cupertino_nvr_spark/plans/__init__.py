@@ -70,6 +70,11 @@ _R8_WINDOW_PRIORITY = [
     "embedding_knn_label_eval",
     "docs_c4_filters",
     "events_cuped",
+    "embedding_silhouette",
+    "docs_filter_attribution",
+    "docs_retrieval_rbo",
+    "docs_packing_efficiency",
+    "events_ewma_anomaly",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

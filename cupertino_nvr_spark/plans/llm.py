@@ -5776,3 +5776,421 @@ def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ends_terminal.alias("ends_terminal"),
         passes.alias("passes_c4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late r8 debuts II: clustering-quality eval, filter-funnel attribution,
+# retrieval-agreement (RBO), packing-efficiency report.
+# ---------------------------------------------------------------------------
+
+from cupertino_nvr_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "embedding_silhouette",
+    f"""
+    WITH vecs AS ({_KM_VECS_SQL}),
+    params AS ({_ivf_params_sql("embeddings")}),
+    cent0 AS (
+      SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centvec
+      FROM embeddings, params WHERE {_CENT_PRED_SQL}
+    ),
+    {_km_assign_sql("cent0", "assign0")},
+    {_km_recompute_sql("assign0", "cent1")},
+    {_km_assign_sql("cent1", "assign1")},
+    {_km_recompute_sql("assign1", "cent2")},
+    {_km_assign_sql("cent2", "assignf")},
+    dists AS (
+      SELECT v.member_id, c.cell_id,
+             round(1 - round(list_cosine_similarity(v.mvec, c.centvec), 6), 6) AS d
+      FROM vecs v CROSS JOIN cent2 c
+    ),
+    ab AS (
+      SELECT d.member_id, MIN(a.cell_id) AS cell_id,
+             MIN(CASE WHEN d.cell_id = a.cell_id THEN d.d END) AS a_dist,
+             MIN(CASE WHEN d.cell_id <> a.cell_id THEN d.d END) AS b_dist
+      FROM dists d JOIN assignf a USING (member_id)
+      GROUP BY d.member_id
+    ),
+    sil AS (
+      SELECT cell_id,
+             CASE WHEN greatest(a_dist, b_dist) <= 0 THEN 0.0
+                  ELSE round((b_dist - a_dist) / greatest(a_dist, b_dist), 6)
+             END AS s
+      FROM ab
+    )
+    SELECT cell_id, COUNT(*) AS n_members,
+           round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sil,
+           MIN(s) AS min_sil, MAX(s) AS max_sil
+    FROM sil GROUP BY cell_id
+    """,
+    doc=(
+        "Centroid-silhouette clustering-quality evaluation for the k-means "
+        "operator: per vector a = cosine distance to its OWN centroid, b = "
+        "min distance to any OTHER centroid, s = (b-a)/max(a,b), averaged "
+        "per cluster (with min/max spread). The classic silhouette is "
+        "all-pairs O(n^2); the centroid form is the standard large-scale "
+        "substitute and costs exactly one extra assign-shaped pass: corpus "
+        "x broadcast(centroids), k bounded by the IVF stride cap, so the "
+        "eval scales wherever the clustering itself does. Reuses the "
+        "embedding_kmeans chain verbatim (same seeds, two Lloyd rounds, "
+        "fixed-point centroid sums) so the evaluated clustering cannot "
+        "drift from the registered one; per-vector s is rounded to 6 and "
+        "summed as DECIMAL so the cluster means carry a SQL hash oracle."
+    ),
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import as_double, cosine, kmeans_refine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # the unrolled oracle enumerates exactly _KM_DIM positions (same
+    # 1-row probe guard as embedding_kmeans)
+    probe = emb.select(F.size("embedding").alias("d")).first()
+    if probe is not None and probe.d != _KM_DIM:
+        raise ValueError(
+            f"embedding_silhouette: expected {_KM_DIM}-dim embeddings, "
+            f"data has {probe.d}"
+        )
+    assign, cents = kmeans_refine(emb, iterations=2)
+    vecs = emb.select(
+        F.col("vec_id").alias("member_id"), as_double(F.col("embedding")).alias("mvec")
+    )
+    d = F.round(
+        F.lit(1.0) - F.round(cosine(F.col("mvec"), F.col("centvec")), 6), 6
+    )
+    dists = vecs.crossJoin(F.broadcast(cents)).select(
+        "member_id", "cell_id", d.alias("d")
+    )
+    own = assign.select("member_id", F.col("cell_id").alias("own_cell"))
+    ab = (
+        dists.join(own, "member_id")
+        .groupBy("member_id")
+        .agg(
+            F.min("own_cell").alias("cell_id"),
+            F.min(
+                F.when(F.col("cell_id") == F.col("own_cell"), F.col("d"))
+            ).alias("a_dist"),
+            F.min(
+                F.when(F.col("cell_id") != F.col("own_cell"), F.col("d"))
+            ).alias("b_dist"),
+        )
+    )
+    mx = F.greatest(F.col("a_dist"), F.col("b_dist"))
+    s = F.when(mx <= 0, F.lit(0.0)).otherwise(
+        F.round((F.col("b_dist") - F.col("a_dist")) / mx, 6)
+    )
+    sil = ab.select("cell_id", s.alias("s"))
+    return sil.groupBy("cell_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("mean_sil"),
+        F.min("s").alias("min_sil"),
+        F.max("s").alias("max_sil"),
+    )
+
+
+# Filter-funnel attribution over the published-filter trio. Reuses the
+# REGISTERED c4/gopher/classifier queries on both engines (Spark calls
+# their plan functions, the oracle embeds their oracle strings as CTEs),
+# so the attributed rules cannot drift from the filters they attribute.
+_ATTRIBUTION_SQL = (
+    "WITH c4r AS ("
+    + "{c4}"
+    + "), gqr AS ("
+    + "{gq}"
+    + "), clr AS ("
+    + "{cl}"
+    + """),
+    flags AS (
+      SELECT c4r.doc_id, c4r.passes_c4 AS f_c4, gqr.passes_gopher AS f_gopher,
+             clr.label_keep AS f_classifier
+      FROM c4r JOIN gqr USING (doc_id) JOIN clr USING (doc_id)
+    ),
+    a AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(1 - f_c4) AS BIGINT) AS fail_c4,
+             CAST(SUM(1 - f_gopher) AS BIGINT) AS fail_gopher,
+             CAST(SUM(1 - f_classifier) AS BIGINT) AS fail_classifier,
+             CAST(SUM((1 - f_c4) * f_gopher * f_classifier) AS BIGINT) AS sole_c4,
+             CAST(SUM(f_c4 * (1 - f_gopher) * f_classifier) AS BIGINT) AS sole_gopher,
+             CAST(SUM(f_c4 * f_gopher * (1 - f_classifier)) AS BIGINT) AS sole_classifier,
+             CAST(SUM(f_c4 * f_gopher * f_classifier) AS BIGINT) AS n_pass_all
+      FROM flags
+    )
+    SELECT rule, n_failed, n_sole_failed, n_docs, n_pass_all,
+           round(CAST(n_failed AS DOUBLE) / n_docs, 6) AS fail_share
+    FROM (
+      SELECT 'c4' AS rule, fail_c4 AS n_failed, sole_c4 AS n_sole_failed,
+             n_docs, n_pass_all FROM a
+      UNION ALL
+      SELECT 'gopher', fail_gopher, sole_gopher, n_docs, n_pass_all FROM a
+      UNION ALL
+      SELECT 'classifier', fail_classifier, sole_classifier, n_docs, n_pass_all FROM a
+    )
+    """
+)
+
+
+@register(
+    "docs_filter_attribution",
+    _ATTRIBUTION_SQL.format(
+        c4=_REG["docs_c4_filters"].oracle,
+        gq=_REG["docs_gopher_quality"].oracle,
+        cl=_REG["docs_classifier_score"].oracle,
+    ),
+    doc=(
+        "Curation-funnel attribution across the published-filter trio "
+        "(C4 heuristics, Gopher rules, hashed linear classifier): per "
+        "rule, how many docs fail it, how many fail ONLY it (the docs "
+        "that rule alone removes — the number that justifies keeping a "
+        "rule in the pipeline), the overall pass-all count and fail "
+        "share. Composes the three REGISTERED filter queries verbatim on "
+        "both engines — the attribution cannot drift from the filters it "
+        "attributes. Cost: the three zero-shuffle flag projections, two "
+        "narrow (doc_id, int) equi-joins, ONE map-side-combined global "
+        "aggregate to a single row, and a 3-row stack; a production "
+        "deployment fuses the projections into one scan, the registered "
+        "form trades one extra scan for by-construction reuse."
+    ),
+)
+def docs_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c4 = _REG["docs_c4_filters"].spark(spark, sf_dir).select(
+        "doc_id", F.col("passes_c4").alias("f_c4")
+    )
+    gq = _REG["docs_gopher_quality"].spark(spark, sf_dir).select(
+        "doc_id", F.col("passes_gopher").alias("f_gopher")
+    )
+    cl = _REG["docs_classifier_score"].spark(spark, sf_dir).select(
+        "doc_id", F.col("label_keep").alias("f_classifier")
+    )
+    flags = c4.join(gq, "doc_id").join(cl, "doc_id")
+    bsum = lambda c: F.sum(c).cast("bigint")  # noqa: E731
+    f_c4, f_gq, f_cl = (
+        F.col("f_c4"),
+        F.col("f_gopher"),
+        F.col("f_classifier"),
+    )
+    a = flags.agg(
+        F.count("*").alias("n_docs"),
+        bsum(1 - f_c4).alias("fail_c4"),
+        bsum(1 - f_gq).alias("fail_gopher"),
+        bsum(1 - f_cl).alias("fail_classifier"),
+        bsum((1 - f_c4) * f_gq * f_cl).alias("sole_c4"),
+        bsum(f_c4 * (1 - f_gq) * f_cl).alias("sole_gopher"),
+        bsum(f_c4 * f_gq * (1 - f_cl)).alias("sole_classifier"),
+        bsum(f_c4 * f_gq * f_cl).alias("n_pass_all"),
+    )
+    return a.select(
+        F.expr(
+            "stack(3, 'c4', fail_c4, sole_c4, "
+            "'gopher', fail_gopher, sole_gopher, "
+            "'classifier', fail_classifier, sole_classifier) "
+            "AS (rule, n_failed, n_sole_failed)"
+        ),
+        "n_docs",
+        "n_pass_all",
+    ).withColumn(
+        "fail_share", F.round(F.col("n_failed").cast("double") / F.col("n_docs"), 6)
+    )
+
+
+# Rank-biased overlap (Webber et al. 2010) between the two retrieval
+# legs the hybrid fuses — the agreement diagnostic a retrieval owner
+# reads before trusting RRF weights. Truncated at depth 10, p = 0.9:
+# RBO@10 = (1-p) * sum_{d=1..10} p^(d-1)/d * |S_:d ∩ T_:d|.
+_RBO_P = 0.9
+_RBO_DEPTH = 10
+
+
+@register(
+    "docs_retrieval_rbo",
+    f"""
+    WITH {_bm25_chain_sql()},
+    probes AS (
+      SELECT vec_id // 100 AS query_id, vec_id AS probe_id,
+             CAST(embedding AS DOUBLE[]) AS pvec
+      FROM embeddings WHERE vec_id IN (100, 200, 300)
+    ),
+    dense AS (
+      SELECT p.query_id, c.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(p.pvec, CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM probes p JOIN embeddings c ON c.vec_id <> p.probe_id
+    ),
+    dense10 AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+        FROM dense) WHERE rank <= {_RBO_DEPTH}
+    ),
+    sparse10 AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+                 FROM bm_ranked WHERE rank <= {_RBO_DEPTH}),
+    booth AS (
+      SELECT s.query_id, GREATEST(s.rank, d.rank) AS m
+      FROM sparse10 s JOIN dense10 d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    ),
+    depths AS (SELECT unnest(range(1, {_RBO_DEPTH} + 1)) AS d),
+    rcontrib AS (
+      SELECT b.query_id, p.d, COUNT(*) AS xd
+      FROM booth b JOIN depths p ON b.m <= p.d
+      GROUP BY b.query_id, p.d
+    ),
+    rbo AS (
+      SELECT query_id,
+             CAST(SUM(CAST(round({1 - _RBO_P} * power({_RBO_P}, d - 1) / d, 9)
+                           AS DECIMAL(18,9)) * xd) AS DOUBLE) AS rbo10
+      FROM rcontrib GROUP BY query_id
+    ),
+    ov AS (SELECT query_id, COUNT(*) AS overlap10 FROM booth GROUP BY query_id)
+    SELECT q.query_id, COALESCE(o.overlap10, 0) AS overlap_10,
+           round(COALESCE(o.overlap10, 0) / ({2 * _RBO_DEPTH}.0 - COALESCE(o.overlap10, 0)), 6) AS jaccard_10,
+           round(COALESCE(r.rbo10, 0.0), 6) AS rbo_10
+    FROM (SELECT DISTINCT query_id FROM sparse10) q
+    LEFT JOIN ov o USING (query_id) LEFT JOIN rbo r USING (query_id)
+    """,
+    doc=(
+        "Rank-biased overlap (Webber et al. 2010, truncated at depth 10, "
+        "p=0.9) between the hybrid's sparse (BM25) and dense (cosine) "
+        "top-10 lists, plus plain overlap and Jaccard@10 — the leg-"
+        "agreement diagnostic read before trusting fusion weights. "
+        "Reuses the EXACT legs docs_hybrid_rrf_search fuses (shared "
+        "_bm25_chain_sql chain and the same bounded probe set), so the "
+        "measured agreement is the deployed retrieval's. A doc in both "
+        "lists enters the intersection at depth max(rank_s, rank_d); "
+        "X_d then falls out of a 10-row depth spine join — everything "
+        "after the legs touches <= 10 rows per query per leg. Per-depth "
+        "RBO terms are rounded to 9 and summed as DECIMAL so the "
+        "weighted sum hash-matches across engines."
+    ),
+)
+def docs_retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.pipeline import bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    sparse = bm25_scores(docs, queries, k1=1.25, b=0.75, top_k=_RBO_DEPTH).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        "doc_id",
+        F.col("rank").alias("s_rank"),
+    )
+    probes = emb.filter(F.col("vec_id").isin(100, 200, 300))
+    dense = brute_force_topk(emb, probes, k=_RBO_DEPTH).select(
+        F.expr("probe_id div 100").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("d_rank"),
+    )
+    both = sparse.join(dense, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("s_rank", "d_rank").alias("m")
+    )
+    depths = spark.range(1, _RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    contrib = (
+        both.join(F.broadcast(depths), F.col("m") <= F.col("d"))
+        .groupBy("query_id", "d")
+        .agg(F.count("*").alias("xd"))
+    )
+    term = F.round(
+        F.lit(1 - _RBO_P) * F.pow(F.lit(_RBO_P), F.col("d") - 1) / F.col("d"), 9
+    ).cast("decimal(18,9)")
+    rbo = (
+        contrib.select("query_id", (term * F.col("xd")).alias("c"))
+        .groupBy("query_id")
+        .agg(F.sum("c").cast("double").alias("rbo10"))
+    )
+    ov = both.groupBy("query_id").agg(F.count("*").alias("overlap10"))
+    qids = sparse.select("query_id").distinct()
+    ov10 = F.coalesce(F.col("overlap10"), F.lit(0))
+    return (
+        qids.join(ov, "query_id", "left")
+        .join(rbo, "query_id", "left")
+        .select(
+            "query_id",
+            ov10.alias("overlap_10"),
+            F.round(ov10 / (F.lit(float(2 * _RBO_DEPTH)) - ov10), 6).alias(
+                "jaccard_10"
+            ),
+            F.round(F.coalesce(F.col("rbo10"), F.lit(0.0)), 6).alias("rbo_10"),
+        )
+    )
+
+
+# Packing-efficiency report: the padding-waste study a pipeline owner
+# runs BEFORE choosing seq_len for docs_sequence_packing. Greedy
+# contiguous packing pads only each shard's final sequence, so the whole
+# report derives from per-shard token totals.
+_PACK_EFF_LENS = (128, 256, 512, 1024)
+
+
+@register(
+    "docs_packing_efficiency",
+    f"""
+    WITH t AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    s AS (SELECT shard, CAST(SUM(n_tok) AS BIGINT) AS shard_toks FROM t GROUP BY shard),
+    ls AS (SELECT unnest([{", ".join(str(x) for x in _PACK_EFF_LENS)}]) AS seq_len),
+    x AS (
+      SELECT l.seq_len, s.shard, s.shard_toks,
+             (s.shard_toks + l.seq_len - 1) // l.seq_len AS n_seqs
+      FROM s CROSS JOIN ls l
+    )
+    SELECT seq_len, COUNT(*) AS n_shards,
+           CAST(SUM(shard_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_seqs * seq_len - shard_toks) AS BIGINT) AS pad_tokens,
+           round(CAST(SUM(shard_toks) AS DOUBLE) / (SUM(n_seqs) * seq_len), 6) AS efficiency
+    FROM x GROUP BY seq_len
+    """,
+    doc=(
+        "Packing-efficiency report across candidate sequence lengths "
+        "(128/256/512/1024): sequences produced, padding tokens wasted, "
+        "and token efficiency under the same greedy contiguous per-shard "
+        "packing docs_sequence_packing emits (same shard hash, same "
+        "whitespace token count — the constants are shared so the report "
+        "describes the deployed packer). Greedy packing pads only each "
+        "shard's LAST sequence, so the entire report derives from the "
+        "per-shard token totals: one map-side-combined aggregate to "
+        "#shards rows, a 4-row broadcast length spine, and a 16-row "
+        "aggregate — nothing downstream of the first aggregate ever "
+        "touches corpus-sized data."
+    ),
+)
+def docs_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    s = t.groupBy("shard").agg(F.sum("n_tok").cast("bigint").alias("shard_toks"))
+    ls = spark.createDataFrame(
+        [(x,) for x in _PACK_EFF_LENS], "seq_len int"
+    )
+    x = s.crossJoin(F.broadcast(ls)).select(
+        "seq_len",
+        "shard",
+        "shard_toks",
+        F.expr("(shard_toks + seq_len - 1) div seq_len").alias("n_seqs"),
+    )
+    agg = x.groupBy("seq_len").agg(
+        F.count("*").alias("n_shards"),
+        F.sum("shard_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_seqs").cast("bigint").alias("n_seqs"),
+        F.sum(F.col("n_seqs") * F.col("seq_len") - F.col("shard_toks"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+    )
+    return agg.select(
+        "seq_len",
+        "n_shards",
+        "total_tokens",
+        "n_seqs",
+        "pad_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_seqs") * F.col("seq_len")),
+            6,
+        ).alias("efficiency"),
+    )

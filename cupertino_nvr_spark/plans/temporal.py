@@ -1648,3 +1648,103 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_cuped"),
     )
+
+
+# EWMA-residual anomaly detection on the per-type daily series (the
+# forecasting-residual companion to events_anomaly_zscore's trailing
+# z-score). alpha = 0.3 => weight (1-alpha)^(k-1) on the k-th prior day,
+# 13-day lookback (the weight floor ~0.01 makes a longer tail noise).
+_EWMA_DECAY = 0.7
+_EWMA_LOOKBACK = 13
+_EWMA_THRESHOLD = 0.5
+
+
+@register(
+    "events_ewma_anomaly",
+    f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT d1.event_type, d1.day, d1.total_value,
+             COUNT(d2.day) AS n_prev,
+             CAST(SUM(CAST(round(power({_EWMA_DECAY}, date_diff('day', d2.day, d1.day) - 1)
+                                 * d2.total_value, 4) AS DECIMAL(38,4))) AS DOUBLE) AS wsum,
+             CAST(SUM(CAST(round(power({_EWMA_DECAY}, date_diff('day', d2.day, d1.day) - 1), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS wtot
+      FROM daily d1 LEFT JOIN daily d2
+        ON d2.event_type = d1.event_type
+       AND d2.day >= d1.day - INTERVAL {_EWMA_LOOKBACK} DAY AND d2.day < d1.day
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, total_value, n_prev,
+           round(wsum / wtot, 6) AS ewma_prev,
+           round((total_value - wsum / wtot) / (wsum / wtot), 6) AS pct_dev,
+           CAST(abs((total_value - wsum / wtot) / (wsum / wtot)) > {_EWMA_THRESHOLD}
+                AS INT) AS is_anomaly
+    FROM trail WHERE n_prev > 0
+    """,
+    doc=(
+        "EWMA-forecast-residual anomaly detection per event type: each "
+        "day's total is compared to the exponentially weighted mean of "
+        "the 13 strictly-prior days (decay 0.7 per day of age, weights "
+        "normalized over the days actually present), flagging days that "
+        "deviate more than 50% from their own type's forecast. The fact "
+        "table contributes ONE map-side-combined daily aggregate; the "
+        "EWMA itself is a bounded self-range-join over the (type x day) "
+        "aggregate — days-sized, never event-sized — so the plan is "
+        "linear in events at any scale and the window state never grows "
+        "past the 13-day frame. Weighted sums ride fixed-point DECIMAL "
+        "(round 4/9) so the iteratively-weighted forecast hash-matches "
+        "across engines; streaming twin: streaming/anomaly.py's keyed "
+        "ring-buffer scorer (same strictly-prior-frame contract)."
+    ),
+)
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value")
+    )
+    d1 = daily.alias("d1")
+    d2 = daily.alias("d2")
+    age = F.datediff(F.col("d1.day"), F.col("d2.day"))
+    w = F.pow(F.lit(_EWMA_DECAY), age - 1)
+    joined = d1.join(
+        d2,
+        (F.col("d2.event_type") == F.col("d1.event_type"))
+        & (
+            F.col("d2.day")
+            >= F.col("d1.day") - F.expr(f"INTERVAL {_EWMA_LOOKBACK} DAY")
+        )
+        & (F.col("d2.day") < F.col("d1.day")),
+        "left",
+    )
+    trail = joined.groupBy(
+        F.col("d1.event_type").alias("event_type"),
+        F.col("d1.day").alias("day"),
+        F.col("d1.total_value").alias("total_value"),
+    ).agg(
+        F.count(F.col("d2.day")).alias("n_prev"),
+        F.sum(
+            F.round(w * F.col("d2.total_value"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("wsum"),
+        F.sum(F.round(w, 9).cast("decimal(18,9)")).cast("double").alias("wtot"),
+    )
+    ewma = F.col("wsum") / F.col("wtot")
+    return trail.filter(F.col("n_prev") > 0).select(
+        "event_type",
+        "day",
+        "total_value",
+        "n_prev",
+        F.round(ewma, 6).alias("ewma_prev"),
+        F.round((F.col("total_value") - ewma) / ewma, 6).alias("pct_dev"),
+        (F.abs((F.col("total_value") - ewma) / ewma) > _EWMA_THRESHOLD)
+        .cast("int")
+        .alias("is_anomaly"),
+    )

@@ -154,6 +154,17 @@ ALLOWED_BNLJ = {
     # the report row; the trainer rounds inside are checkpointed word
     # tables + 1-row argmax attaches (the same bounded shape)
     "docs_bpe_compression",
+    # one extra Lloyd-assign-shaped pass by definition: corpus x
+    # broadcast(centroids) distances for a/b, centroid count bounded by
+    # the IVF stride cap — the eval scales wherever embedding_kmeans does
+    "embedding_silhouette",
+    # both legs are the allow-listed bounded-probe retrievals (BM25's
+    # 1-row stats attach, dense's 3-probe x corpus scan); the RBO spine
+    # join is 10 depth rows x <=10 overlap rows per query
+    "docs_retrieval_rbo",
+    # 4-row seq_len spine x #shards-row token totals — both sides bounded
+    # post-aggregation, the corpus contributes one map-side-combined agg
+    "docs_packing_efficiency",
 }
 
 

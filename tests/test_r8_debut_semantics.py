@@ -136,3 +136,160 @@ def test_pc1_is_unit_norm_and_outlier_gate_consistent(spark):
     for r in out:
         assert r["is_outlier"] == int(abs(r["z"]) >= 2.5) or abs(abs(r["z"]) - 2.5) < 1e-5
     assert any(r["is_outlier"] == 1 for r in out)
+
+
+# ---- late r8 debuts II ----------------------------------------------------
+
+
+def test_silhouette_bounds_and_membership_matches_kmeans(spark):
+    """Silhouette values live in [-1, 1] by construction, cluster means sit
+    inside their own [min, max], and the evaluated clustering IS the
+    registered embedding_kmeans one: same cells, same member counts."""
+    sil = {
+        r["cell_id"]: r
+        for r in REGISTRY["embedding_silhouette"].spark(spark, SF).collect()
+    }
+    assert sil
+    for r in sil.values():
+        assert -1.0 <= r["min_sil"] <= r["mean_sil"] <= r["max_sil"] <= 1.0, r
+    km = REGISTRY["embedding_kmeans"].spark(spark, SF).collect()
+    sizes: dict[int, int] = {}
+    for r in km:
+        sizes[r["cell_id"]] = r["cell_size"]
+    assert set(sil) == set(sizes)
+    for cell, r in sil.items():
+        assert r["n_members"] == sizes[cell], cell
+    assert sum(r["n_members"] for r in sil.values()) == len(km)
+
+
+def test_filter_attribution_recomputes_from_registered_filters(spark):
+    c4 = {
+        r["doc_id"]: r["passes_c4"]
+        for r in REGISTRY["docs_c4_filters"].spark(spark, SF).collect()
+    }
+    gq = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in REGISTRY["docs_gopher_quality"].spark(spark, SF).collect()
+    }
+    cl = {
+        r["doc_id"]: r["label_keep"]
+        for r in REGISTRY["docs_classifier_score"].spark(spark, SF).collect()
+    }
+    flags = {d: (c4[d], gq[d], cl[d]) for d in c4}
+    n_docs = len(flags)
+    expect = {
+        "c4": (
+            sum(1 for f in flags.values() if not f[0]),
+            sum(1 for f in flags.values() if not f[0] and f[1] and f[2]),
+        ),
+        "gopher": (
+            sum(1 for f in flags.values() if not f[1]),
+            sum(1 for f in flags.values() if f[0] and not f[1] and f[2]),
+        ),
+        "classifier": (
+            sum(1 for f in flags.values() if not f[2]),
+            sum(1 for f in flags.values() if f[0] and f[1] and not f[2]),
+        ),
+    }
+    n_pass_all = sum(1 for f in flags.values() if all(f))
+    out = REGISTRY["docs_filter_attribution"].spark(spark, SF).collect()
+    assert len(out) == 3
+    for r in out:
+        nf, ns = expect[r["rule"]]
+        assert r["n_failed"] == nf, r
+        assert r["n_sole_failed"] == ns, r
+        assert r["n_sole_failed"] <= r["n_failed"]
+        assert r["n_docs"] == n_docs and r["n_pass_all"] == n_pass_all
+        assert abs(r["fail_share"] - nf / n_docs) < 1e-6
+
+
+def test_retrieval_rbo_matches_python_recompute(spark):
+    """Truncated RBO recomputed in pure Python from the two top-10 legs
+    (the same legs the hybrid fuses) must match within rounding, and the
+    measures must respect their ranges."""
+    from cupertino_nvr_spark.llm.pipeline import bm25_scores
+    from cupertino_nvr_spark.llm.similarity import brute_force_topk
+    from cupertino_nvr_spark.plans.llm import _BM25_QUERIES
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    emb = load_table(spark, "embeddings", SF)
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    sparse: dict[int, dict[int, int]] = {}
+    for r in bm25_scores(docs, queries, k1=1.25, b=0.75, top_k=10).collect():
+        sparse.setdefault(r["query_id"], {})[r["doc_id"]] = r["rank"]
+    probes = emb.filter(F.col("vec_id").isin(100, 200, 300))
+    dense: dict[int, dict[int, int]] = {}
+    for r in brute_force_topk(emb, probes, k=10).collect():
+        dense.setdefault(r["probe_id"] // 100, {})[r["neighbor_id"]] = r["rank"]
+    out = {r["query_id"]: r for r in REGISTRY["docs_retrieval_rbo"].spark(spark, SF).collect()}
+    assert set(out) == set(sparse)
+    for q, r in out.items():
+        s, d = sparse[q], dense.get(q, {})
+        common = set(s) & set(d)
+        assert r["overlap_10"] == len(common), q
+        assert 0 <= r["rbo_10"] <= 1.0
+        rbo = sum(
+            round(0.1 * 0.9 ** (dep - 1) / dep, 9)
+            * sum(1 for doc in common if max(s[doc], d[doc]) <= dep)
+            for dep in range(1, 11)
+        )
+        assert abs(r["rbo_10"] - rbo) < 2e-6, (q, r["rbo_10"], rbo)
+
+
+def test_packing_efficiency_consistent_with_packing_plan(spark):
+    """At seq_len 512 the report must agree with docs_sequence_packing:
+    per-shard sequence counts derive from the same token totals, and the
+    identity total_tokens + pad_tokens == n_seqs * seq_len holds for
+    every candidate length."""
+    pack = REGISTRY["docs_sequence_packing"].spark(spark, SF).collect()
+    shard_toks: dict[int, int] = {}
+    for r in pack:
+        shard_toks[r["shard"]] = shard_toks.get(r["shard"], 0) + r["n_tok"]
+    out = {r["seq_len"]: r for r in REGISTRY["docs_packing_efficiency"].spark(spark, SF).collect()}
+    assert set(out) == {128, 256, 512, 1024}
+    for L, r in out.items():
+        n_seqs = sum((t + L - 1) // L for t in shard_toks.values())
+        assert r["n_seqs"] == n_seqs, L
+        assert r["total_tokens"] == sum(shard_toks.values())
+        assert r["total_tokens"] + r["pad_tokens"] == r["n_seqs"] * L
+        assert abs(r["efficiency"] - r["total_tokens"] / (n_seqs * L)) < 1e-6
+        assert r["n_shards"] == len(shard_toks)
+
+
+def test_ewma_anomaly_forecast_is_weighted_mean_of_prior_days(spark):
+    """The EWMA forecast must lie within [min, max] of the 13 strictly-
+    prior daily totals it averages, the flag must equal the threshold
+    rule, and a day must never see >13 prior days."""
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF)
+    daily = {
+        (r["event_type"], r["day"]): r["total_value"]
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value")
+        )
+        .collect()
+    }
+    out = REGISTRY["events_ewma_anomaly"].spark(spark, SF).collect()
+    assert out
+    import datetime
+
+    for r in out:
+        prior = [
+            v
+            for (t, d), v in daily.items()
+            if t == r["event_type"]
+            and datetime.timedelta(days=0)
+            < r["day"] - d
+            <= datetime.timedelta(days=13)
+        ]
+        assert 0 < len(prior) <= 13
+        assert len(prior) == r["n_prev"], r
+        assert min(prior) - 1e-6 <= r["ewma_prev"] <= max(prior) + 1e-6, r
+        assert r["is_anomaly"] == int(abs(r["pct_dev"]) > 0.5), r

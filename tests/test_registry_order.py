@@ -35,6 +35,11 @@ R8_DEBUTS = {
     "embedding_knn_label_eval",
     "docs_c4_filters",
     "events_cuped",
+    "embedding_silhouette",
+    "docs_filter_attribution",
+    "docs_retrieval_rbo",
+    "docs_packing_efficiency",
+    "events_ewma_anomaly",
 }
 
 

@@ -75,6 +75,8 @@ _R8_WINDOW_PRIORITY = [
     "docs_retrieval_rbo",
     "docs_packing_efficiency",
     "events_ewma_anomaly",
+    "docs_vocab_coverage",
+    "events_markov_removal_effect",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

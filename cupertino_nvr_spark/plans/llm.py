@@ -6194,3 +6194,86 @@ def docs_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("efficiency"),
     )
+
+
+# Vocabulary coverage curve: what fraction of token OCCURRENCES the top-N
+# vocabulary entries cover, for candidate vocab sizes — the curve read
+# before fixing a tokenizer vocab budget (companion to docs_vocab_topk /
+# docs_oov_rate).
+_VOCAB_COVERAGE_NS = (10, 100, 1000)
+
+
+@register(
+    "docs_vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT lower(term) AS term FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+    ),
+    counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    ranked AS (
+      SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS vocab_size FROM counts),
+    ns AS (SELECT unnest([{", ".join(str(x) for x in _VOCAB_COVERAGE_NS)}]) AS top_n),
+    cov AS (
+      SELECT ns.top_n,
+             CAST(SUM(CASE WHEN r.rank <= ns.top_n THEN r.n ELSE 0 END) AS BIGINT)
+               AS covered_tokens
+      FROM ranked r CROSS JOIN ns GROUP BY ns.top_n
+    )
+    SELECT c.top_n, t.vocab_size, c.covered_tokens, t.total_tokens,
+           round(CAST(c.covered_tokens AS DOUBLE) / t.total_tokens, 6) AS coverage
+    FROM cov c CROSS JOIN tot t
+    """,
+    doc=(
+        "Vocabulary coverage curve: fraction of corpus token occurrences "
+        "covered by the top-10/100/1000 most frequent terms (count desc, "
+        "term asc ties — docs_vocab_topk's rank rule) plus total vocab "
+        "size — the curve a tokenizer owner reads before fixing a vocab "
+        "budget. Scale shape: term counts partial-aggregate map-side; "
+        "the numerators come ENTIRELY from a TakeOrderedAndProject top-"
+        "1000 frame (per-partition heaps + driver merge, the "
+        "docs_vocab_topk plan), never a global window over the vocab "
+        "table; denominator is a 1-row total attach and the candidate-N "
+        "spine is 3 broadcast rows."
+    ),
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .select(F.lower(F.col("term")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    n_max = max(_VOCAB_COVERAGE_NS)
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(n_max)
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    ns = spark.createDataFrame([(x,) for x in _VOCAB_COVERAGE_NS], "top_n int")
+    cov = (
+        ranked.crossJoin(F.broadcast(ns))
+        .groupBy("top_n")
+        .agg(
+            F.sum(F.when(F.col("rank") <= F.col("top_n"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens")
+        )
+    )
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "top_n",
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("coverage"),
+    )

@@ -1748,3 +1748,248 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+# Markov-chain attribution by removal effect (Anderl et al. 2014, the
+# standard data-driven alternative to last-touch): build the first-order
+# journey chain (START -> channels -> CONV/NULL, truncated at the first
+# conversion), then for each channel measure how much 16-step absorption
+# probability in CONV is lost when that channel's in-edges are redirected
+# to NULL. The channel set is the pinned non-conversion event-type domain
+# (a production run derives it from the type catalog, a bounded dim).
+_MRE_CHANNELS = ("click", "error", "signup", "view")
+_MRE_ROUNDS = 16
+
+
+def _mre_round_sql(i: int) -> str:
+    prev = f"v{i - 1}"
+    return f"""v{i} AS (
+      SELECT v.scenario, p.to_state AS state,
+             CAST(SUM(CAST(round(v.mass * p.p, 12) AS DECIMAL(28,12))) AS DOUBLE) AS mass
+      FROM {prev} v JOIN pmat p
+        ON p.scenario = v.scenario AND p.from_state = v.state
+      GROUP BY v.scenario, p.to_state
+    )"""
+
+
+@register(
+    "events_markov_removal_effect",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id, MIN(rn) AS prn FROM ordered
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    j AS (
+      SELECT o.user_id, o.rn, o.event_type
+      FROM ordered o LEFT JOIN fp ON o.user_id = fp.user_id
+      WHERE fp.prn IS NULL OR o.rn <= fp.prn
+    ),
+    trans AS (
+      SELECT user_id, rn, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+      FROM j
+    ),
+    edges AS (
+      SELECT '__start__' AS from_state,
+             CASE WHEN event_type = 'purchase' THEN '__conv__' ELSE event_type END AS to_state
+      FROM trans WHERE rn = 1
+      UNION ALL
+      SELECT event_type,
+             CASE WHEN nxt = 'purchase' THEN '__conv__' ELSE nxt END
+      FROM trans WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT event_type, '__null__'
+      FROM trans WHERE nxt IS NULL AND event_type <> 'purchase'
+    ),
+    base AS (
+      SELECT from_state, to_state, COUNT(*) AS n FROM edges GROUP BY 1, 2
+    ),
+    probs AS (
+      SELECT from_state, to_state,
+             round(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 9) AS p
+      FROM base
+    ),
+    scen AS (SELECT unnest(['full', {", ".join(f"'{c}'" for c in _MRE_CHANNELS)}]) AS scenario),
+    pmat0 AS (
+      SELECT s.scenario, p.from_state,
+             CASE WHEN s.scenario <> 'full' AND p.to_state = s.scenario
+                  THEN '__null__' ELSE p.to_state END AS to_state,
+             p.p
+      FROM probs p CROSS JOIN scen s
+      WHERE NOT (s.scenario <> 'full' AND p.from_state = s.scenario)
+    ),
+    pmat1 AS (
+      SELECT scenario, from_state, to_state,
+             CAST(SUM(CAST(round(p, 9) AS DECIMAL(18,9))) AS DOUBLE) AS p
+      FROM pmat0 GROUP BY 1, 2, 3
+    ),
+    pmat AS (
+      SELECT * FROM pmat1
+      UNION ALL
+      SELECT scenario, st, st, 1.0
+      FROM scen CROSS JOIN (SELECT unnest(['__conv__', '__null__']) AS st)
+    ),
+    v0 AS (SELECT scenario, '__start__' AS state, 1.0 AS mass FROM scen),
+    {", ".join(_mre_round_sql(i) for i in range(1, _MRE_ROUNDS + 1))},
+    res AS (SELECT scenario, mass FROM v{_MRE_ROUNDS} WHERE state = '__conv__'),
+    fullp AS (SELECT mass AS p_full FROM res WHERE scenario = 'full'),
+    eff AS (
+      SELECT r.scenario AS channel, f.p_full, r.mass,
+             1.0 - r.mass / f.p_full AS e
+      FROM res r CROSS JOIN fullp f WHERE r.scenario <> 'full'
+    ),
+    tote AS (
+      SELECT CAST(SUM(CAST(round(e, 9) AS DECIMAL(18,9))) AS DOUBLE) AS te FROM eff
+    )
+    SELECT channel, round(p_full, 6) AS p_conv, round(mass, 6) AS p_conv_removed,
+           round(e, 6) AS removal_effect, round(e / te, 6) AS attribution_share
+    FROM eff CROSS JOIN tote
+    """,
+    doc=(
+        "Markov-chain attribution by removal effect: per-user journeys "
+        "(ordered by ts, truncated at the first conversion) become a "
+        "START -> channels -> CONV/NULL first-order chain; each channel's "
+        "credit is the relative loss in 16-step START->CONV absorption "
+        "probability when its in-edges are redirected to NULL (no "
+        "renormalization — the chain stays row-stochastic by "
+        "construction). The fact table contributes ONE user-keyed window "
+        "pass and one edge-count aggregate; everything after is "
+        "(scenario x state)-sized — at most (1 + #channels) x #states "
+        "rows (~40) through 16 propagation rounds, so the iterative part "
+        "costs nothing at any corpus scale (the pagerank rule: "
+        "checkpointed tiny frames, fixed-point DECIMAL sums so the "
+        "multi-round result hash-matches across engines)."
+    ),
+)
+def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    ev = load_table(spark, "events", sf_dir)
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w_rn).alias("rn")
+    )
+    fp = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = (
+        ordered.join(fp, "user_id", "left")
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("rn")
+    trans = j.select(
+        "rn", "event_type", F.lead("event_type").over(w_seq).alias("nxt")
+    )
+    conv_map = lambda c: F.when(c == "purchase", F.lit("__conv__")).otherwise(c)  # noqa: E731
+    start_e = trans.filter(F.col("rn") == 1).select(
+        F.lit("__start__").alias("from_state"),
+        conv_map(F.col("event_type")).alias("to_state"),
+    )
+    mid_e = trans.filter(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("from_state"),
+        conv_map(F.col("nxt")).alias("to_state"),
+    )
+    term_e = trans.filter(
+        F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+    ).select(
+        F.col("event_type").alias("from_state"), F.lit("__null__").alias("to_state")
+    )
+    base = (
+        start_e.unionAll(mid_e)
+        .unionAll(term_e)
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_state")
+    probs = base.select(
+        "from_state",
+        "to_state",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wt), 9).alias("p"),
+    )
+    scen = spark.createDataFrame(
+        [(s,) for s in ("full",) + _MRE_CHANNELS], "scenario string"
+    )
+    pmat0 = (
+        probs.crossJoin(F.broadcast(scen))
+        .filter(
+            ~(
+                (F.col("scenario") != "full")
+                & (F.col("from_state") == F.col("scenario"))
+            )
+        )
+        .select(
+            "scenario",
+            "from_state",
+            F.when(
+                (F.col("scenario") != "full")
+                & (F.col("to_state") == F.col("scenario")),
+                F.lit("__null__"),
+            )
+            .otherwise(F.col("to_state"))
+            .alias("to_state"),
+            "p",
+        )
+    )
+    pmat1 = pmat0.groupBy("scenario", "from_state", "to_state").agg(
+        F.sum(F.round(F.col("p"), 9).cast("decimal(18,9)")).cast("double").alias("p")
+    )
+    absorb = scen.crossJoin(
+        spark.createDataFrame([("__conv__",), ("__null__",)], "st string")
+    ).select(
+        "scenario",
+        F.col("st").alias("from_state"),
+        F.col("st").alias("to_state"),
+        F.lit(1.0).alias("p"),
+    )
+    pmat = reliable_checkpoint(pmat1.unionAll(absorb))
+    v = scen.select(
+        "scenario", F.lit("__start__").alias("state"), F.lit(1.0).alias("mass")
+    )
+    for i in range(1, _MRE_ROUNDS + 1):
+        nv = (
+            v.join(pmat, "scenario")
+            .filter(F.col("from_state") == F.col("state"))
+            .groupBy("scenario", "to_state")
+            .agg(
+                F.sum(
+                    F.round(F.col("mass") * F.col("p"), 12).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("mass")
+            )
+            .withColumnRenamed("to_state", "state")
+        )
+        v = reliable_checkpoint(nv) if i % 4 == 0 else nv
+    res = v.filter(F.col("state") == "__conv__").select("scenario", "mass")
+    fullp = res.filter(F.col("scenario") == "full").select(
+        F.col("mass").alias("p_full")
+    )
+    eff = (
+        res.filter(F.col("scenario") != "full")
+        .crossJoin(F.broadcast(fullp))
+        .select(
+            F.col("scenario").alias("channel"),
+            "p_full",
+            "mass",
+            (F.lit(1.0) - F.col("mass") / F.col("p_full")).alias("e"),
+        )
+    )
+    tote = eff.agg(
+        F.sum(F.round(F.col("e"), 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("te")
+    )
+    return eff.crossJoin(F.broadcast(tote)).select(
+        "channel",
+        F.round("p_full", 6).alias("p_conv"),
+        F.round("mass", 6).alias("p_conv_removed"),
+        F.round("e", 6).alias("removal_effect"),
+        F.round(F.col("e") / F.col("te"), 6).alias("attribution_share"),
+    )

@@ -165,6 +165,15 @@ ALLOWED_BNLJ = {
     # 4-row seq_len spine x #shards-row token totals — both sides bounded
     # post-aggregation, the corpus contributes one map-side-combined agg
     "docs_packing_efficiency",
+    # 3-row candidate-N spine x the TakeOrdered top-1000 head, plus the
+    # 1-row (total_tokens, vocab_size) attach — the corpus contributes one
+    # map-side-combined term count; nothing vocabulary-sized crosses
+    "docs_vocab_coverage",
+    # (1 + #channels)-row scenario dim x the state-vocabulary-squared edge
+    # table (~40 rows), then 1-row p_full / total-effect attaches — the
+    # fact table contributes one user window pass + one edge aggregate;
+    # all 16 propagation rounds run on the scenario x state frame
+    "events_markov_removal_effect",
 }
 
 

@@ -293,3 +293,45 @@ def test_ewma_anomaly_forecast_is_weighted_mean_of_prior_days(spark):
         assert len(prior) == r["n_prev"], r
         assert min(prior) - 1e-6 <= r["ewma_prev"] <= max(prior) + 1e-6, r
         assert r["is_anomaly"] == int(abs(r["pct_dev"]) > 0.5), r
+
+
+def test_vocab_coverage_monotone_and_consistent_with_topk(spark):
+    """Coverage must be monotone non-decreasing in top_n, bounded by 1,
+    and the top-10 numerator must equal the sum of docs_vocab_topk's
+    top-10 counts (the two queries share the rank rule: count desc,
+    term asc)."""
+    cov = {
+        r["top_n"]: r
+        for r in REGISTRY["docs_vocab_coverage"].spark(spark, SF).collect()
+    }
+    assert sorted(cov) == [10, 100, 1000]
+    total = {r["total_tokens"] for r in cov.values()}
+    assert len(total) == 1
+    prev = 0
+    for n in (10, 100, 1000):
+        r = cov[n]
+        assert r["covered_tokens"] >= prev
+        assert 0.0 < r["coverage"] <= 1.0
+        assert abs(r["coverage"] - r["covered_tokens"] / r["total_tokens"]) < 1e-6
+        prev = r["covered_tokens"]
+    topk = REGISTRY["docs_vocab_topk"].spark(spark, SF).collect()
+    top10 = sum(r["n"] for r in topk if r["rank"] <= 10)
+    assert cov[10]["covered_tokens"] == top10
+
+
+def test_markov_removal_effect_shares_sum_to_one_and_probs_bounded(spark):
+    """Attribution shares must sum to 1 (the normalization is the whole
+    point of removal-effect credit), every absorption probability must be
+    a probability, and removing a channel can only reduce conversion
+    (removal_effect >= 0) because redirected mass lands in NULL, an
+    absorbing non-converting state."""
+    rows = REGISTRY["events_markov_removal_effect"].spark(spark, SF).collect()
+    assert {r["channel"] for r in rows} == {"click", "error", "signup", "view"}
+    p_full = {r["p_conv"] for r in rows}
+    assert len(p_full) == 1
+    p = p_full.pop()
+    assert 0.0 < p < 1.0
+    for r in rows:
+        assert 0.0 <= r["p_conv_removed"] <= p + 1e-9, r
+        assert r["removal_effect"] >= 0.0, r
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-4

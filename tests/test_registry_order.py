@@ -40,6 +40,8 @@ R8_DEBUTS = {
     "docs_retrieval_rbo",
     "docs_packing_efficiency",
     "events_ewma_anomaly",
+    "docs_vocab_coverage",
+    "events_markov_removal_effect",
 }
 
 

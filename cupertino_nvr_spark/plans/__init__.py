@@ -77,6 +77,9 @@ _R8_WINDOW_PRIORITY = [
     "events_ewma_anomaly",
     "docs_vocab_coverage",
     "events_markov_removal_effect",
+    "events_psi_drift",
+    "events_ks_test",
+    "embedding_hard_negatives",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

@@ -6277,3 +6277,100 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
         ).alias("coverage"),
     )
+
+
+# Hard-negative mining for retriever / metric-learning training (the
+# DPR / contrastive-training data op): for each probe in the fixed eval
+# panel, the top-5 most-similar corpus vectors carrying a DIFFERENT
+# label — the "looks close, is wrong" examples a contrastive loss needs.
+# Rides embedding_cosine_topk's bounded-probe brute-force chain with the
+# label inequality folded into the join predicate, so unwanted pairs are
+# dropped before the window ranks.
+@register(
+    "embedding_hard_negatives",
+    """
+    WITH probes AS (SELECT vec_id, embedding, label FROM embeddings
+                    WHERE vec_id % 100 = 0 AND vec_id < 20000),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM probes p JOIN embeddings c
+        ON p.vec_id <> c.vec_id AND p.label <> c.label
+    )
+    SELECT probe_id, true_label, neighbor_id, neighbor_label, sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc=(
+        "Hard-negative mining for contrastive retriever training: each "
+        "fixed-panel probe's top-5 exact-cosine neighbors with a "
+        "DIFFERENT label (the highest-similarity wrong answers a "
+        "contrastive loss trains against). Same scale posture as "
+        "embedding_knn_label_eval: the FIXED 200-slot probe panel keeps "
+        "the harness one linear corpus scan at any SF; the label "
+        "inequality sits in the join predicate so disqualified pairs "
+        "never reach the per-probe ranking window. Production swaps the "
+        "panel for the training-query batch and the brute-force leg for "
+        "the IVF/LSH candidate chain."
+    ),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import (
+        as_double,
+        ensure_min_parallelism,
+        make_cosine,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 20000))
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        as_double(F.col("embedding")).alias("pvec"),
+    )
+    c = ensure_min_parallelism(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            as_double(F.col("embedding")).alias("cvec"),
+        )
+    )
+    scored = (
+        F.broadcast(p)
+        .join(
+            c,
+            (F.col("probe_id") != F.col("neighbor_id"))
+            & (F.col("true_label") != F.col("neighbor_label")),
+        )
+        .select(
+            "probe_id",
+            "true_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(make_cosine("hof")(F.col("pvec"), F.col("cvec")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "probe_id",
+            "true_label",
+            "neighbor_id",
+            "neighbor_label",
+            "sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

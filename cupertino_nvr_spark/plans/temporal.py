@@ -1993,3 +1993,236 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("e", 6).alias("removal_effect"),
         F.round(F.col("e") / F.col("te"), 6).alias("attribution_share"),
     )
+
+
+# Population Stability Index drift monitor (the standard production data-
+# drift metric): value distributions per event_type compared between a
+# reference period (first half of the month) and the current period,
+# over deciles of the REFERENCE distribution. Decile edges are discrete
+# quantiles derived by pure integer threshold-crossing arithmetic on a
+# 0.1-granular value grid, so both engines reproduce them exactly — no
+# interpolated-percentile cross-engine hazard.
+_PSI_SPLIT = "2024-01-16"
+
+
+@register(
+    "events_psi_drift",
+    f"""
+    WITH grid AS (
+      SELECT event_type, round(value, 1) AS v,
+             COUNT(CASE WHEN ts <  TIMESTAMP '{_PSI_SPLIT}' THEN 1 END) AS ref_c,
+             COUNT(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}' THEN 1 END) AS cur_c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT *,
+             SUM(ref_c) OVER (PARTITION BY event_type ORDER BY v) AS cum_ref,
+             SUM(ref_c) OVER (PARTITION BY event_type) AS n_ref,
+             SUM(cur_c) OVER (PARTITION BY event_type) AS n_cur
+      FROM grid
+    ),
+    edges AS (
+      SELECT c.event_type, k.k, c.v AS edge
+      FROM cum c CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS k) k
+      WHERE c.cum_ref * 10 >= k.k * c.n_ref
+        AND (c.cum_ref - c.ref_c) * 10 < k.k * c.n_ref
+    ),
+    bucketed AS (
+      SELECT c.event_type, c.v, c.ref_c, c.cur_c, c.n_ref, c.n_cur,
+             COUNT(CASE WHEN c.v > e.edge THEN 1 END) AS bucket
+      FROM cum c JOIN edges e ON c.event_type = e.event_type
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    bk AS (
+      SELECT event_type, bucket,
+             CAST(SUM(ref_c) AS BIGINT) AS ref_n,
+             CAST(SUM(cur_c) AS BIGINT) AS cur_n,
+             MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur
+      FROM bucketed GROUP BY 1, 2
+    ),
+    contrib AS (
+      SELECT event_type, bucket, ref_n, cur_n,
+             (ref_n + 0.5) / (n_ref + 5.0) AS p_ref,
+             (cur_n + 0.5) / (n_cur + 5.0) AS p_cur
+      FROM bk
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket, ref_n, cur_n,
+           round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib,
+           round(SUM((p_cur - p_ref) * ln(p_cur / p_ref))
+                 OVER (PARTITION BY event_type), 6) AS psi_total
+    FROM contrib
+    """,
+    doc=(
+        "PSI distribution-drift monitor: per event_type, current-period "
+        "value distribution vs the reference period over reference-"
+        "decile buckets, Laplace-smoothed proportions, per-bucket PSI "
+        "contribution and the per-type total. Scale shape: the fact "
+        "table contributes ONE map-side-combined groupBy onto the 0.1-"
+        "granular value grid (bounded by the value domain, never the "
+        "corpus — ~5.6k cells/type here); the cumulative windows, the "
+        "integer threshold-crossing decile edges (exact discrete "
+        "quantiles, no interpolated-percentile cross-engine hazard), the "
+        "9-edge bucket assignment, and the 10-row-per-type PSI all run "
+        "on that bounded grid. Production swaps the 0.1 grid for "
+        "whatever binning the feature store uses."
+    ),
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    grid = ev.groupBy(
+        "event_type", F.round(F.col("value"), 1).alias("v")
+    ).agg(
+        F.count(F.when(F.col("ts") < split, 1)).alias("ref_c"),
+        F.count(F.when(F.col("ts") >= split, 1)).alias("cur_c"),
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("v")
+    cum = grid.select(
+        "event_type",
+        "v",
+        "ref_c",
+        "cur_c",
+        F.sum("ref_c").over(wo).alias("cum_ref"),
+        F.sum("ref_c").over(wt).alias("n_ref"),
+        F.sum("cur_c").over(wt).alias("n_cur"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    edges = (
+        cum.crossJoin(F.broadcast(ks))
+        .filter(
+            (F.col("cum_ref") * 10 >= F.col("k") * F.col("n_ref"))
+            & ((F.col("cum_ref") - F.col("ref_c")) * 10 < F.col("k") * F.col("n_ref"))
+        )
+        .select("event_type", "k", F.col("v").alias("edge"))
+    )
+    bucketed = (
+        cum.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type", "v", "ref_c", "cur_c", "n_ref", "n_cur")
+        .agg(F.count(F.when(F.col("v") > F.col("edge"), 1)).alias("bucket"))
+    )
+    bk = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum("ref_c").cast("bigint").alias("ref_n"),
+        F.sum("cur_c").cast("bigint").alias("cur_n"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )
+    contrib = bk.select(
+        "event_type",
+        "bucket",
+        "ref_n",
+        "cur_n",
+        ((F.col("ref_n") + 0.5) / (F.col("n_ref") + 5.0)).alias("p_ref"),
+        ((F.col("cur_n") + 0.5) / (F.col("n_cur") + 5.0)).alias("p_cur"),
+    )
+    piece = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    return contrib.select(
+        "event_type",
+        F.col("bucket").cast("int").alias("bucket"),
+        "ref_n",
+        "cur_n",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(piece, 6).alias("psi_contrib"),
+        F.round(F.sum(piece).over(Window.partitionBy("event_type")), 6).alias(
+            "psi_total"
+        ),
+    )
+
+
+# Two-sample Kolmogorov-Smirnov test between the A/B variants — the
+# distribution-free companion to events_ab_test's Welch z (a lift test
+# misses variance/shape changes; KS catches any CDF divergence). The
+# supremum runs over the same bounded 0.1-granular value grid as
+# events_psi_drift, and the D numerator stays in exact DECIMAL integer
+# arithmetic (|cum0*n1 - cum1*n0|) so argmax selection cannot wobble on
+# float division.
+@register(
+    "events_ks_test",
+    f"""
+    WITH grid AS (
+      SELECT event_type, round(value, 1) AS v,
+             COUNT(CASE WHEN CAST(('0x' || substr(md5('{_AB_SEED}:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 2 = 0 THEN 1 END) AS c0,
+             COUNT(CASE WHEN CAST(('0x' || substr(md5('{_AB_SEED}:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 2 = 1 THEN 1 END) AS c1
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type,
+             SUM(c0) OVER (PARTITION BY event_type ORDER BY v) AS cum0,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY v) AS cum1,
+             SUM(c0) OVER (PARTITION BY event_type) AS n0,
+             SUM(c1) OVER (PARTITION BY event_type) AS n1
+      FROM grid
+    ),
+    agg AS (
+      SELECT event_type, MAX(n0) AS n0, MAX(n1) AS n1,
+             MAX(abs(CAST(cum0 AS DECIMAL(38,0)) * n1
+                     - CAST(cum1 AS DECIMAL(38,0)) * n0)) AS d_num
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(CAST(d_num AS DOUBLE) / (n0 * n1), 6) AS d_stat,
+           round(CAST(d_num AS DOUBLE) / (n0 * n1)
+                 * sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)), 6) AS ks_stat,
+           round(least(1.0, 2 * exp(-2 * (CAST(d_num AS DOUBLE) / (n0 * n1))
+                                        * (CAST(d_num AS DOUBLE) / (n0 * n1))
+                                        * (CAST(n0 AS DOUBLE) * n1 / (n0 + n1)))), 6)
+             AS p_approx
+    FROM agg
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov between the deterministic A/B "
+        "variants per event_type: D = sup |CDF0 - CDF1| over the bounded "
+        "0.1-granular value grid (the events_psi_drift grid — the fact "
+        "table contributes one map-side-combined groupBy; the CDFs, the "
+        "exact-DECIMAL |cum0*n1 - cum1*n0| supremum numerator, and the "
+        "asymptotic one-term p-value all run on grid-sized frames). The "
+        "distribution-free companion to events_ab_test: a Welch z misses "
+        "variance/shape-only drift, KS flags any CDF divergence."
+    ),
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    ev = load_table(spark, "events", sf_dir)
+    variant = md5_int(F.col("user_id").cast("string"), seed=_AB_SEED) % 2
+    grid = ev.groupBy(
+        "event_type", F.round(F.col("value"), 1).alias("v")
+    ).agg(
+        F.count(F.when(variant == 0, 1)).alias("c0"),
+        F.count(F.when(variant == 1, 1)).alias("c1"),
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("v")
+    cum = grid.select(
+        "event_type",
+        F.sum("c0").over(wo).alias("cum0"),
+        F.sum("c1").over(wo).alias("cum1"),
+        F.sum("c0").over(wt).alias("n0"),
+        F.sum("c1").over(wt).alias("n1"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.max(
+            F.abs(
+                F.col("cum0").cast("decimal(38,0)") * F.col("n1")
+                - F.col("cum1").cast("decimal(38,0)") * F.col("n0")
+            )
+        ).alias("d_num"),
+    )
+    d = F.col("d_num").cast("double") / (F.col("n0") * F.col("n1"))
+    m = F.col("n0").cast("double") * F.col("n1") / (F.col("n0") + F.col("n1"))
+    return agg.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(d * F.sqrt(m), 6).alias("ks_stat"),
+        F.round(F.least(F.lit(1.0), 2 * F.exp(-2 * d * d * m)), 6).alias(
+            "p_approx"
+        ),
+    )

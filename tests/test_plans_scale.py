@@ -85,6 +85,9 @@ ALLOWED_BNLJ = {
     "docs_char_ngram_langid",
     # rides embedding_cosine_topk's bounded-probe brute-force chain
     "embedding_knn_label_eval",
+    # same chain with the label inequality folded into the theta join —
+    # the build side stays the fixed 200-slot probe panel
+    "embedding_hard_negatives",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation
@@ -169,6 +172,11 @@ ALLOWED_BNLJ = {
     # 1-row (total_tokens, vocab_size) attach — the corpus contributes one
     # map-side-combined term count; nothing vocabulary-sized crosses
     "docs_vocab_coverage",
+    # 9-row decile-threshold spine x the bounded 0.1-granular value grid
+    # (the threshold-crossing edge derivation); the fact table contributes
+    # one map-side-combined groupBy, and the bucket assignment itself is
+    # an event_type equi-join against the 9-edges-per-type dim
+    "events_psi_drift",
     # (1 + #channels)-row scenario dim x the state-vocabulary-squared edge
     # table (~40 rows), then 1-row p_full / total-effect attaches — the
     # fact table contributes one user window pass + one edge aggregate;

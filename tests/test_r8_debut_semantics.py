@@ -335,3 +335,109 @@ def test_markov_removal_effect_shares_sum_to_one_and_probs_bounded(spark):
         assert 0.0 <= r["p_conv_removed"] <= p + 1e-9, r
         assert r["removal_effect"] >= 0.0, r
     assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_psi_contribs_nonneg_and_masses_reconcile(spark):
+    """Every PSI contribution is (p-q)*ln(p/q) >= 0 (the factors share
+    sign), the per-type total is the sum of its bucket contributions, and
+    the bucket masses partition the per-period event counts exactly."""
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    rows = REGISTRY["events_psi_drift"].spark(spark, SF).collect()
+    assert rows
+    ev = load_table(spark, "events", SF)
+    split = F.lit("2024-01-16").cast("timestamp")
+    truth = {
+        r["event_type"]: (r["ref"], r["cur"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ts") < split, 1)).alias("ref"),
+            F.count(F.when(F.col("ts") >= split, 1)).alias("cur"),
+        )
+        .collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert r["psi_contrib"] >= 0.0, r
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(truth)
+    for t, rs in by_type.items():
+        assert sum(r["ref_n"] for r in rs) == truth[t][0]
+        assert sum(r["cur_n"] for r in rs) == truth[t][1]
+        total = {r["psi_total"] for r in rs}
+        assert len(total) == 1
+        assert abs(total.pop() - sum(r["psi_contrib"] for r in rs)) < 1e-4
+
+
+def test_ks_matches_python_recompute(spark):
+    """D recomputed in Python over the same 0.1 grid must match, and the
+    statistic family must be internally consistent."""
+    from collections import defaultdict
+    import hashlib
+    import math
+
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    out = {r["event_type"]: r for r in REGISTRY["events_ks_test"].spark(spark, SF).collect()}
+    ev = load_table(spark, "events", SF).select("event_type", "user_id", "value").collect()
+    counts: dict[str, dict[float, list[int]]] = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in ev:
+        h = hashlib.md5(f"23:{r['user_id']}".encode()).hexdigest()
+        variant = int(h[:15], 16) % 2
+        # Spark round() is HALF_UP on the double's decimal expansion
+        from decimal import Decimal, ROUND_HALF_UP
+
+        v = float(Decimal(repr(r["value"])).quantize(Decimal("0.1"), ROUND_HALF_UP))
+        counts[r["event_type"]][v][variant] += 1
+    for t, grid in counts.items():
+        n0 = sum(c[0] for c in grid.values())
+        n1 = sum(c[1] for c in grid.values())
+        cum0 = cum1 = 0
+        d_num = 0
+        for v in sorted(grid):
+            cum0 += grid[v][0]
+            cum1 += grid[v][1]
+            d_num = max(d_num, abs(cum0 * n1 - cum1 * n0))
+        d = d_num / (n0 * n1)
+        r = out[t]
+        assert (r["n0"], r["n1"]) == (n0, n1), t
+        assert abs(r["d_stat"] - d) < 2e-6, t
+        m = n0 * n1 / (n0 + n1)
+        assert abs(r["ks_stat"] - d * math.sqrt(m)) < 1e-5
+        assert abs(r["p_approx"] - min(1.0, 2 * math.exp(-2 * d * d * m))) < 1e-5
+        assert 0.0 <= r["d_stat"] <= 1.0
+
+
+def test_hard_negatives_labels_differ_and_match_numpy(spark):
+    """No emitted neighbor may share the probe's label, ranks are dense
+    1..5 by sim desc, and the pair set matches a NumPy brute-force
+    recompute of top-5 different-label cosine neighbors."""
+    import numpy as np
+
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    rows = REGISTRY["embedding_hard_negatives"].spark(spark, SF).collect()
+    assert rows
+    per_probe: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_label"] != r["true_label"], r
+        assert r["neighbor_id"] != r["probe_id"]
+        per_probe.setdefault(r["probe_id"], []).append(r)
+    emb = load_table(spark, "embeddings", SF).collect()
+    vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"]) for r in emb}
+    for pid, rs in per_probe.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        pv, plabel = vecs[pid]
+        scored = []
+        for nid, (cv, clabel) in vecs.items():
+            if nid == pid or clabel == plabel:
+                continue
+            sim = round(float(pv @ cv / (np.linalg.norm(pv) * np.linalg.norm(cv))), 6)
+            scored.append((-sim, nid))
+        scored.sort()
+        expect = [nid for _, nid in scored[: len(rs)]]
+        assert [r["neighbor_id"] for r in rs] == expect, pid

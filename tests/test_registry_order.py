@@ -42,6 +42,9 @@ R8_DEBUTS = {
     "events_ewma_anomaly",
     "docs_vocab_coverage",
     "events_markov_removal_effect",
+    "events_psi_drift",
+    "events_ks_test",
+    "embedding_hard_negatives",
 }
 
 

@@ -1940,34 +1940,67 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmat1 = pmat0.groupBy("scenario", "from_state", "to_state").agg(
         F.sum(F.round(F.col("p"), 9).cast("decimal(18,9)")).cast("double").alias("p")
     )
-    absorb = scen.crossJoin(
-        spark.createDataFrame([("__conv__",), ("__null__",)], "st string")
-    ).select(
-        "scenario",
-        F.col("st").alias("from_state"),
-        F.col("st").alias("to_state"),
-        F.lit(1.0).alias("p"),
+    # built as ONE local relation: a crossJoin of two createDataFrame
+    # frames plans as a cartesian over defaultParallelism-sized partition
+    # sets — ~1000 scheduler tasks for 10 rows (measured ~15 s of the
+    # original 21 s at sf0.1)
+    absorb = spark.createDataFrame(
+        [
+            (s, st, st, 1.0)
+            for s in ("full",) + _MRE_CHANNELS
+            for st in ("__conv__", "__null__")
+        ],
+        "scenario string, from_state string, to_state string, p double",
     )
-    pmat = reliable_checkpoint(pmat1.unionAll(absorb))
-    v = scen.select(
-        "scenario", F.lit("__start__").alias("state"), F.lit(1.0).alias("mass")
-    )
-    for i in range(1, _MRE_ROUNDS + 1):
-        nv = (
-            v.join(pmat, "scenario")
-            .filter(F.col("from_state") == F.col("state"))
-            .groupBy("scenario", "to_state")
-            .agg(
-                F.sum(
-                    F.round(F.col("mass") * F.col("p"), 12).cast("decimal(28,12)")
-                )
-                .cast("double")
-                .alias("mass")
+    pmat = pmat1.unionAll(absorb)
+    # The 16 propagation rounds run inside ONE Arrow-batched mapInPandas
+    # pass over the 5-row (scenario, edge-list) frame. A join+groupBy per
+    # round is ~2 scheduler-bound stages of <=40 rows each, and chaining
+    # them makes Catalyst re-optimize an ever-deeper tree (measured
+    # 19-33 s at sf0.1 across checkpointing variants, vs ~4 s here); the
+    # matrix power over a state-vocabulary-bounded frame is exactly the
+    # "built-ins can't express it efficiently" case the Pandas-UDF
+    # fallback exists for. Fixed-point arithmetic replicates the
+    # oracle's per-round form bit-exactly: Python repr(float) is the
+    # same shortest-round-trip decimalization as Java Double.toString,
+    # so Decimal(repr(x)).quantize(1e-12, HALF_UP) == Spark
+    # round(x, 12), and the exact-Decimal sum is order-independent.
+    per_scen = pmat.groupBy("scenario").agg(
+        F.collect_list(
+            F.struct(
+                F.col("from_state").alias("f"),
+                F.col("to_state").alias("t"),
+                F.col("p").alias("p"),
             )
-            .withColumnRenamed("to_state", "state")
-        )
-        v = reliable_checkpoint(nv) if i % 4 == 0 else nv
-    res = v.filter(F.col("state") == "__conv__").select("scenario", "mass")
+        ).alias("edges")
+    )
+
+    def _absorb(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        q = Decimal("1E-12")
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                edges = [(e["f"], e["t"], e["p"]) for e in row["edges"]]
+                mass = {"__start__": 1.0}
+                for _round in range(_MRE_ROUNDS):
+                    acc: dict[str, Decimal] = {}
+                    for f, t, p in edges:
+                        m = mass.get(f)
+                        if m is None:
+                            continue
+                        d = Decimal(repr(m * p)).quantize(q, ROUND_HALF_UP)
+                        acc[t] = acc.get(t, Decimal(0)) + d
+                    mass = {t: float(d) for t, d in acc.items()}
+                out.append((row["scenario"], mass.get("__conv__")))
+            yield pd.DataFrame(out, columns=["scenario", "mass"])
+
+    res = reliable_checkpoint(
+        per_scen.mapInPandas(_absorb, "scenario string, mass double")
+    )
     fullp = res.filter(F.col("scenario") == "full").select(
         F.col("mass").alias("p_full")
     )

@@ -2038,6 +2038,44 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSI_SPLIT = "2024-01-16"
 
 
+def psi_grid_cum(ev: DataFrame) -> DataFrame:
+    """Shared PSI fragment: the 0.1-granular (event_type, v) histogram
+    with per-period counts and the reference cumulative/total columns.
+    Both the batch plan and the streaming twin's reference-profile build
+    (``streaming/drift.py``) go through this — the grid rounding and the
+    period split cannot fork between them."""
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    grid = ev.groupBy("event_type", F.round(F.col("value"), 1).alias("v")).agg(
+        F.count(F.when(F.col("ts") < split, 1)).alias("ref_c"),
+        F.count(F.when(F.col("ts") >= split, 1)).alias("cur_c"),
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("v")
+    return grid.select(
+        "event_type",
+        "v",
+        "ref_c",
+        "cur_c",
+        F.sum("ref_c").over(wo).alias("cum_ref"),
+        F.sum("ref_c").over(wt).alias("n_ref"),
+        F.sum("cur_c").over(wt).alias("n_cur"),
+    )
+
+
+def psi_edges(cum: DataFrame) -> DataFrame:
+    """Shared PSI fragment: reference decile edges by integer threshold
+    crossing over the cumulative grid (exact discrete quantiles)."""
+    ks = cum.sparkSession.range(1, 10).select(F.col("id").alias("k"))
+    return (
+        cum.crossJoin(F.broadcast(ks))
+        .filter(
+            (F.col("cum_ref") * 10 >= F.col("k") * F.col("n_ref"))
+            & ((F.col("cum_ref") - F.col("ref_c")) * 10 < F.col("k") * F.col("n_ref"))
+        )
+        .select("event_type", "k", F.col("v").alias("edge"))
+    )
+
+
 @register(
     "events_psi_drift",
     f"""
@@ -2073,11 +2111,25 @@ _PSI_SPLIT = "2024-01-16"
              MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur
       FROM bucketed GROUP BY 1, 2
     ),
+    spine AS (
+      SELECT t.event_type, b.bucket
+      FROM (SELECT DISTINCT event_type FROM grid) t
+      CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS bucket) b
+    ),
+    full_bk AS (
+      SELECT s.event_type, s.bucket,
+             COALESCE(bk.ref_n, 0) AS ref_n,
+             COALESCE(bk.cur_n, 0) AS cur_n,
+             MAX(bk.n_ref) OVER (PARTITION BY s.event_type) AS n_ref,
+             MAX(bk.n_cur) OVER (PARTITION BY s.event_type) AS n_cur
+      FROM spine s LEFT JOIN bk
+        ON s.event_type = bk.event_type AND s.bucket = bk.bucket
+    ),
     contrib AS (
       SELECT event_type, bucket, ref_n, cur_n,
              (ref_n + 0.5) / (n_ref + 5.0) AS p_ref,
              (cur_n + 0.5) / (n_cur + 5.0) AS p_cur
-      FROM bk
+      FROM full_bk
     )
     SELECT event_type, CAST(bucket AS INT) AS bucket, ref_n, cur_n,
            round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
@@ -2103,33 +2155,8 @@ _PSI_SPLIT = "2024-01-16"
 )
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    split = F.lit(_PSI_SPLIT).cast("timestamp")
-    grid = ev.groupBy(
-        "event_type", F.round(F.col("value"), 1).alias("v")
-    ).agg(
-        F.count(F.when(F.col("ts") < split, 1)).alias("ref_c"),
-        F.count(F.when(F.col("ts") >= split, 1)).alias("cur_c"),
-    )
-    wt = Window.partitionBy("event_type")
-    wo = Window.partitionBy("event_type").orderBy("v")
-    cum = grid.select(
-        "event_type",
-        "v",
-        "ref_c",
-        "cur_c",
-        F.sum("ref_c").over(wo).alias("cum_ref"),
-        F.sum("ref_c").over(wt).alias("n_ref"),
-        F.sum("cur_c").over(wt).alias("n_cur"),
-    )
-    ks = spark.range(1, 10).select(F.col("id").alias("k"))
-    edges = (
-        cum.crossJoin(F.broadcast(ks))
-        .filter(
-            (F.col("cum_ref") * 10 >= F.col("k") * F.col("n_ref"))
-            & ((F.col("cum_ref") - F.col("ref_c")) * 10 < F.col("k") * F.col("n_ref"))
-        )
-        .select("event_type", "k", F.col("v").alias("edge"))
-    )
+    cum = psi_grid_cum(ev)
+    edges = psi_edges(cum)
     bucketed = (
         cum.join(F.broadcast(edges), "event_type")
         .groupBy("event_type", "v", "ref_c", "cur_c", "n_ref", "n_cur")
@@ -2141,7 +2168,23 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_ref").alias("n_ref"),
         F.max("n_cur").alias("n_cur"),
     )
-    contrib = bk.select(
+    # complete 10-bucket spine: PSI's smoothed formula assumes the full
+    # decile partition — a bucket two duplicated edges leave empty must
+    # still contribute its smoothed mass (and the streaming twin always
+    # emits all 10)
+    spine = cum.select("event_type").distinct().crossJoin(
+        F.broadcast(spark.range(0, 10).select(F.col("id").alias("bucket")))
+    )
+    wt = Window.partitionBy("event_type")
+    full_bk = spine.join(bk, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
+        F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
+        F.max("n_ref").over(wt).alias("n_ref"),
+        F.max("n_cur").over(wt).alias("n_cur"),
+    )
+    contrib = full_bk.select(
         "event_type",
         "bucket",
         "ref_n",

@@ -1183,3 +1183,75 @@ def test_packing_stream_matches_batch(spark, stream_dir):
     assert len(want) > 0
     # at least one doc actually spans a sequence boundary in the fixture
     assert any(v[4] > 1 for v in want.values())
+
+
+# streaming PSI drift (twin of events_psi_drift)
+
+
+def test_psi_drift_stream_matches_batch(spark, stream_dir):
+    """Counter state is order-insensitive, so under ANY chopping the
+    stream's final per-bucket counts equal the batch plan's cur_n, the
+    frozen reference profile equals the batch ref_n, and the final
+    emission's smoothed PSI columns match the batch values (both sides
+    round to 6 decimals)."""
+    from cupertino_nvr_spark.plans import REGISTRY
+    from cupertino_nvr_spark.plans.temporal import _PSI_SPLIT
+    from cupertino_nvr_spark.sources.tables import load_table
+    from cupertino_nvr_spark.streaming.drift import (
+        _psi_rows,
+        psi_drift_stream,
+        psi_reference,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf)
+    reference = psi_reference(ev)
+    cur = ev.filter(
+        F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp")
+    ).select(
+        "event_id", "event_type", F.round(F.col("value"), 1).alias("v")
+    )
+    n = cur.count()
+    ids = [r["event_id"] for r in cur.select("event_id").collect()]
+    ids.sort()
+    bounds = [ids[0], ids[n // 4], ids[2 * n // 3], ids[-1] + 1]
+    src = f"{stream_dir}/psiev"
+    write_batches(
+        [
+            cur.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).select(
+                "event_type", "v"
+            )
+            for lo, hi in zip(bounds, bounds[1:])
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("event_type string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        psi_drift_stream(stream, reference), stream_dir, output_mode="update"
+    ).collect()
+    assert out
+    # counters never decrease, so the final emission per bucket is the max
+    final_counts: dict[str, list[int]] = {}
+    for r in out:
+        counts = final_counts.setdefault(r["event_type"], [0] * 10)
+        counts[r["bucket"]] = max(counts[r["bucket"]], r["cur_n"])
+    batch = REGISTRY["events_psi_drift"].spark(spark, sf).collect()
+    assert {r["event_type"] for r in batch} == set(final_counts)
+    for t, counts in final_counts.items():
+        edges, ref_masses, n_ref = reference[t]
+        got = {
+            row[1]: row
+            for row in _psi_rows(t, edges, ref_masses, n_ref, counts)
+        }
+        want = [r for r in batch if r["event_type"] == t]
+        assert len(want) == 10
+        for r in want:
+            g = got[r["bucket"]]
+            assert g[2] == r["ref_n"], (t, r["bucket"])
+            assert g[3] == r["cur_n"], (t, r["bucket"])
+            for i, col in ((4, "p_ref"), (5, "p_cur"), (6, "psi_contrib"), (7, "psi_total")):
+                assert abs(g[i] - r[col]) < 2e-6, (t, r["bucket"], col)

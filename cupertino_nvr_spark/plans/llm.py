@@ -6374,3 +6374,184 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+# the retrieval-diversification op a RAG pipeline runs on its top-k:
+# greedily pick the candidate maximizing lambda*relevance -
+# (1-lambda)*max-similarity-to-already-picked, so near-duplicate hits
+# can't crowd the context window. The greedy recurrence runs over each
+# probe's BOUNDED candidate set (10 rows, 90 pair sims), so the whole
+# selection is an Arrow-batched kernel over #probes rows; the oracle
+# replays all 5 rounds as argmax CTEs.
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+
+
+def _mmr_round_sql(r: int) -> str:
+    return f"""ms{r} AS (
+      SELECT p.probe_id, p.i AS neighbor_id, MAX(p.p) AS ms
+      FROM pairs p JOIN prev{r - 1} s
+        ON s.probe_id = p.probe_id AND s.neighbor_id = p.j
+      GROUP BY 1, 2
+    ),
+    sc{r} AS (
+      SELECT c.probe_id, c.neighbor_id, c.sim,
+             {_MMR_LAMBDA} * c.sim - {round(1 - _MMR_LAMBDA, 10)} * m.ms AS score
+      FROM cands c
+      JOIN ms{r} m ON m.probe_id = c.probe_id AND m.neighbor_id = c.neighbor_id
+      LEFT JOIN prev{r - 1} s
+        ON s.probe_id = c.probe_id AND s.neighbor_id = c.neighbor_id
+      WHERE s.neighbor_id IS NULL
+    ),
+    sel{r} AS (
+      SELECT probe_id, neighbor_id, sim AS relevance, score AS mmr_score,
+             {r} AS mmr_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY score DESC, neighbor_id) AS rn
+            FROM sc{r}) WHERE rn = 1
+    ),
+    prev{r} AS (SELECT * FROM prev{r - 1} UNION ALL SELECT * FROM sel{r})"""
+
+
+@register(
+    "embedding_mmr_rerank",
+    f"""
+    WITH probes AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % 100 = 0 AND vec_id < 20000),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM probes p JOIN embeddings c ON p.vec_id <> c.vec_id
+    ),
+    cands AS (
+      SELECT probe_id, neighbor_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    cv AS (
+      SELECT c.probe_id, c.neighbor_id, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM cands c JOIN embeddings e ON c.neighbor_id = e.vec_id
+    ),
+    pairs AS (
+      SELECT a.probe_id, a.neighbor_id AS i, b.neighbor_id AS j,
+             round(list_cosine_similarity(a.v, b.v), 6) AS p
+      FROM cv a JOIN cv b
+        ON a.probe_id = b.probe_id AND a.neighbor_id <> b.neighbor_id
+    ),
+    sel1 AS (
+      SELECT probe_id, neighbor_id, sim AS relevance,
+             {_MMR_LAMBDA} * sim AS mmr_score, 1 AS mmr_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY sim DESC, neighbor_id) AS rn
+            FROM cands) WHERE rn = 1
+    ),
+    prev1 AS (SELECT * FROM sel1),
+    {", ".join(_mmr_round_sql(r) for r in range(2, _MMR_K + 1))}
+    SELECT probe_id, neighbor_id, relevance, mmr_score,
+           CAST(mmr_rank AS INT) AS mmr_rank
+    FROM prev{_MMR_K}
+    """,
+    doc=(
+        "MMR diversified re-ranking of each fixed-panel probe's cosine "
+        "top-10: greedy lambda*rel - (1-lambda)*max-sim-to-picked "
+        "selection of 5, ties to the smaller neighbor id. Scale shape: "
+        "the corpus contributes the bounded-probe brute-force scoring "
+        "scan (the embedding_knn_label_eval posture); candidates and "
+        "their 90 pair sims per probe are probe_id equi-joins on "
+        "panel-bounded frames, and the greedy recurrence is one "
+        "Arrow-batched kernel over #probes rows (inputs pre-rounded to "
+        "6 decimals, so both engines argmax identical doubles). "
+        "Production swaps the panel for the query batch and the "
+        "brute-force leg for the IVF/LSH candidate chain."
+    ),
+)
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.similarity import as_double, make_cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 20000))
+    cands = brute_force_topk(emb, probes, k=10).select(
+        "probe_id", "neighbor_id", "sim"
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    cv = cands.join(vecs, "neighbor_id").select("probe_id", "neighbor_id", "v")
+    a = cv.select(
+        "probe_id", F.col("neighbor_id").alias("i"), F.col("v").alias("av")
+    )
+    b = cv.select(
+        "probe_id", F.col("neighbor_id").alias("j"), F.col("v").alias("bv")
+    )
+    pairs = (
+        a.join(b, "probe_id")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "probe_id",
+            "i",
+            "j",
+            F.round(make_cosine("hof")(F.col("av"), F.col("bv")), 6).alias("p"),
+        )
+    )
+    per_probe = (
+        cands.groupBy("probe_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("neighbor_id").alias("id"), F.col("sim").alias("rel"))
+            ).alias("cands")
+        )
+        .join(
+            pairs.groupBy("probe_id").agg(
+                F.collect_list(F.struct("i", "j", "p")).alias("pairs")
+            ),
+            "probe_id",
+        )
+    )
+    lam, k = _MMR_LAMBDA, _MMR_K
+
+    def _greedy(batches):
+        import pandas as pd
+
+        one_minus = round(1 - lam, 10)
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rel = {int(c["id"]): float(c["rel"]) for c in row["cands"]}
+                psim = {(int(e["i"]), int(e["j"])): float(e["p"]) for e in row["pairs"]}
+                selected: list[int] = []
+                for r in range(1, k + 1):
+                    best_id, best_score = None, None
+                    for cid in sorted(rel):
+                        if cid in selected:
+                            continue
+                        if selected:
+                            ms = max(psim[(cid, s)] for s in selected)
+                            score = lam * rel[cid] - one_minus * ms
+                        else:
+                            score = lam * rel[cid]
+                        if best_score is None or score > best_score:
+                            best_id, best_score = cid, score
+                    selected.append(best_id)
+                    out.append(
+                        (int(row["probe_id"]), best_id, rel[best_id], best_score, r)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "probe_id",
+                    "neighbor_id",
+                    "relevance",
+                    "mmr_score",
+                    "mmr_rank",
+                ],
+            )
+
+    return per_probe.mapInPandas(
+        _greedy,
+        "probe_id bigint, neighbor_id bigint, relevance double, "
+        "mmr_score double, mmr_rank int",
+    )

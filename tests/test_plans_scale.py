@@ -88,6 +88,10 @@ ALLOWED_BNLJ = {
     # same chain with the label inequality folded into the theta join —
     # the build side stays the fixed 200-slot probe panel
     "embedding_hard_negatives",
+    # rides the same bounded-probe chain for its top-10 candidates; the
+    # pair sims and greedy selection run on panel-bounded equi-joined
+    # frames (10 candidates / 90 pairs per probe)
+    "embedding_mmr_rerank",
     # Lloyd assignment IS corpus x broadcast(centroids) by definition,
     # once per round — bounded build side (IVF_MAX_CELLS); the recompute
     # stage is a (cell, dim)-keyed aggregation

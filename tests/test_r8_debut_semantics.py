@@ -441,3 +441,30 @@ def test_hard_negatives_labels_differ_and_match_numpy(spark):
         scored.sort()
         expect = [nid for _, nid in scored[: len(rs)]]
         assert [r["neighbor_id"] for r in rs] == expect, pid
+
+
+def test_mmr_ranks_dense_scores_nonincreasing_and_rank1_is_top1(spark):
+    """MMR's selected-score sequence is non-increasing from rank 2 on
+    (each candidate's max-sim penalty only grows as the picked set
+    grows; rank 1 carries no penalty, and a NEGATIVE max pair cosine can
+    legitimately lift a later score above lambda*relevance), ranks are
+    dense 1..5 with distinct neighbors, and the first pick is the plain
+    relevance argmax."""
+    rows = REGISTRY["embedding_mmr_rerank"].spark(spark, SF).collect()
+    assert rows
+    per_probe: dict[int, list] = {}
+    for r in rows:
+        per_probe.setdefault(r["probe_id"], []).append(r)
+    top1 = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in REGISTRY["embedding_cosine_topk"].spark(spark, SF).collect()
+        if r["rank"] == 1 and r["probe_id"] in per_probe
+    }
+    for pid, rs in per_probe.items():
+        rs.sort(key=lambda r: r["mmr_rank"])
+        assert [r["mmr_rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert len({r["neighbor_id"] for r in rs}) == 5
+        scores = [r["mmr_score"] for r in rs[1:]]
+        assert all(a >= b - 1e-12 for a, b in zip(scores, scores[1:])), pid
+        assert rs[0]["neighbor_id"] == top1[pid], pid
+        assert abs(rs[0]["mmr_score"] - 0.7 * rs[0]["relevance"]) < 1e-12

@@ -45,6 +45,7 @@ R8_DEBUTS = {
     "events_psi_drift",
     "events_ks_test",
     "embedding_hard_negatives",
+    "embedding_mmr_rerank",
 }
 
 

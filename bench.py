@@ -168,6 +168,17 @@ EXTRAS = [
     "embedding_knn_label_eval",
     "docs_c4_filters",
     "events_cuped",
+    "embedding_silhouette",
+    "docs_filter_attribution",
+    "docs_retrieval_rbo",
+    "docs_packing_efficiency",
+    "events_ewma_anomaly",
+    "docs_vocab_coverage",
+    "events_markov_removal_effect",
+    "events_psi_drift",
+    "events_ks_test",
+    "embedding_hard_negatives",
+    "embedding_mmr_rerank",
 ]
 
 

@@ -6388,6 +6388,38 @@ _MMR_LAMBDA = 0.7
 _MMR_K = 5
 
 
+def mmr_select(
+    rel: dict[int, float],
+    psim: dict[tuple[int, int], float],
+    lam: float = _MMR_LAMBDA,
+    k: int = _MMR_K,
+) -> list[tuple[int, float, float, int]]:
+    """Pure greedy MMR kernel: (id, relevance, mmr_score, rank) rows.
+
+    Argmax of ``lam*rel - (1-lam)*max-sim-to-picked`` each round, strict
+    ``>`` over ids in ascending order so ties go to the smallest id —
+    the exact recurrence the DuckDB oracle unrolls as CTEs. Module-level
+    so the property suite can drive it on arbitrary candidate sets."""
+    one_minus = round(1 - lam, 10)
+    selected: list[int] = []
+    out: list[tuple[int, float, float, int]] = []
+    for r in range(1, min(k, len(rel)) + 1):
+        best_id, best_score = None, None
+        for cid in sorted(rel):
+            if cid in selected:
+                continue
+            if selected:
+                ms = max(psim[(cid, s)] for s in selected)
+                score = lam * rel[cid] - one_minus * ms
+            else:
+                score = lam * rel[cid]
+            if best_score is None or score > best_score:
+                best_id, best_score = cid, score
+        selected.append(best_id)
+        out.append((best_id, rel[best_id], best_score, r))
+    return out
+
+
 def _mmr_round_sql(r: int) -> str:
     return f"""ms{r} AS (
       SELECT p.probe_id, p.i AS neighbor_id, MAX(p.p) AS ms
@@ -6511,34 +6543,16 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
         )
     )
-    lam, k = _MMR_LAMBDA, _MMR_K
-
     def _greedy(batches):
         import pandas as pd
 
-        one_minus = round(1 - lam, 10)
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 rel = {int(c["id"]): float(c["rel"]) for c in row["cands"]}
                 psim = {(int(e["i"]), int(e["j"])): float(e["p"]) for e in row["pairs"]}
-                selected: list[int] = []
-                for r in range(1, k + 1):
-                    best_id, best_score = None, None
-                    for cid in sorted(rel):
-                        if cid in selected:
-                            continue
-                        if selected:
-                            ms = max(psim[(cid, s)] for s in selected)
-                            score = lam * rel[cid] - one_minus * ms
-                        else:
-                            score = lam * rel[cid]
-                        if best_score is None or score > best_score:
-                            best_id, best_score = cid, score
-                    selected.append(best_id)
-                    out.append(
-                        (int(row["probe_id"]), best_id, rel[best_id], best_score, r)
-                    )
+                for nid, r, score, rank in mmr_select(rel, psim):
+                    out.append((int(row["probe_id"]), nid, r, score, rank))
             yield pd.DataFrame(
                 out,
                 columns=[

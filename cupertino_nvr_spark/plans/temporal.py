@@ -1761,6 +1761,32 @@ _MRE_CHANNELS = ("click", "error", "signup", "view")
 _MRE_ROUNDS = 16
 
 
+def markov_absorb(
+    edges: list[tuple[str, str, float]], rounds: int = _MRE_ROUNDS
+) -> dict[str, float]:
+    """Pure fixed-point chain-propagation kernel: start mass 1.0 on
+    ``__start__``, ``rounds`` steps of new[t] = sum round(mass[f]*p, 12)
+    accumulated as exact Decimal (order-independent; Python repr(float)
+    is the same shortest-round-trip decimalization as Java
+    Double.toString, so the quantize matches Spark round(x, 12)
+    bit-exactly). Module-level so the property suite can drive it on
+    arbitrary row-stochastic chains."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("1E-12")
+    mass = {"__start__": 1.0}
+    for _ in range(rounds):
+        acc: dict[str, Decimal] = {}
+        for f, t, p in edges:
+            m = mass.get(f)
+            if m is None:
+                continue
+            d = Decimal(repr(m * p)).quantize(q, ROUND_HALF_UP)
+            acc[t] = acc.get(t, Decimal(0)) + d
+        mass = {t: float(d) for t, d in acc.items()}
+    return mass
+
+
 def _mre_round_sql(i: int) -> str:
     prev = f"v{i - 1}"
     return f"""v{i} AS (
@@ -1976,25 +2002,13 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _absorb(batches):
-        from decimal import ROUND_HALF_UP, Decimal
-
         import pandas as pd
 
-        q = Decimal("1E-12")
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                edges = [(e["f"], e["t"], e["p"]) for e in row["edges"]]
-                mass = {"__start__": 1.0}
-                for _round in range(_MRE_ROUNDS):
-                    acc: dict[str, Decimal] = {}
-                    for f, t, p in edges:
-                        m = mass.get(f)
-                        if m is None:
-                            continue
-                        d = Decimal(repr(m * p)).quantize(q, ROUND_HALF_UP)
-                        acc[t] = acc.get(t, Decimal(0)) + d
-                    mass = {t: float(d) for t, d in acc.items()}
+                edges = [(e["f"], e["t"], float(e["p"])) for e in row["edges"]]
+                mass = markov_absorb(edges)
                 out.append((row["scenario"], mass.get("__conv__")))
             yield pd.DataFrame(out, columns=["scenario", "mass"])
 

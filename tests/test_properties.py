@@ -168,3 +168,115 @@ def test_sequence_packing_invariants(spark, toks, seq_len):
             assert r.n_seqs_spanned == expect_span
         prefix += r.n_tok
     assert prefix == sum(toks)
+
+
+# pure Python kernels backing the Arrow-batched iterative operators —
+# no Spark session needed, so these run at full hypothesis width
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_mmr_select_is_greedy_optimal_each_round(data):
+    """Every pick must be the argmax of lam*rel - (1-lam)*max-sim over
+    the remaining candidates (ties to the smallest id), verified
+    directly against the definition for random candidate sets."""
+    from cupertino_nvr_spark.plans.llm import mmr_select
+
+    n = data.draw(st.integers(min_value=1, max_value=10))
+    ids = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10**6),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    sim6 = st.floats(
+        min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False
+    ).map(lambda x: round(x, 6))
+    rel = {i: data.draw(sim6) for i in ids}
+    psim = {}
+    for a in ids:
+        for b in ids:
+            if a < b:
+                p = data.draw(sim6)
+                psim[(a, b)] = p
+                psim[(b, a)] = p
+    out = mmr_select(rel, psim, lam=0.7, k=5)
+    assert len(out) == min(5, n)
+    assert [r for *_, r in out] == list(range(1, len(out) + 1))
+    picked: list[int] = []
+    for cid, r, score, rank in out:
+        assert r == rel[cid]
+        best = None
+        for c in sorted(rel):
+            if c in picked:
+                continue
+            ms = max((psim[(c, s)] for s in picked), default=None)
+            sc = 0.7 * rel[c] if ms is None else 0.7 * rel[c] - 0.3 * ms
+            if best is None or sc > best[1]:
+                best = (c, sc)
+        assert (cid, score) == best, (rank, picked)
+        picked.append(cid)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_markov_absorb_conserves_mass_and_conv_monotone(data):
+    """For any row-stochastic chain with absorbing __conv__/__null__:
+    total mass stays 1 within the 12-dp rounding drift, the __conv__
+    mass is non-decreasing in rounds (absorbing), and masses are
+    non-negative."""
+    from cupertino_nvr_spark.plans.temporal import markov_absorb
+
+    states = ["__start__"] + data.draw(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1, max_size=5, unique=True,
+        )
+    )
+    targets = states[1:] + ["__conv__", "__null__"]
+    edges: list[tuple[str, str, float]] = []
+    for f in states:
+        # random positive weights -> normalized row-stochastic row
+        w = [
+            data.draw(st.integers(min_value=0, max_value=100))
+            for _ in targets
+        ]
+        if sum(w) == 0:
+            w[-1] = 1
+        tot = sum(w)
+        for t, wi in zip(targets, w):
+            if wi:
+                edges.append((f, t, round(wi / tot, 9)))
+    edges.append(("__conv__", "__conv__", 1.0))
+    edges.append(("__null__", "__null__", 1.0))
+    prev_conv = 0.0
+    for rounds in (1, 4, 8, 16):
+        mass = markov_absorb(edges, rounds=rounds)
+        assert all(m >= 0.0 for m in mass.values())
+        # per-round drift: <= #edges * 1e-12 rounding + row-sum rounding
+        tol = rounds * (len(edges) + 20) * 1e-9
+        assert abs(sum(mass.values()) - 1.0) <= tol
+        conv = mass.get("__conv__", 0.0)
+        assert conv >= prev_conv - 1e-12
+        prev_conv = conv
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=10**6), min_size=10, max_size=10),
+    ref=st.lists(st.integers(min_value=0, max_value=10**6), min_size=10, max_size=10),
+)
+def test_psi_rows_nonneg_and_total_is_sum(counts, ref):
+    """PSI contributions are individually non-negative for ANY count
+    vectors (the (p-q) and ln(p/q) factors share sign), the total is
+    their sum, and counts echo the inputs."""
+    from cupertino_nvr_spark.streaming.drift import _psi_rows
+
+    rows = _psi_rows("t", [float(i) for i in range(9)], ref, sum(ref), counts)
+    assert len(rows) == 10
+    assert [r[3] for r in rows] == counts
+    assert [r[2] for r in rows] == ref
+    assert all(r[6] >= 0.0 for r in rows)
+    total = {r[7] for r in rows}
+    assert len(total) == 1
+    assert abs(total.pop() - round(sum(r[6] for r in rows), 6)) <= 1e-5

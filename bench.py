@@ -179,6 +179,7 @@ EXTRAS = [
     "events_ks_test",
     "embedding_hard_negatives",
     "embedding_mmr_rerank",
+    "events_k_anonymity",
 ]
 
 

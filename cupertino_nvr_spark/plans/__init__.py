@@ -81,6 +81,7 @@ _R8_WINDOW_PRIORITY = [
     "events_ks_test",
     "embedding_hard_negatives",
     "embedding_mmr_rerank",
+    "events_k_anonymity",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

@@ -2316,3 +2316,74 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_approx"
         ),
     )
+
+
+# k-anonymity audit (Sweeney 2002) — the privacy check a dataset
+# release runs before events leave the platform: rows whose
+# quasi-identifier tuple (event type, hour-of-day, value decade) is
+# shared by fewer than k users are re-identifiable. Reports each
+# equivalence class with its user count, row count and k-anonymity
+# flag, plus the per-type fraction of rows in violating classes — the
+# number a release gate thresholds on.
+_KANON_K = 5
+
+
+@register(
+    "events_k_anonymity",
+    f"""
+    WITH classes AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+             CAST(FLOOR(value / 10.0) AS BIGINT) AS value_decade,
+             COUNT(DISTINCT user_id) AS n_users,
+             COUNT(*) AS n_rows
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, hour_of_day, value_decade,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_users < {_KANON_K} AS INT) AS violates_k,
+           round(SUM(CASE WHEN n_users < {_KANON_K} THEN n_rows ELSE 0 END)
+                   OVER (PARTITION BY event_type) * 1.0
+                 / SUM(n_rows) OVER (PARTITION BY event_type), 6)
+             AS type_violation_frac
+    FROM classes
+    """,
+    doc=(
+        "k-anonymity audit over the (event_type, hour-of-day, value-"
+        "decade) quasi-identifier: per equivalence class the distinct-"
+        "user count, row count, k<5 violation flag, and the per-type "
+        "fraction of rows in violating classes (the release-gate "
+        "number). Scale shape: one map-side-combined groupBy onto the "
+        "bounded quasi-identifier grid (types x 24 hours x value "
+        "decades — the domain, never the corpus; the COUNT DISTINCT "
+        "shuffles (class, user) pairs once), then windows over the "
+        "grid-sized frame. Production swaps the literal k and the "
+        "identifier tuple for the release policy's."
+    ),
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    classes = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.floor(F.col("value") / 10.0).cast("bigint").alias("value_decade"),
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_rows"),
+    )
+    wt = Window.partitionBy("event_type")
+    viol_rows = F.sum(
+        F.when(F.col("n_users") < _KANON_K, F.col("n_rows")).otherwise(F.lit(0))
+    ).over(wt)
+    return classes.select(
+        "event_type",
+        "hour_of_day",
+        "value_decade",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_users") < _KANON_K).cast("int").alias("violates_k"),
+        F.round(
+            viol_rows * F.lit(1.0) / F.sum("n_rows").over(wt), 6
+        ).alias("type_violation_frac"),
+    )

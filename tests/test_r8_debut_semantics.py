@@ -468,3 +468,24 @@ def test_mmr_ranks_dense_scores_nonincreasing_and_rank1_is_top1(spark):
         assert all(a >= b - 1e-12 for a, b in zip(scores, scores[1:])), pid
         assert rs[0]["neighbor_id"] == top1[pid], pid
         assert abs(rs[0]["mmr_score"] - 0.7 * rs[0]["relevance"]) < 1e-12
+
+
+def test_k_anonymity_flags_and_fraction_reconcile(spark):
+    """The violation flag must equal n_users < 5 row-by-row, class user
+    counts must be positive and <= row counts, and the per-type
+    violation fraction must equal the recomputed ratio of violating-
+    class rows to total rows."""
+    rows = REGISTRY["events_k_anonymity"].spark(spark, SF).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r["violates_k"] == int(r["n_users"] < 5)
+        assert 0 < r["n_users"] <= r["n_rows"]
+        assert 0 <= r["hour_of_day"] <= 23
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        viol = sum(r["n_rows"] for r in rs if r["violates_k"])
+        tot = sum(r["n_rows"] for r in rs)
+        frac = {r["type_violation_frac"] for r in rs}
+        assert len(frac) == 1
+        assert abs(frac.pop() - viol / tot) < 1e-6, t

@@ -46,6 +46,7 @@ R8_DEBUTS = {
     "events_ks_test",
     "embedding_hard_negatives",
     "embedding_mmr_rerank",
+    "events_k_anonymity",
 }
 
 

@@ -180,6 +180,8 @@ EXTRAS = [
     "embedding_hard_negatives",
     "embedding_mmr_rerank",
     "events_k_anonymity",
+    "events_daily_acf",
+    "docs_pmi_collocations",
 ]
 
 

@@ -6569,3 +6569,111 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id bigint, neighbor_id bigint, relevance double, "
         "mmr_score double, mmr_rank int",
     )
+
+
+# PMI collocations (Church & Hanks 1990) — the corpus-linguistics op a
+# vocab/tokenizer owner runs to find multi-word units worth single
+# tokens ("new york"-style): rank adjacent bigrams by pointwise mutual
+# information log(p(xy) / (p(x)p(y))), with a minimum-count floor so
+# rare-pair noise (PMI's known failure mode) can't top the list.
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@register(
+    "docs_pmi_collocations",
+    f"""
+    WITH toked AS (SELECT doc_id, {_LTOK_SQL} AS t FROM documents),
+    uni AS (
+      SELECT unnest(t) AS w FROM toked
+    ),
+    uf AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    n_tok AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uf),
+    bi AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i+1])) AS w2
+      FROM toked
+    ),
+    bf AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+    n_bi AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM bf),
+    scored AS (
+      SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+             round(ln((b.c_xy * 1.0 / nb.n)
+                      / ((u1.c * 1.0 / nt.n) * (u2.c * 1.0 / nt.n))), 6) AS pmi
+      FROM bf b
+      JOIN uf u1 ON u1.w = b.w1
+      JOIN uf u2 ON u2.w = b.w2
+      CROSS JOIN n_bi nb CROSS JOIN n_tok nt
+      WHERE b.c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP}
+    """,
+    doc=(
+        "Top-20 PMI collocations over adjacent lowercased-token bigrams "
+        "with a count>=5 floor (rare-pair PMI noise cannot rank). Scale "
+        "shape: unigram and bigram counts are two map-side-combined "
+        "shuffles bounded by their vocabularies; scoring is two "
+        "term-keyed equi-joins plus two 1-row totals attaches; the "
+        "global top-20 plans as TakeOrderedAndProject (per-partition "
+        "heaps), never a full sort of the bigram vocabulary."
+    ),
+)
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select(ws_tokens(F.lower(F.col("text"))).alias("t"))
+    tc = F.col("t")
+    uf = (
+        toked.select(F.explode(tc).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tok = uf.agg(F.sum("c").cast("bigint").alias("nt"))
+    pairs = F.transform(
+        _shingle_spans(F.size(tc), 2),
+        lambda i: F.struct(
+            F.element_at(tc, i).alias("w1"),
+            F.element_at(tc, i + 1).alias("w2"),
+        ),
+    )
+    bf = (
+        toked.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    n_bi_src = (
+        toked.select(F.explode(pairs).alias("p"))
+        .agg(F.count("*").cast("bigint").alias("nb"))
+    )
+    scored = (
+        bf.join(uf.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uf.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_bi_src))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.col("c_x").cast("bigint").alias("c_x"),
+            F.col("c_y").cast("bigint").alias("c_y"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.lit(1.0) / F.col("nb"))
+                    / (
+                        (F.col("c_x") * F.lit(1.0) / F.col("nt"))
+                        * (F.col("c_y") * F.lit(1.0) / F.col("nt"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(_PMI_TOP)

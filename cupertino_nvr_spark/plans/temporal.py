@@ -2387,3 +2387,104 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             viol_rows * F.lit(1.0) / F.sum("n_rows").over(wt), 6
         ).alias("type_violation_frac"),
     )
+
+
+# Lag-k autocorrelation of the per-type daily value series — the
+# temporal-dependence profile read before choosing forecast/anomaly
+# baselines (lag 1: day-over-day persistence; lag 7: weekly
+# seasonality). Pairs align by CALENDAR lag (a self-join on day+k, so
+# date gaps drop pairs instead of silently misaligning a row-number
+# lag), and Pearson rides the exact decimal co-moment rule
+# (quantity_price_correlation) so the statistic is bit-identical
+# across engines and partitionings.
+_ACF_LAGS = (1, 7)
+
+
+@register(
+    "events_daily_acf",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest([{", ".join(str(x) for x in _ACF_LAGS)}]) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag,
+             CAST(round(a.total, 2) AS DECIMAL(18,2)) AS x,
+             CAST(round(b.total, 2) AS DECIMAL(18,2)) AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.d = a.d + CAST(l.lag AS INTEGER)
+    ),
+    agg AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+             AS acf
+    FROM agg
+    """,
+    doc=(
+        "Lag-1/lag-7 autocorrelation of each event type's daily value "
+        "total: calendar-lag self-join (gaps drop pairs, never "
+        "misalign), Pearson from exact decimal co-moment sums (the "
+        "quantity_price_correlation rule, bit-identical across engines/"
+        "partitionings). Scale shape: the fact table contributes ONE "
+        "map-side-combined daily rollup; the lag spine is 2 broadcast "
+        "rows and the self-join/moments run on the #days-bounded daily "
+        "frame — nothing downstream scales with the corpus."
+    ),
+)
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    lags = spark.createDataFrame([(x,) for x in _ACF_LAGS], "lag int")
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("b_event_type"),
+        F.col("d").alias("b_d"),
+        F.col("total").alias("b_total"),
+    )
+    dec = lambda c: F.round(c, 2).cast("decimal(18,2)")  # noqa: E731
+    pairs = a.join(
+        b,
+        (F.col("b_event_type") == F.col("event_type"))
+        & (F.col("b_d") == F.date_add(F.col("d"), F.col("lag"))),
+    ).select(
+        "event_type",
+        "lag",
+        dec(F.col("total")).alias("x"),
+        dec(F.col("b_total")).alias("y"),
+    )
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            9,
+        ).alias("acf"),
+    )

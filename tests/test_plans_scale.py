@@ -176,6 +176,12 @@ ALLOWED_BNLJ = {
     # 1-row (total_tokens, vocab_size) attach — the corpus contributes one
     # map-side-combined term count; nothing vocabulary-sized crosses
     "docs_vocab_coverage",
+    # 2-row lag spine x the #days-bounded daily rollup; the lag self-join
+    # itself is an (event_type, day) equi-join on that bounded frame
+    "events_daily_acf",
+    # two 1-row totals attaches (bigram total, token total); the scoring
+    # joins are term-keyed equi-joins bounded by the vocabularies
+    "docs_pmi_collocations",
     # 9-row decile-threshold spine x the bounded 0.1-granular value grid
     # (the threshold-crossing edge derivation); the fact table contributes
     # one map-side-combined groupBy, and the bucket assignment itself is
@@ -270,6 +276,13 @@ def test_vocab_topk_takeordered(spark):
     """Global top-k must plan as TakeOrderedAndProject (per-partition heaps),
     never an unpartitioned window over the full distinct-term set."""
     plan = plan_of(spark, "docs_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_collocations_takeordered(spark):
+    """The top-20 collocations must arrive via TakeOrderedAndProject
+    (per-partition heaps), never a full sort of the bigram vocabulary."""
+    plan = plan_of(spark, "docs_pmi_collocations")
     assert "TakeOrderedAndProject" in plan
 
 

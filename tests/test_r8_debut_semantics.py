@@ -489,3 +489,83 @@ def test_k_anonymity_flags_and_fraction_reconcile(spark):
         frac = {r["type_violation_frac"] for r in rs}
         assert len(frac) == 1
         assert abs(frac.pop() - viol / tot) < 1e-6, t
+
+
+def test_daily_acf_matches_python_recompute(spark):
+    """ACF recomputed in Python over the same daily rollup must match to
+    the 9-decimal rounding, pair counts must reflect the calendar lag,
+    and |acf| <= 1."""
+    from collections import defaultdict
+    import datetime
+    import math
+
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    out = {
+        (r["event_type"], r["lag"]): r
+        for r in REGISTRY["events_daily_acf"].spark(spark, SF).collect()
+    }
+    assert out
+    ev = load_table(spark, "events", SF)
+    daily = defaultdict(dict)
+    for r in (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("t"))
+        .collect()
+    ):
+        daily[r["event_type"]][r["d"]] = r["t"]
+    for (et, lag), r in out.items():
+        series = daily[et]
+        xs, ys = [], []
+        for d, x in series.items():
+            d2 = d + datetime.timedelta(days=lag)
+            if d2 in series:
+                xs.append(x)
+                ys.append(series[d2])
+        n = len(xs)
+        assert r["n_pairs"] == n, (et, lag)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+        denom = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        assert abs(r["acf"] - (n * sxy - sx * sy) / denom) < 1e-6, (et, lag)
+        assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+
+
+def test_pmi_collocations_match_python_recompute(spark):
+    """The emitted top-20 must equal a Python recompute of PMI over the
+    same token stream (count floor, rounding and tie rule included)."""
+    import math
+
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    rows = REGISTRY["docs_pmi_collocations"].spark(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    docs = load_table(spark, "documents", SF).select("text").collect()
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    n_bi = 0
+    for r in docs:
+        toks = r["text"].strip().lower().split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            n_bi += 1
+    n_tok = sum(uni.values())
+    scored = []
+    for (a, b), c in bi.items():
+        if c < 5:
+            continue
+        pmi = round(
+            math.log((c * 1.0 / n_bi) / ((uni[a] * 1.0 / n_tok) * (uni[b] * 1.0 / n_tok))),
+            6,
+        )
+        scored.append((-pmi, a, b, c))
+    scored.sort()
+    want = [(a, b, c, -np) for np, a, b, c in scored[: len(rows)]]
+    got = [(r["w1"], r["w2"], r["c_xy"], r["pmi"]) for r in rows]
+    assert got == want
+    for r in rows:
+        assert r["c_xy"] >= 5
+        assert r["c_x"] == uni[r["w1"]] and r["c_y"] == uni[r["w2"]]

@@ -47,6 +47,8 @@ R8_DEBUTS = {
     "embedding_hard_negatives",
     "embedding_mmr_rerank",
     "events_k_anonymity",
+    "events_daily_acf",
+    "docs_pmi_collocations",
 }
 
 

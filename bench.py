@@ -182,6 +182,8 @@ EXTRAS = [
     "events_k_anonymity",
     "events_daily_acf",
     "docs_pmi_collocations",
+    "events_session_survival",
+    "orders_benford",
 ]
 
 

@@ -84,6 +84,8 @@ _R8_WINDOW_PRIORITY = [
     "events_k_anonymity",
     "events_daily_acf",
     "docs_pmi_collocations",
+    "events_session_survival",
+    "orders_benford",
     # fill: relational/TPC-H (family last driver-green r5)
     "pricing_summary", "revenue_by_nation", "shipping_priority",
     "orders_rollup", "lineitem_cube", "orders_grouping_sets",

@@ -2488,3 +2488,151 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("acf"),
     )
+
+
+# Kaplan-Meier survival curve over session durations — the churn/
+# engagement-analysis estimator (how long do sessions survive?), with
+# right-censoring for sessions still open at the data horizon (a
+# session ending within one inactivity gap of the corpus max timestamp
+# may not have ended). Durations land on a whole-second grid so the
+# event-time table is bounded; the product-limit estimator rides a
+# cumulative ln-sum over that deterministic order.
+_KM_GAP_US = 21600000000  # the sessionize_events 6 h inactivity gap
+
+
+@register(
+    "events_session_survival",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_KM_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, session_id,
+             CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0) AS BIGINT) AS dur,
+             MAX(ts) AS session_end
+      FROM tagged GROUP BY user_id, session_id
+    ), horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+    marked AS (
+      SELECT s.dur,
+             CASE WHEN epoch_us(h.max_ts) - epoch_us(s.session_end) < {_KM_GAP_US}
+                  THEN 1 ELSE 0 END AS censored
+      FROM sessions s CROSS JOIN horizon h
+    ),
+    grid AS (
+      SELECT dur,
+             COUNT(CASE WHEN censored = 0 THEN 1 END) AS n_events,
+             COUNT(CASE WHEN censored = 1 THEN 1 END) AS n_censored
+      FROM marked GROUP BY dur
+    ),
+    cum AS (
+      SELECT *,
+             SUM(n_events + n_censored) OVER (ORDER BY dur) AS cum_all,
+             SUM(n_events + n_censored) OVER () AS total
+      FROM grid
+    ),
+    km AS (
+      SELECT dur, n_events, n_censored,
+             total - (cum_all - n_events - n_censored) AS n_at_risk,
+             -- once d == n the curve is exactly 0 and stays there;
+             -- keep ln() away from zero (DuckDB raises, Spark nulls)
+             SUM(CASE WHEN n_events > 0
+                       AND n_events < total - (cum_all - n_events - n_censored)
+                      THEN ln(1.0 - n_events * 1.0
+                              / (total - (cum_all - n_events - n_censored)))
+                      ELSE 0.0 END) OVER (ORDER BY dur) AS log_s,
+             MAX(CASE WHEN n_events >= total - (cum_all - n_events - n_censored)
+                      THEN 1 ELSE 0 END) OVER (ORDER BY dur) AS zeroed
+      FROM cum
+    )
+    SELECT CAST(dur AS BIGINT) AS t_sec,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CASE WHEN zeroed = 1 THEN 0.0 ELSE round(exp(log_s), 6) END AS survival
+    FROM km WHERE n_events > 0
+    """,
+    doc=(
+        "Kaplan-Meier session-survival curve: sessions from the "
+        "sessionize_events chain (shared definition), whole-second "
+        "durations, right-censoring for sessions ending within one "
+        "inactivity gap of the corpus horizon, product-limit survival "
+        "via a cumulative ln-sum in deterministic duration order. Scale "
+        "shape: one user-keyed sessionization pass (the sessionize_"
+        "events posture), a 1-row horizon attach, then everything runs "
+        "on the duration grid — bounded by the observed whole-second "
+        "duration domain, never the corpus."
+    ),
+)
+def events_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = sessionize_events(spark, sf_dir).select(
+        F.floor(F.col("duration_sec")).cast("bigint").alias("dur"),
+        "session_end",
+    )
+    ev = load_table(spark, "events", sf_dir)
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    marked = sessions.crossJoin(F.broadcast(horizon)).select(
+        "dur",
+        F.when(
+            F.unix_micros(F.col("max_ts")) - F.unix_micros(F.col("session_end"))
+            < _KM_GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    grid = marked.groupBy("dur").agg(
+        F.count(F.when(F.col("censored") == 0, 1)).alias("n_events"),
+        F.count(F.when(F.col("censored") == 1, 1)).alias("n_censored"),
+    )
+    wo = Window.orderBy("dur")
+    wt = Window.partitionBy()
+    both = F.col("n_events") + F.col("n_censored")
+    cum = grid.select(
+        "dur",
+        "n_events",
+        "n_censored",
+        F.sum(both).over(wo).alias("cum_all"),
+        F.sum(both).over(wt).alias("total"),
+    )
+    at_risk = F.col("total") - (
+        F.col("cum_all") - F.col("n_events") - F.col("n_censored")
+    )
+    km = cum.select(
+        "dur",
+        "n_events",
+        "n_censored",
+        at_risk.alias("n_at_risk"),
+        F.sum(
+            F.when(
+                (F.col("n_events") > 0) & (F.col("n_events") < at_risk),
+                F.log(
+                    F.lit(1.0) - F.col("n_events") * F.lit(1.0) / at_risk
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wo)
+        .alias("log_s"),
+        F.max(
+            F.when(F.col("n_events") >= at_risk, 1).otherwise(0)
+        )
+        .over(wo)
+        .alias("zeroed"),
+    )
+    return km.filter(F.col("n_events") > 0).select(
+        F.col("dur").cast("bigint").alias("t_sec"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("log_s"), 6))
+        .alias("survival"),
+    )

@@ -1351,3 +1351,81 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deltas.select(
         "day", "delta", F.sum("delta").over(w).cast("bigint").alias("n_open")
     )
+
+
+# Benford's-law first-digit audit (Newcomb 1881 / Benford 1938) — the
+# forensic-accounting screen a finance team runs over transaction
+# amounts: naturally-occurring multi-magnitude totals follow
+# p(d) = log10(1 + 1/d); fabricated or capped data doesn't. The first
+# digit comes from string arithmetic on the floored total (log10-based
+# extraction can mis-bucket exact powers of ten via float error, and
+# integer CAST rounds in DuckDB while truncating in Spark — FLOOR
+# first sidesteps both engine hazards).
+@register(
+    "orders_benford",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER () AS total
+      FROM digits GROUP BY digit
+    ),
+    scored AS (
+      SELECT digit, n, total,
+             n * 1.0 / total AS obs_frac,
+             log10(1.0 + 1.0 / digit) AS benford_frac
+      FROM obs
+    )
+    SELECT CAST(digit AS INT) AS digit, CAST(n AS BIGINT) AS n,
+           round(obs_frac, 6) AS obs_frac,
+           round(benford_frac, 6) AS benford_frac,
+           round(total * (obs_frac - benford_frac) * (obs_frac - benford_frac)
+                 / benford_frac, 6) AS chisq_contrib,
+           round(SUM(total * (obs_frac - benford_frac) * (obs_frac - benford_frac)
+                     / benford_frac) OVER (), 6) AS chisq_total
+    FROM scored
+    """,
+    doc=(
+        "Benford first-digit audit of order totals: observed vs "
+        "log10(1+1/d) expected frequencies, per-digit chi-square "
+        "contribution and the 8-dof total a fraud screen thresholds. "
+        "Scale shape: one map-side-combined 9-group aggregate over the "
+        "fact table; fractions, expectations and the chi-square all run "
+        "on the 9-row digit frame (the unpartitioned windows span 9 "
+        "rows, never the corpus)."
+    ),
+)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    wt = Window.partitionBy()
+    obs = (
+        digits.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .withColumn("total", F.sum("n").over(wt))
+    )
+    obs_frac = F.col("n") * F.lit(1.0) / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    contrib = (
+        F.col("total") * (obs_frac - benford) * (obs_frac - benford) / benford
+    )
+    scored = obs.select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(obs_frac, 6).alias("obs_frac"),
+        F.round(benford, 6).alias("benford_frac"),
+        F.round(contrib, 6).alias("chisq_contrib"),
+        F.round(F.sum(contrib).over(wt), 6).alias("chisq_total"),
+    )
+    return scored

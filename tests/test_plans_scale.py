@@ -176,6 +176,9 @@ ALLOWED_BNLJ = {
     # 1-row (total_tokens, vocab_size) attach — the corpus contributes one
     # map-side-combined term count; nothing vocabulary-sized crosses
     "docs_vocab_coverage",
+    # 1-row corpus-horizon attach onto the per-session frame; the KM
+    # estimator itself runs on the whole-second duration grid
+    "events_session_survival",
     # 2-row lag spine x the #days-bounded daily rollup; the lag self-join
     # itself is an (event_type, day) equi-join on that bounded frame
     "events_daily_acf",

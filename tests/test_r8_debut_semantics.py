@@ -569,3 +569,70 @@ def test_pmi_collocations_match_python_recompute(spark):
     for r in rows:
         assert r["c_xy"] >= 5
         assert r["c_x"] == uni[r["w1"]] and r["c_y"] == uni[r["w2"]]
+
+
+def test_session_survival_matches_lifelines_style_recompute(spark):
+    """KM recomputed independently in Python (product-limit over the
+    same duration/censoring marks) must match; the curve must be
+    non-increasing from 1 toward 0 and at-risk counts must telescope."""
+    import math
+
+    from cupertino_nvr_spark.plans.temporal import _KM_GAP_US
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    out = sorted(
+        REGISTRY["events_session_survival"].spark(spark, SF).collect(),
+        key=lambda r: r["t_sec"],
+    )
+    assert out
+    sess = REGISTRY["sessionize_events"].spark(spark, SF).collect()
+    ev = load_table(spark, "events", SF)
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    marks = []
+    for s in sess:
+        dur = int(math.floor(s["duration_sec"]))
+        end_us = int(s["session_end"].timestamp() * 1_000_000)
+        marks.append((dur, int(max_us - end_us < _KM_GAP_US)))
+    from collections import Counter
+
+    d_cnt = Counter(d for d, c in marks if c == 0)
+    c_cnt = Counter(d for d, c in marks if c == 1)
+    total = len(marks)
+    grid = sorted(set(d for d, _ in marks))
+    s_val, removed = 1.0, 0
+    expect = {}
+    for t in grid:
+        at_risk = total - removed
+        d = d_cnt.get(t, 0)
+        if d:
+            s_val *= 1.0 - d / at_risk
+            expect[t] = (at_risk, d, c_cnt.get(t, 0), s_val)
+        removed += d + c_cnt.get(t, 0)
+    assert [r["t_sec"] for r in out] == sorted(expect)
+    prev = 1.0
+    for r in out:
+        ar, d, c, sv = expect[r["t_sec"]]
+        assert (r["n_at_risk"], r["n_events"], r["n_censored"]) == (ar, d, c)
+        assert abs(r["survival"] - sv) < 1e-5, r["t_sec"]
+        assert 0.0 <= r["survival"] <= prev + 1e-9
+        prev = r["survival"]
+
+
+def test_benford_fractions_and_chisq_reconcile(spark):
+    """Digits must cover a subset of 1..9, observed fractions must sum
+    to 1, expectations must be log10(1+1/d), and the chi-square total
+    must equal the contribution sum."""
+    import math
+
+    rows = REGISTRY["orders_benford"].spark(spark, SF).collect()
+    assert rows
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-4
+    total = {r["chisq_total"] for r in rows}
+    assert len(total) == 1
+    assert abs(total.pop() - sum(r["chisq_contrib"] for r in rows)) < 1e-4
+    n_all = sum(r["n"] for r in rows)
+    for r in rows:
+        assert abs(r["benford_frac"] - math.log10(1 + 1 / r["digit"])) < 1e-6
+        assert abs(r["obs_frac"] - r["n"] / n_all) < 1e-6
+        assert r["chisq_contrib"] >= 0.0

@@ -49,6 +49,8 @@ R8_DEBUTS = {
     "events_k_anonymity",
     "events_daily_acf",
     "docs_pmi_collocations",
+    "events_session_survival",
+    "orders_benford",
 }
 
 
@@ -60,16 +62,28 @@ def _sampled_before_r8() -> set[str]:
 
 
 def test_window_contains_never_sampled_and_debuts():
-    window = list(all_queries())[:50]
+    """The 50-row window must contain the flagship, every query never
+    driver-sampled in r1-r7, the int8 fix, and as many r8 debuts as fit;
+    any debut overflow (the required set outgrew 50 late in the round)
+    must sit IMMEDIATELY after the window so it is first in line for the
+    r9 rotation."""
+    order = list(all_queries())
+    window = order[:50]
     sampled = _sampled_before_r8()
-    never = {q for q in all_queries() if q not in sampled} - R8_DEBUTS
-    missing = (never | R8_DEBUTS | {"embedding_int8_quant", "asof_ttl_overlay"}) - set(
-        window
-    )
+    never = {q for q in order if q not in sampled} - R8_DEBUTS
+    missing = (never | {"embedding_int8_quant", "asof_ttl_overlay"}) - set(window)
     assert not missing, (
         f"r8 window must contain the flagship, every never-driver-sampled "
-        f"query, the int8_quant fix, and the r8 debuts; missing: {sorted(missing)}"
+        f"query, and the int8_quant fix; missing: {sorted(missing)}"
     )
+    overflow = R8_DEBUTS - set(window)
+    assert set(order[50 : 50 + len(overflow)]) == overflow, (
+        f"debuts that no longer fit the 50-row window must directly follow "
+        f"it: {sorted(overflow)}"
+    )
+    # every non-required window slot is spent on a debut
+    spare = set(window) - never - {"embedding_int8_quant", "asof_ttl_overlay"}
+    assert spare <= R8_DEBUTS
 
 
 def test_flagship_registers_first():

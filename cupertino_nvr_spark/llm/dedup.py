@@ -471,6 +471,11 @@ def lsh_plane_offsets(
         .agg(F.array(*[F.avg(F.col("projs")[p]) for p in range(n_planes)]).alias("o"))
         .collect()[0]
     )
+    if any(x is None for x in row["o"]):
+        raise ValueError(
+            "lsh_plane_offsets: empty calibration corpus (avg projection is "
+            "NULL) — pass a non-empty bootstrap sample"
+        )
     return [float(x) for x in row["o"]]
 
 

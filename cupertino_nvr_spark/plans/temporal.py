@@ -2126,8 +2126,11 @@ def psi_edges(cum: DataFrame) -> DataFrame:
       FROM bucketed GROUP BY 1, 2
     ),
     spine AS (
+      -- only types with reference mass: a type with n_ref = 0 has no
+      -- decile profile to drift FROM (and the streaming twin drops it),
+      -- so both twins agree on the type set by construction
       SELECT t.event_type, b.bucket
-      FROM (SELECT DISTINCT event_type FROM grid) t
+      FROM (SELECT DISTINCT event_type FROM cum WHERE n_ref > 0) t
       CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS bucket) b
     ),
     full_bk AS (
@@ -2185,9 +2188,17 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # complete 10-bucket spine: PSI's smoothed formula assumes the full
     # decile partition — a bucket two duplicated edges leave empty must
     # still contribute its smoothed mass (and the streaming twin always
-    # emits all 10)
-    spine = cum.select("event_type").distinct().crossJoin(
-        F.broadcast(spark.range(0, 10).select(F.col("id").alias("bucket")))
+    # emits all 10). Restricted to types with reference mass: a type with
+    # n_ref = 0 has no decile profile to drift FROM, and the streaming
+    # twin (streaming/drift.py) drops such types — filtering here makes
+    # the twins agree on the type set by construction.
+    spine = (
+        cum.filter(F.col("n_ref") > 0)
+        .select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(0, 10).select(F.col("id").alias("bucket")))
+        )
     )
     wt = Window.partitionBy("event_type")
     full_bk = spine.join(bk, ["event_type", "bucket"], "left").select(

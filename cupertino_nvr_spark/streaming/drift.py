@@ -61,17 +61,22 @@ def psi_reference(ev_ref: DataFrame) -> PsiReference:
     """
     from cupertino_nvr_spark.plans.temporal import psi_edges, psi_grid_cum
 
-    cum = psi_grid_cum(ev_ref)
-    edges = psi_edges(cum)
-    bucketed = (
-        cum.join(F.broadcast(edges), "event_type")
-        .groupBy("event_type", "v", "ref_c")
-        .agg(F.count(F.when(F.col("v") > F.col("edge"), 1)).alias("bucket"))
-        .groupBy("event_type", "bucket")
-        .agg(F.sum("ref_c").cast("bigint").alias("ref_n"))
-    )
-    edge_rows = edges.collect()
-    mass_rows = bucketed.collect()
+    # two actions (edges + bucketed masses) read the grid aggregate —
+    # persist it so calibration scans the reference period once, not twice
+    cum = psi_grid_cum(ev_ref).persist()
+    try:
+        edges = psi_edges(cum)
+        bucketed = (
+            cum.join(F.broadcast(edges), "event_type")
+            .groupBy("event_type", "v", "ref_c")
+            .agg(F.count(F.when(F.col("v") > F.col("edge"), 1)).alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("ref_c").cast("bigint").alias("ref_n"))
+        )
+        edge_rows = edges.collect()
+        mass_rows = bucketed.collect()
+    finally:
+        cum.unpersist()
     out: PsiReference = {}
     for t in {r["event_type"] for r in edge_rows}:
         es = sorted(

@@ -108,11 +108,21 @@ def embedding_lsh_candidates_stream(
     embeddings — the projection is stateless per row, so batch and stream
     compute identical buckets. An arriving embedding pairs against every
     prior member of each bucket it probes, via the same keyed-state shape
-    as the text-side MinHash twin: one state entry per bucket holding
-    member ids, ``bucket_cap`` saturating hot buckets exactly like the
-    text path (first ``cap`` members pair; later arrivals into a
-    saturated bucket emit/store nothing there but still pair through
-    their other probe buckets).
+    as the text-side MinHash TWIN (``lsh_candidates_stream``): one state
+    entry per bucket holding member ids, ``bucket_cap`` saturating hot
+    buckets with first-cap-members-still-pair semantics (later arrivals
+    into a saturated bucket emit/store nothing there but still pair
+    through their other probe buckets).
+
+    CAP-SEMANTICS DIVERGENCE FROM THE BATCH EMBEDDING PATH: the batch
+    ``embedding_neardup_pairs_lsh`` drops an over-cap bucket's membership
+    ENTIRELY (a corpus-wide left-anti join — membership is known up
+    front), while this stream keeps and pairs the first ``bucket_cap``
+    arrivals. With equal finite caps the two therefore produce different
+    (overlapping) candidate sets on hot buckets; batch/stream equality is
+    pinned UNCAPPED only (tests/test_streaming.py). Both are recall
+    heuristics with the same argument — a saturated bucket's members
+    still meet through their more selective probe buckets.
 
     The emitted pairs are CANDIDATES (bucket co-occupancy, pre-cosine):
     score them with the exact kernel downstream, same as the batch chain.

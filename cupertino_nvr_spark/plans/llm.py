@@ -5186,36 +5186,13 @@ _PHASH_TAU = 6
 _PHASH_THRESH = 109  # 'm' — splits the lowercase corpus ~50/50 per byte
 
 
-def _phash_media_sql() -> str:
-    """Augmented media corpus + per-row band values as CTEs."""
-    bits = ", ".join(
-        f"CASE WHEN ascii(substr(payload, 1 + ({i} * (length(payload) - 1)) // 63, 1)) >= {_PHASH_THRESH} THEN 1 ELSE 0 END AS bit{i}"
-        for i in range(_PHASH_BITS)
-    )
-    bands = ", ".join(
-        "CAST("
-        + " + ".join(f"(bit{b * 16 + j} << {j})" for j in range(16))
-        + f" AS BIGINT) AS band{b}"
-        for b in range(_PHASH_BANDS)
-    )
-    return f"""media AS (
-      SELECT doc_id AS media_id, text AS payload FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
-      UNION ALL
-      SELECT doc_id + 2000000,
-             upper(substr(text, 1, 3)) || substr(text, 4)
-      FROM documents WHERE doc_id % 9 = 0
-    ),
-    bits AS (SELECT media_id, {bits} FROM media),
-    hashes AS (SELECT media_id, {bands} FROM bits)"""
-
-
-@register(
-    "media_phash_neardup",
-    f"""
-    WITH {_phash_media_sql()},
-    membership AS (
+def _phash_pair_tail_sql() -> str:
+    """Shared banded-Hamming verify chain (oracle side): CTEs + final
+    select from a ``hashes(media_id, band0..band3)`` relation — used by
+    BOTH the byte-sample pHash and the decoded-pixel pHash so the banding
+    guarantee, the Hamming verify, and tau cannot drift between the two
+    hash kernels."""
+    return f"""membership AS (
       {" UNION ALL ".join(f"SELECT media_id, {b} AS band_idx, band{b} AS band_val FROM hashes" for b in range(_PHASH_BANDS))}
     ),
     cand AS (
@@ -5233,60 +5210,13 @@ def _phash_media_sql() -> str:
     )
     SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
            CAST(hamming = 0 AS INT) AS is_exact
-    FROM scored WHERE hamming <= {_PHASH_TAU}
-    """,
-    doc=(
-        "Multimodal perceptual-hash near-dup: 64-bit locality-preserving "
-        "payload hash (byte samples at length-proportional positions - a "
-        "decoded-pixel pHash swaps in behind the same shape), split into "
-        "4 x 16-bit bands; band equi-join candidates, Hamming verify via "
-        "xor + bit_count, tau=6. The banding guarantee is pHash's "
-        "standard serving trick (any pair within Hamming 3 of 4 bands "
-        "shares a band exactly); candidate volume is bounded by band "
-        "balance exactly like the MinHash/SimHash chains - never "
-        "all-pairs, one distinct-pair dedup, two hash lookups per "
-        "candidate. Exact copies always collide (Hamming 0); the cased-"
-        "prefix near-variants flip only bits sampled in the edited span."
-    ),
-)
-def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    base = docs.select(F.col("doc_id").alias("media_id"), F.col("text").alias("payload"))
-    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1000000).alias("media_id"), F.col("text").alias("payload")
-    )
-    near = docs.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 2000000).alias("media_id"),
-        F.concat(
-            F.upper(F.substring("text", 1, 3)), F.expr("substring(text, 4)")
-        ).alias("payload"),
-    )
-    media = base.unionByName(exact).unionByName(near)
+    FROM scored WHERE hamming <= {_PHASH_TAU}"""
 
-    # substr with a column start needs expr-form; build all 64 bits once
-    bit_cols = [
-        F.when(
-            F.expr(
-                f"ascii(substr(payload, CAST(1 + ({i} * (length(payload) - 1)) div 63 AS INT), 1)) >= {_PHASH_THRESH}"
-            ),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias(f"bit{i}")
-        for i in range(_PHASH_BITS)
-    ]
-    bits = media.select("media_id", *bit_cols)
-    band_cols = [
-        sum(
-            (F.col(f"bit{b * 16 + j}") * F.lit(1 << j) for j in range(16)),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias(f"band{b}")
-        for b in range(_PHASH_BANDS)
-    ]
-    hashes = bits.select("media_id", *band_cols)
 
+def _phash_pairs_from_hashes(hashes: DataFrame) -> DataFrame:
+    """Shared banded-Hamming verify chain (Spark side) from a
+    (media_id, band0..band3) frame: 4-band equi-join candidates, one
+    distinct-pair dedup, xor+bit_count Hamming verify, tau cap."""
     membership = None
     for b in range(_PHASH_BANDS):
         m = hashes.select(
@@ -5295,12 +5225,8 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"band{b}").alias("band_val"),
         )
         membership = m if membership is None else membership.unionByName(m)
-    a = membership.select(
-        F.col("media_id").alias("id_a"), "band_idx", "band_val"
-    )
-    b_ = membership.select(
-        F.col("media_id").alias("id_b"), "band_idx", "band_val"
-    )
+    a = membership.select(F.col("media_id").alias("id_a"), "band_idx", "band_val")
+    b_ = membership.select(F.col("media_id").alias("id_b"), "band_idx", "band_val")
     cand = (
         a.join(b_, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -5325,11 +5251,7 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            hamming.cast("bigint").alias("hamming"),
-        )
+        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_TAU)
         .select(
             "id_a",
@@ -5338,6 +5260,201 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hamming") == 0).cast("int").alias("is_exact"),
         )
     )
+
+
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared augmented media corpus (Spark side): base docs as payloads +
+    exact copies (%7, +1M) + cased-prefix near variants (%9, +2M)."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("payload")
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.col("text").alias("payload"),
+    )
+    near = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000000).alias("media_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 3)), F.expr("substring(text, 4)")
+        ).alias("payload"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def _phash_media_corpus_sql() -> str:
+    """Just the augmented media corpus CTE (shared by both pHash kernels
+    and the cross-modal cluster oracle)."""
+    return """media AS (
+      SELECT doc_id AS media_id, text AS payload FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             upper(substr(text, 1, 3)) || substr(text, 4)
+      FROM documents WHERE doc_id % 9 = 0
+    )"""
+
+
+def _phash_media_sql() -> str:
+    """Augmented media corpus + per-row band values as CTEs."""
+    bits = ", ".join(
+        f"CASE WHEN ascii(substr(payload, 1 + ({i} * (length(payload) - 1)) // 63, 1)) >= {_PHASH_THRESH} THEN 1 ELSE 0 END AS bit{i}"
+        for i in range(_PHASH_BITS)
+    )
+    bands = ", ".join(
+        "CAST("
+        + " + ".join(f"(bit{b * 16 + j} << {j})" for j in range(16))
+        + f" AS BIGINT) AS band{b}"
+        for b in range(_PHASH_BANDS)
+    )
+    return f"""{_phash_media_corpus_sql()},
+    bits AS (SELECT media_id, {bits} FROM media),
+    hashes AS (SELECT media_id, {bands} FROM bits)"""
+
+
+@register(
+    "media_phash_neardup",
+    f"""
+    WITH {_phash_media_sql()},
+    {_phash_pair_tail_sql()}
+    """,
+    doc=(
+        "Multimodal perceptual-hash near-dup: 64-bit locality-preserving "
+        "payload hash (byte samples at length-proportional positions - a "
+        "decoded-pixel pHash swaps in behind the same shape), split into "
+        "4 x 16-bit bands; band equi-join candidates, Hamming verify via "
+        "xor + bit_count, tau=6. The banding guarantee is pHash's "
+        "standard serving trick (any pair within Hamming 3 of 4 bands "
+        "shares a band exactly); candidate volume is bounded by band "
+        "balance exactly like the MinHash/SimHash chains - never "
+        "all-pairs, one distinct-pair dedup, two hash lookups per "
+        "candidate. Exact copies always collide (Hamming 0); the cased-"
+        "prefix near-variants flip only bits sampled in the edited span."
+    ),
+)
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _phash_media(spark, sf_dir)
+
+    # substr with a column start needs expr-form; build all 64 bits once
+    bit_cols = [
+        F.when(
+            F.expr(
+                f"ascii(substr(payload, CAST(1 + ({i} * (length(payload) - 1)) div 63 AS INT), 1)) >= {_PHASH_THRESH}"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias(f"bit{i}")
+        for i in range(_PHASH_BITS)
+    ]
+    bits = media.select("media_id", *bit_cols)
+    band_cols = [
+        sum(
+            (F.col(f"bit{b * 16 + j}") * F.lit(1 << j) for j in range(16)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"band{b}")
+        for b in range(_PHASH_BANDS)
+    ]
+    hashes = bits.select("media_id", *band_cols)
+    return _phash_pairs_from_hashes(hashes)
+
+
+def _phash_pixels_hash_sql() -> str:
+    """Decoded-pixel pHash as relational CTEs ending in
+    ``hashes(media_id, band0..band3)``: synthetic 32x32 decode (code
+    points at length-proportional character positions — the container's
+    deterministic stand-in for a real grayscale resize), fixed-point
+    integer DCT-II via the shared 8x32 basis literals, lower-median
+    threshold, 16-bit band packing. Every step is exact int64 arithmetic,
+    so the SQL replays the Arrow kernel bit-for-bit."""
+    from cupertino_nvr_spark.llm.multimodal import (
+        DCT_BASIS_INT,
+        PHASH_BLOCK,
+        PHASH_RASTER,
+    )
+
+    n = PHASH_RASTER * PHASH_RASTER
+    basis_vals = ", ".join(
+        f"({k}, {col}, {w})"
+        for k, row in enumerate(DCT_BASIS_INT)
+        for col, w in enumerate(row)
+    )
+    band_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN i // 16 = {b} THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band{b}"
+        for b in range(_PHASH_BANDS)
+    )
+    return f"""pix AS (
+      SELECT media_id, u.i AS i,
+             ascii(substr(payload,
+                   CAST(1 + (u.i * greatest(length(payload) - 1, 0)) // {n - 1} AS INT),
+                   1)) AS p
+      FROM media, unnest(range(0, {n})) AS u(i)
+    ),
+    basis AS (SELECT * FROM (VALUES {basis_vals}) AS b(k, n, w)),
+    ustage AS (
+      SELECT p.media_id, b.k AS k, p.i % {PHASH_RASTER} AS c,
+             SUM(CAST(b.w AS BIGINT) * p.p) AS uval
+      FROM pix p JOIN basis b ON b.n = p.i // {PHASH_RASTER}
+      GROUP BY 1, 2, 3
+    ),
+    coefs AS (
+      SELECT u.media_id, u.k, b.k AS l,
+             CAST(SUM(CAST(b.w AS BIGINT) * u.uval) AS BIGINT) AS coef
+      FROM ustage u JOIN basis b ON b.n = u.c
+      GROUP BY 1, 2, 3
+    ),
+    med AS (
+      SELECT media_id, coef AS med FROM (
+        SELECT media_id, coef,
+               ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY coef) AS rn
+        FROM coefs) WHERE rn = 32
+    ),
+    bits AS (
+      SELECT c.media_id, c.k * {PHASH_BLOCK} + c.l AS i,
+             CASE WHEN c.coef > m.med THEN 1 ELSE 0 END AS bit
+      FROM coefs c JOIN med m ON m.media_id = c.media_id
+    ),
+    hashes AS (SELECT media_id, {band_sums} FROM bits GROUP BY media_id)"""
+
+
+@register(
+    "media_phash_pixels",
+    f"""
+    WITH {_phash_media_corpus_sql()},
+    {_phash_pixels_hash_sql()},
+    {_phash_pair_tail_sql()}
+    """,
+    doc=(
+        "Decoded-pixel perceptual-hash near-dup (pHash, Zauner 2010): "
+        "decode each payload to a 32x32 grayscale raster (the container's "
+        "deterministic synthetic decode — code points sampled at length-"
+        "proportional positions; production swaps a PIL grayscale resize "
+        "behind the identical kernel signature), 2-D DCT-II in FIXED-POINT "
+        "INTEGER arithmetic (shared 8x32 basis literals, two int64 "
+        "matmuls — the 32x32 coefficient matrix never materializes), keep "
+        "the 8x8 low-frequency block, threshold against the lower median "
+        "-> 64 bits. The hash runs as ONE Arrow-batched mapInPandas "
+        "kernel (numpy int64 matmuls, no per-row Python); the banding / "
+        "Hamming-verify / tau chain is the SAME shared fragment as "
+        "media_phash_neardup, so the serving path is identical and only "
+        "the kernel differs. This is actual perceptual dedup — a "
+        "localized edit perturbs few raster samples, moving coefficients "
+        "slightly, flipping only near-median bits — vs the byte-sample "
+        "surrogate's payload identity. Exact copies always land at "
+        "Hamming 0. Scale: hash is embarrassingly parallel (O(pixels) "
+        "per media), candidates bounded by band balance — never "
+        "all-pairs; same measured 1.0x-for-10x posture as the byte chain."
+    ),
+)
+def media_phash_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.multimodal import phash_pixel_hashes
+
+    media = _phash_media(spark, sf_dir)
+    hashes = phash_pixel_hashes(media)
+    return _phash_pairs_from_hashes(hashes)
 
 
 @register(

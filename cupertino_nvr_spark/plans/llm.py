@@ -5186,12 +5186,12 @@ _PHASH_TAU = 6
 _PHASH_THRESH = 109  # 'm' — splits the lowercase corpus ~50/50 per byte
 
 
-def _phash_pair_tail_sql() -> str:
-    """Shared banded-Hamming verify chain (oracle side): CTEs + final
-    select from a ``hashes(media_id, band0..band3)`` relation — used by
-    BOTH the byte-sample pHash and the decoded-pixel pHash so the banding
-    guarantee, the Hamming verify, and tau cannot drift between the two
-    hash kernels."""
+def _phash_pair_ctes_sql() -> str:
+    """Shared banded-Hamming verify chain (oracle side) as CTEs from a
+    ``hashes(media_id, band0..band3)`` relation — used by the byte-sample
+    pHash, the decoded-pixel pHash, and the cross-modal cluster oracle so
+    the banding guarantee, the Hamming verify, and tau cannot drift
+    between consumers."""
     return f"""membership AS (
       {" UNION ALL ".join(f"SELECT media_id, {b} AS band_idx, band{b} AS band_val FROM hashes" for b in range(_PHASH_BANDS))}
     ),
@@ -5207,7 +5207,12 @@ def _phash_pair_tail_sql() -> str:
       FROM cand
       JOIN hashes ha ON ha.media_id = id_a
       JOIN hashes hb ON hb.media_id = id_b
-    )
+    )"""
+
+
+def _phash_pair_tail_sql() -> str:
+    """The verify CTEs plus the pair-query final select."""
+    return f"""{_phash_pair_ctes_sql()}
     SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
            CAST(hamming = 0 AS INT) AS is_exact
     FROM scored WHERE hamming <= {_PHASH_TAU}"""
@@ -5335,7 +5340,12 @@ def _phash_media_sql() -> str:
 )
 def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _phash_media(spark, sf_dir)
+    return _phash_pairs_from_hashes(_phash_byte_hashes(media))
 
+
+def _phash_byte_hashes(media: DataFrame) -> DataFrame:
+    """The byte-sample 64-bit hash as (media_id, band0..band3) — shared by
+    media_phash_neardup and the cross-modal cluster query."""
     # substr with a column start needs expr-form; build all 64 bits once
     bit_cols = [
         F.when(
@@ -5358,8 +5368,7 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"band{b}")
         for b in range(_PHASH_BANDS)
     ]
-    hashes = bits.select("media_id", *band_cols)
-    return _phash_pairs_from_hashes(hashes)
+    return bits.select("media_id", *band_cols)
 
 
 def _phash_pixels_hash_sql() -> str:
@@ -5455,6 +5464,150 @@ def media_phash_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _phash_media(spark, sf_dir)
     hashes = phash_pixel_hashes(media)
     return _phash_pairs_from_hashes(hashes)
+
+
+@register(
+    "media_doc_dup_clusters",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    {_minhash_band_chain_sql()},
+    {_phash_media_sql()},
+    {_phash_pair_ctes_sql()},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE hamming <= {_PHASH_TAU}),
+    textedges AS (
+      SELECT DISTINCT 'd:' || CAST(a.doc_id AS VARCHAR) AS src,
+                      'd:' || CAST(b.doc_id AS VARCHAR) AS dst
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id <> b.doc_id
+    ),
+    mediaedges AS (
+      SELECT 'm:' || CAST(id_a AS VARCHAR) AS src,
+             'm:' || CAST(id_b AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 'm:' || CAST(id_b AS VARCHAR),
+             'm:' || CAST(id_a AS VARCHAR) FROM pairs
+    ),
+    pageedges AS (
+      SELECT 'm:' || CAST(media_id AS VARCHAR) AS src,
+             'd:' || CAST(media_id AS VARCHAR) AS dst
+      FROM media WHERE media_id < 1000000
+      UNION ALL
+      SELECT 'd:' || CAST(media_id AS VARCHAR),
+             'm:' || CAST(media_id AS VARCHAR)
+      FROM media WHERE media_id < 1000000
+    ),
+    edges AS (
+      SELECT * FROM textedges
+      UNION ALL SELECT * FROM mediaedges
+      UNION ALL SELECT * FROM pageedges
+    ),
+    allnodes AS (
+      SELECT 'd:' || CAST(doc_id AS VARCHAR) AS node FROM aug
+      UNION ALL
+      SELECT 'm:' || CAST(media_id AS VARCHAR) FROM media
+    ),
+    reach AS (
+      SELECT node, node AS lbl FROM allnodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT CASE WHEN node LIKE 'd:%' THEN 'doc' ELSE 'media' END AS node_kind,
+           CAST(substr(node, 3) AS BIGINT) AS node_id,
+           cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(SUM(CASE WHEN node LIKE 'd:%' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN node LIKE 'm:%' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY cluster_id) AS BIGINT) AS n_media
+    FROM comp
+    """,
+    doc=(
+        "Cross-modal duplicate clustering — the dedup decision a "
+        "multimodal corpus build actually makes (drop an image whose "
+        "caption-twin's page was already kept): ONE connected-components "
+        "pass over the union of three already-oracle-checked edge "
+        "sources — (a) text near-dup band membership (the "
+        "docs_dup_clusters MinHash chain), (b) pHash-verified media "
+        "pairs (the media_phash_neardup banded-Hamming chain; the "
+        "decoded-pixel kernel plugs into the same slot), and (c) "
+        "media->host-page provenance links for base media. Nodes are "
+        "namespaced ('d:'/'m:'); clustering is the SAME pairless "
+        "alternating min-label propagation as docs_dup_clusters "
+        "(llm/pipeline.py:components_over_keys) — cost per round linear "
+        "in membership rows, never pair-quadratic, pair edges entering "
+        "as 2-member keys. A media copy (+1M) clusters with other pages "
+        "ONLY transitively: phash pair -> base media -> provenance link "
+        "-> page doc -> text bands. Oracle: recursive-CTE transitive "
+        "closure of the identical symmetric edge union. Scale: each "
+        "edge source is the already-bounded chain it reuses; "
+        "propagation rounds = graph diameter in key-hops, checkpointed "
+        "per round."
+    ),
+)
+def media_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.pipeline import components_over_keys
+
+    aug = augmented_docs(spark, sf_dir)
+    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    text_memb = lsh_band_membership(
+        sigs, num_hashes=8, band_size=2, band_cap=64
+    ).select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("node"),
+        F.concat_ws(
+            ":", F.lit("t"), F.col("band_idx").cast("string"), F.col("band_key")
+        ).alias("k"),
+    )
+    media = _phash_media(spark, sf_dir)
+    pairs = _phash_pairs_from_hashes(_phash_byte_hashes(media)).select(
+        "id_a", "id_b"
+    )
+    pair_key = F.concat_ws(
+        ":", F.lit("e"), F.col("id_a").cast("string"), F.col("id_b").cast("string")
+    )
+    pair_memb = pairs.select(
+        F.concat(F.lit("m:"), F.col("id_a").cast("string")).alias("node"),
+        pair_key.alias("k"),
+    ).unionByName(
+        pairs.select(
+            F.concat(F.lit("m:"), F.col("id_b").cast("string")).alias("node"),
+            pair_key.alias("k"),
+        )
+    )
+    base_media = media.filter(F.col("media_id") < 1000000).select("media_id")
+    page_key = F.concat(F.lit("c:"), F.col("media_id").cast("string"))
+    page_memb = base_media.select(
+        F.concat(F.lit("m:"), F.col("media_id").cast("string")).alias("node"),
+        page_key.alias("k"),
+    ).unionByName(
+        base_media.select(
+            F.concat(F.lit("d:"), F.col("media_id").cast("string")).alias("node"),
+            page_key.alias("k"),
+        )
+    )
+    membership = text_memb.unionByName(pair_memb).unionByName(page_memb)
+    nodes = aug.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("node")
+    ).unionByName(
+        media.select(
+            F.concat(F.lit("m:"), F.col("media_id").cast("string")).alias("node")
+        )
+    )
+    comp = components_over_keys(nodes, membership, id_col="node", key_col="k")
+    w = Window.partitionBy("cluster_id")
+    is_doc = F.col("node").startswith("d:")
+    return comp.select(
+        F.when(is_doc, "doc").otherwise("media").alias("node_kind"),
+        F.expr("CAST(substring(node, 3) AS BIGINT)").alias("node_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        F.sum(is_doc.cast("int")).over(w).cast("bigint").alias("n_docs"),
+        F.sum((~is_doc).cast("int")).over(w).cast("bigint").alias("n_media"),
+    )
 
 
 @register(

@@ -4285,6 +4285,457 @@ def docs_bpe_tokenized_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer trainer — the other
+# half of production tokenizer training, complementing the BPE family.
+# Hard-EM over the vocabulary-bounded word table: seed vocab = top-V
+# substrings (length <= MAXP) by weighted occurrence count plus every single
+# character (coverage guarantee), then _UNI_ROUNDS rounds of
+#   E-step: Viterbi-segment every word under the current piece log-probs
+#   M-step: re-estimate log-probs from the segmentation's piece counts.
+# Feasibility invariant: round 1 is feasible for every word (all chars are
+# in the seed vocab), and a word's round-r segmentation pieces all carry
+# count >= f_w >= 1 into vocab r, so round r+1 stays feasible by induction.
+#
+# Cross-engine exactness: log-probs are FIXED-POINT MICRO-NATS
+# (round(ln(cnt/total) * 1e6) as BIGINT — the PSI/KN round-the-transcendental
+# rule), so the Viterbi DP is exact integer arithmetic; ties break on the
+# (score, piece_len) struct max — prefer the longer piece — identically in
+# Spark (F.greatest over structs) and DuckDB (MAX(struct_pack(...))).
+#
+# Scale shape: the corpus collapses ONCE to the word-frequency table (the
+# BPE trainer's trick); every EM round is one vocab equi-join (broadcast —
+# the vocab is seed-bounded), one map_from_entries groupBy, the DP+backtrace
+# as pure per-row higher-order functions (NO per-position joins, no UDF),
+# one explode+count. Words longer than _UNI_MAXW are excluded from training
+# (the SentencePiece max-piece-surface analog); _unigram_segment reports
+# them separately. Reference analog: none (north-star §2.11 tokenizer
+# family; BPE twin docs_bpe_train_merges).
+_UNI_MAXW = 12
+_UNI_MAXP = 4
+_UNI_SEED_V = 400
+_UNI_ROUNDS = 2
+_UNI_LP_SCALE = 1_000_000
+
+
+def _uni_base_sql() -> str:
+    """Shared oracle base: eligible word table, substring candidates, seed
+    vocab with fixed-point log-probs."""
+    return f"""words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        SELECT lower(term) AS w FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+          FROM documents))
+      WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+      GROUP BY w
+    ),
+    cands AS MATERIALIZED (
+      SELECT w, f, s.s AS s, p.plen AS plen, substr(w, s.s, p.plen) AS piece
+      FROM words,
+           unnest(range(1, {_UNI_MAXW + 1})) AS s(s),
+           unnest(range(1, {_UNI_MAXP + 1})) AS p(plen)
+      WHERE s.s + p.plen - 1 <= length(w)
+    ),
+    seedcnt AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM cands GROUP BY piece),
+    topseed AS MATERIALIZED (SELECT piece, cnt FROM seedcnt ORDER BY cnt DESC, piece LIMIT {_UNI_SEED_V}),
+    v0src AS MATERIALIZED (
+      SELECT DISTINCT piece, cnt FROM (
+        SELECT piece, cnt FROM topseed
+        UNION ALL SELECT piece, cnt FROM seedcnt WHERE length(piece) = 1)
+    ),
+    tot0 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v0src),
+    vocab0 AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / t) * {_UNI_LP_SCALE}) AS BIGINT) AS lp
+      FROM v0src CROSS JOIN tot0
+    )"""
+
+
+def _uni_round_sql(r: int) -> str:
+    """One hard-EM round as unrolled CTEs (the BPE/PageRank/PI style):
+    per-position Viterbi DP tables dp1..dp{MAXW} (each a struct-max over
+    the <= MAXP candidate splits), a recursive backtrace walk, E-step
+    piece counts, M-step vocab{r} re-estimation."""
+    p = f"r{r}_"
+    parts = [
+        f"""{p}ps AS MATERIALIZED (
+      SELECT c.w, c.s, c.plen, v.lp
+      FROM cands c JOIN vocab{r - 1} v ON v.piece = c.piece
+    ),
+    {p}dp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS bl FROM words)"""
+    ]
+    for j in range(1, _UNI_MAXW + 1):
+        legs = " UNION ALL ".join(
+            f"""SELECT ps.w, d.sc + ps.lp AS sc, ps.plen AS bl
+      FROM {p}ps ps JOIN {p}dp{j - ln} d ON d.w = ps.w
+      WHERE ps.plen = {ln} AND ps.s = {j - ln + 1}"""
+            for ln in range(1, min(_UNI_MAXP, j) + 1)
+        )
+        parts.append(
+            f"""{p}dp{j} AS MATERIALIZED (
+      SELECT w, (m).sc AS sc, (m).bl AS bl FROM (
+        SELECT w, MAX(struct_pack(sc := sc, bl := bl)) AS m
+        FROM ({legs}) GROUP BY w)
+    )"""
+        )
+    dall_rows = " UNION ALL ".join(
+        f"SELECT w, {j} AS j, sc, bl FROM {p}dp{j}"
+        for j in range(0, _UNI_MAXW + 1)
+    )
+    parts.append(
+        f"""{p}dall AS MATERIALIZED ({dall_rows}),
+    {p}walk(w, j) AS (
+      SELECT w, length(w) AS j FROM words
+      UNION ALL
+      SELECT k.w, k.j - d.bl FROM {p}walk k
+      JOIN {p}dall d ON d.w = k.w AND d.j = k.j
+      WHERE k.j > 0
+    ),
+    {p}pieces AS MATERIALIZED (
+      SELECT k.w, substr(k.w, CAST(k.j - d.bl + 1 AS INT), d.bl) AS piece
+      FROM {p}walk k JOIN {p}dall d ON d.w = k.w AND d.j = k.j
+      WHERE k.j > 0
+    ),
+    {p}wp AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces FROM {p}pieces GROUP BY w),
+    {p}ecnt AS MATERIALIZED (
+      SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM {p}pieces JOIN words USING (w) GROUP BY piece
+    ),
+    {p}tot AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM {p}ecnt),
+    vocab{r} AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / t) * {_UNI_LP_SCALE}) AS BIGINT) AS lp
+      FROM {p}ecnt CROSS JOIN {p}tot
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _uni_chain_sql() -> str:
+    rounds = ",\n    ".join(
+        _uni_round_sql(r) for r in range(1, _UNI_ROUNDS + 1)
+    )
+    return _uni_base_sql() + ",\n    " + rounds
+
+
+def _viterbi_dp(lpmap, wlen):
+    """Spark-side Viterbi DP over micro-nat log-probs: one F.aggregate
+    fold per row producing the array of (score, best_len) structs for
+    positions 0..len(w) — exact integer arithmetic, struct-max tiebreak
+    (prefer the longer piece), no joins, no UDF."""
+    init = F.array(
+        F.struct(F.lit(0).cast("bigint").alias("sc"), F.lit(0).cast("int").alias("bl"))
+    )
+
+    def step(acc, j):
+        cands = []
+        for ln in range(1, _UNI_MAXP + 1):
+            prior = F.element_at(acc, (j - ln + 1).cast("int"))
+            lp = F.element_at(lpmap, ((j - ln + 1) * 8 + ln).cast("int"))
+            cands.append(
+                F.when(
+                    (j >= ln) & prior.isNotNull() & lp.isNotNull(),
+                    F.struct(
+                        (prior["sc"] + lp).alias("sc"),
+                        F.lit(ln).cast("int").alias("bl"),
+                    ),
+                )
+            )
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    return F.aggregate(F.sequence(F.lit(1), wlen.cast("int")), init, step)
+
+
+def _viterbi_pieces(wcol, dps):
+    """Backtrace the DP array into the chosen piece list: a fixed
+    _UNI_MAXW-step fold walking pos -> pos - best_len(pos)."""
+    init = F.struct(
+        F.length(wcol).cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("ps"),
+    )
+
+    def step(acc, _):
+        pos = acc["pos"]
+        bl = F.element_at(dps, pos + 1)["bl"]
+        return F.when(
+            pos > 0,
+            F.struct(
+                (pos - bl).cast("int").alias("pos"),
+                F.concat(
+                    acc["ps"], F.array(wcol.substr(pos - bl + 1, bl))
+                ).alias("ps"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_UNI_MAXW)), init, step, lambda acc: acc["ps"]
+    )
+
+
+def _unigram_train(spark: SparkSession, sf_dir: str):
+    """Shared trainer: returns (words, vocab_final, word_pieces) — the
+    trainer query emits vocab_final; segment/fertility reuse word_pieces
+    (each word's final-round Viterbi piece count), so the evaluated
+    segmentation is exactly the trained one."""
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = reliable_checkpoint(
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w").between(1, _UNI_MAXW))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    starts = F.sequence(F.lit(1), F.length("w").cast("int"))
+    plens = F.sequence(F.lit(1), F.lit(_UNI_MAXP))
+    cands = reliable_checkpoint(
+        words.select(
+            "w",
+            "f",
+            F.explode(starts).alias("s"),
+        )
+        .select("w", "f", "s", F.explode(plens).alias("plen"))
+        .filter(F.col("s") + F.col("plen") - 1 <= F.length("w"))
+        .select(
+            "w",
+            "f",
+            "s",
+            "plen",
+            F.col("w").substr(F.col("s"), F.col("plen")).alias("piece"),
+        )
+    )
+    seedcnt = cands.groupBy("piece").agg(F.sum("f").cast("bigint").alias("cnt"))
+    top = seedcnt.orderBy(F.col("cnt").desc(), "piece").limit(_UNI_SEED_V)
+    chars = seedcnt.filter(F.length("piece") == 1)
+    v0src = top.unionByName(chars).distinct()
+    tot0 = v0src.agg(F.sum("cnt").cast("bigint").alias("t"))
+
+    def mstep(counts, tot):
+        lp = F.round(
+            F.log(F.col("cnt").cast("double") / F.col("t")) * _UNI_LP_SCALE, 0
+        ).cast("bigint")
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "piece", "cnt", lp.alias("lp")
+        )
+
+    vocab = reliable_checkpoint(mstep(v0src, tot0))
+    word_pieces = None
+    for _ in range(_UNI_ROUNDS):
+        ps = cands.join(F.broadcast(vocab.select("piece", "lp")), "piece")
+        maps = ps.groupBy("w").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("s") * 8 + F.col("plen")).cast("int").alias("key"),
+                        F.col("lp").alias("value"),
+                    )
+                )
+            ).alias("lpmap")
+        )
+        wdp = words.join(maps, "w").select(
+            "w",
+            "f",
+            _viterbi_pieces(
+                F.col("w"), _viterbi_dp(F.col("lpmap"), F.length("w"))
+            ).alias("pieces"),
+        )
+        word_pieces = wdp.select(
+            "w", "f", F.size("pieces").cast("bigint").alias("n_pieces")
+        )
+        ecnt = (
+            wdp.select(F.explode("pieces").alias("piece"), "f")
+            .groupBy("piece")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+        tot = ecnt.agg(F.sum("cnt").cast("bigint").alias("t"))
+        vocab = reliable_checkpoint(mstep(ecnt, tot))
+    return words, vocab, reliable_checkpoint(word_pieces)
+
+
+@register(
+    "docs_unigram_lm_train",
+    f"""
+    WITH RECURSIVE {_uni_chain_sql()}
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt,
+           lp AS lp_micro,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS vrank
+    FROM vocab{_UNI_ROUNDS}
+    """,
+    doc=(
+        f"Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer trainer: "
+        f"seed vocab = top-{_UNI_SEED_V} substrings (len <= {_UNI_MAXP}) "
+        f"by weighted count + every character, then {_UNI_ROUNDS} hard-EM "
+        "rounds (Viterbi E-step over fixed-point micro-nat log-probs — "
+        "exact integer DP, struct-max tiebreak preferring the longer "
+        "piece — and a count/total M-step). The corpus collapses ONCE to "
+        "the word-frequency table (the BPE trainer's vocabulary-bounded "
+        "collapse); each round is one broadcast vocab join, one "
+        "map_from_entries groupBy, the DP+backtrace as per-row "
+        "higher-order functions (no per-position joins, no UDF), one "
+        "explode+count. Oracle unrolls the identical rounds: per-position "
+        "dp CTEs (struct MAX), a recursive backtrace walk, the same "
+        "fixed-point M-step. Emits the trained vocabulary with counts, "
+        "micro-nat log-probs, and frequency rank."
+    ),
+)
+def docs_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _, vocab, _ = _unigram_train(spark, sf_dir)
+    w = Window.orderBy(F.col("cnt").desc(), "piece")
+    return vocab.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "cnt",
+        F.col("lp").alias("lp_micro"),
+        F.row_number().over(w).alias("vrank"),
+    )
+
+
+@register(
+    "docs_unigram_segment",
+    f"""
+    WITH RECURSIVE {_uni_chain_sql()},
+    toksd AS (
+      SELECT doc_id, lower(term) AS w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+      WHERE length(lower(term)) >= 1
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(p.n_pieces) AS BIGINT) AS n_words,
+           CAST(COUNT(CASE WHEN length(t.w) > {_UNI_MAXW} THEN 1 END) AS BIGINT)
+             AS n_long_words,
+           CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+           CASE WHEN COUNT(p.n_pieces) > 0
+                THEN ROUND(CAST(SUM(p.n_pieces) AS DOUBLE) / COUNT(p.n_pieces), 6)
+           END AS pieces_per_word
+    FROM toksd t LEFT JOIN r{_UNI_ROUNDS}_wp p USING (w)
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Per-document segmentation stats under the trained unigram LM — "
+        "the per-doc application leg (the docs_bpe_tokenized_len analog): "
+        "tokenizing is a vocabulary JOIN against the word table's "
+        "materialized final-round Viterbi piece counts, never a "
+        "re-segmentation — one word-keyed equi-join of the token stream "
+        "plus a doc-keyed aggregate. Words longer than the trainer's "
+        "surface cap are reported separately (n_long_words), exactly the "
+        "word-level-cache shape a production tokenizer serves from."
+    ),
+)
+def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, word_pieces = _unigram_train(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    toksd = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 1)
+    joined = toksd.join(word_pieces.select("w", "n_pieces"), "w", "left")
+    n_words = F.count("n_pieces")
+    return joined.groupBy("doc_id").agg(
+        n_words.cast("bigint").alias("n_words"),
+        F.count(F.when(F.length("w") > _UNI_MAXW, 1))
+        .cast("bigint")
+        .alias("n_long_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        F.when(
+            n_words > 0,
+            F.round(F.sum("n_pieces").cast("double") / n_words, 6),
+        ).alias("pieces_per_word"),
+    )
+
+
+@register(
+    "docs_tokenizer_fertility",
+    f"""
+    WITH RECURSIVE {_uni_chain_sql()},
+    toks AS (
+      SELECT lower(term) AS w FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    w0 AS (
+      SELECT w,
+             '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
+             COUNT(*) AS f
+      FROM toks GROUP BY w
+    ),
+    {",".join(_bpe_round_sql(i) for i in range(_BPE_MERGES))},
+    bpe_elig AS (
+      SELECT 'bpe' AS tokenizer,
+             CAST(SUM(f) AS BIGINT) AS n_words,
+             CAST(SUM(f * length(w)) AS BIGINT) AS n_chars,
+             CAST(SUM(f * (len(string_split(enc, '{_BPE_SS}')) - 2)) AS BIGINT)
+               AS n_units
+      FROM w{_BPE_MERGES} WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+    ),
+    uni_elig AS (
+      SELECT 'unigram' AS tokenizer,
+             CAST(SUM(f) AS BIGINT) AS n_words,
+             CAST(SUM(f * length(w)) AS BIGINT) AS n_chars,
+             CAST(SUM(f * n_pieces) AS BIGINT) AS n_units
+      FROM words JOIN r{_UNI_ROUNDS}_wp USING (w)
+    ),
+    both_tok AS (SELECT * FROM bpe_elig UNION ALL SELECT * FROM uni_elig)
+    SELECT tokenizer, n_words, n_chars, n_units,
+           ROUND(CAST(n_units AS DOUBLE) / n_words, 6) AS units_per_word,
+           ROUND(CAST(n_chars AS DOUBLE) / n_units, 6) AS chars_per_unit
+    FROM both_tok
+    """,
+    doc=(
+        "Tokenizer fertility comparison — BPE vs unigram-LM on the SAME "
+        "eligible word multiset (words within the unigram surface cap): "
+        "units per word and chars per unit, the two numbers a tokenizer "
+        "team compares before committing a vocabulary. Both legs reuse "
+        "their trainer chains verbatim (the BPE final word state "
+        "filtered to eligible words; the unigram final-round per-word "
+        "piece counts), so the comparison can never drift from the "
+        "trained tokenizers; the added cost over the two trainers is two "
+        "1-row aggregates."
+    ),
+)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, bpe_state = _bpe_train(spark, sf_dir)
+    words, _, word_pieces = _unigram_train(spark, sf_dir)
+    bpe = (
+        bpe_state.filter(F.length("w").between(1, _UNI_MAXW))
+        .agg(
+            F.sum("f").cast("bigint").alias("n_words"),
+            F.sum(F.col("f") * F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(
+                F.col("f") * (F.size(F.split(F.col("enc"), _BPE_SS)) - 2)
+            )
+            .cast("bigint")
+            .alias("n_units"),
+        )
+        .select(F.lit("bpe").alias("tokenizer"), "n_words", "n_chars", "n_units")
+    )
+    uni = (
+        words.join(word_pieces.select("w", "n_pieces"), "w")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_words"),
+            F.sum(F.col("f") * F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("f") * F.col("n_pieces")).cast("bigint").alias("n_units"),
+        )
+        .select(
+            F.lit("unigram").alias("tokenizer"), "n_words", "n_chars", "n_units"
+        )
+    )
+    both = bpe.unionByName(uni)
+    return both.select(
+        "tokenizer",
+        "n_words",
+        "n_chars",
+        "n_units",
+        F.round(F.col("n_units").cast("double") / F.col("n_words"), 6).alias(
+            "units_per_word"
+        ),
+        F.round(F.col("n_chars").cast("double") / F.col("n_units"), 6).alias(
+            "chars_per_unit"
+        ),
+    )
+
+
 @register(
     "docs_kneser_ney_score",
     f"""

@@ -1698,8 +1698,10 @@ _EWMA_THRESHOLD = 0.5
         "linear in events at any scale and the window state never grows "
         "past the 13-day frame. Weighted sums ride fixed-point DECIMAL "
         "(round 4/9) so the iteratively-weighted forecast hash-matches "
-        "across engines; streaming twin: streaming/anomaly.py's keyed "
-        "ring-buffer scorer (same strictly-prior-frame contract)."
+        "across engines; streaming twin: streaming/ewma.py's keyed "
+        "day-grid monitor (weight table frozen through THIS plan's own "
+        "pow expression, roundings replayed via Decimal(repr) — final "
+        "emission pinned exactly equal under arbitrary chopping)."
     ),
 )
 def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

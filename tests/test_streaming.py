@@ -1255,3 +1255,95 @@ def test_psi_drift_stream_matches_batch(spark, stream_dir):
             assert g[3] == r["cur_n"], (t, r["bucket"])
             for i, col in ((4, "p_ref"), (5, "p_cur"), (6, "psi_contrib"), (7, "psi_total")):
                 assert abs(g[i] - r[col]) < 2e-6, (t, r["bucket"], col)
+
+
+# streaming EWMA forecast-residual anomaly (twin of events_ewma_anomaly)
+
+
+def test_ewma_anomaly_stream_matches_batch(spark, stream_dir):
+    """Day totals accumulate as exact integer cents (order-insensitive),
+    the weight table is frozen through the batch plan's own pow
+    expression, and every rounding replays Spark's round via
+    Decimal(repr(x)) — so (a) the emission kernel applied to the final
+    state equals the batch rows EXACTLY, and (b) under arbitrary chopping
+    the stream's output contains every final row, with per-(type, day)
+    n_prev converging to the batch value."""
+    from cupertino_nvr_spark.plans import REGISTRY
+    from cupertino_nvr_spark.sources.tables import load_table
+    from cupertino_nvr_spark.streaming.ewma import (
+        _ewma_rows,
+        ewma_anomaly_stream,
+        ewma_daily_grid,
+        ewma_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf)
+    grid = ewma_daily_grid(ev).select(
+        "event_type", "day_epoch", "cents",
+        F.monotonically_increasing_id().alias("_rid"),
+    )
+    weights = ewma_weights(spark)
+
+    # (a) exact kernel pin: final accumulated grid -> batch rows
+    final = {}
+    for r in grid.groupBy("event_type", "day_epoch").agg(
+        F.sum("cents").alias("c")
+    ).collect():
+        final.setdefault(r["event_type"], {})[r["day_epoch"]] = int(r["c"])
+    want = {}
+    for t, acc in final.items():
+        ds = sorted(acc)
+        for row in _ewma_rows(t, ds, [acc[d] for d in ds], weights):
+            want[(t, row[1])] = row
+    batch = REGISTRY["events_ewma_anomaly"].spark(spark, sf).collect()
+    assert len(batch) == len(want)
+    for r in batch:
+        g = want[(r["event_type"], r["day"].date())]
+        assert g[2] == r["total_value"], (r["event_type"], r["day"])
+        assert g[3] == r["n_prev"]
+        assert g[4] == r["ewma_prev"], (r["event_type"], r["day"], g[4])
+        assert g[5] == r["pct_dev"], (r["event_type"], r["day"], g[5])
+        assert g[6] == r["is_anomaly"]
+
+    # (b) replay under uneven chopping; stream output must contain every
+    # final row and n_prev must converge per (type, day)
+    rows = grid.orderBy("_rid").collect()
+    n = len(rows)
+    bounds = [0, n // 5, n // 2, (5 * n) // 6, n]
+    src = f"{stream_dir}/ewmaev"
+    write_batches(
+        [
+            spark.createDataFrame(
+                [(r["event_type"], r["day_epoch"], r["cents"]) for r in chunk],
+                "event_type string, day_epoch int, cents long",
+            )
+            for chunk in (rows[lo:hi] for lo, hi in zip(bounds, bounds[1:]))
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("event_type string, day_epoch int, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        ewma_anomaly_stream(stream, weights), stream_dir, output_mode="update"
+    ).collect()
+    assert out
+    got = {}
+    for r in out:
+        key = (r["event_type"], r["day"])
+        got.setdefault(key, []).append(r)
+    for r in batch:
+        key = (r["event_type"], r["day"].date())
+        emissions = got[key]
+        assert max(e["n_prev"] for e in emissions) == r["n_prev"], key
+        assert any(
+            e["n_prev"] == r["n_prev"]
+            and e["total_value"] == r["total_value"]
+            and e["ewma_prev"] == r["ewma_prev"]
+            and e["pct_dev"] == r["pct_dev"]
+            and e["is_anomaly"] == r["is_anomaly"]
+            for e in emissions
+        ), key

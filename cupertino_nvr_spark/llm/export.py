@@ -73,4 +73,47 @@ def write_train_shards(
     )
 
 
-__all__ = ["write_train_shards"]
+def curation_materialize(
+    docs: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+    n_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The full curation funnel materialized on ONE DAG: exact-dedup
+    keepers -> benchmark exclusion -> quality gate -> 5-gram
+    decontamination (``llm.pipeline.curation_flags`` — the SAME flag
+    chain ``docs_curation_report`` aggregates, so the written shards can
+    never drift from the report) -> token-budget shard export.
+
+    Returns (stage_counts, shard_manifest). The flag frame is persisted
+    once and feeds BOTH the clean-doc filter under the shard write and
+    the stage-count aggregate — the corpus is scanned for flags once and
+    for shard payloads once, never once per stage; at 100 TB this is the
+    difference between a 2-scan job and a 5-scan one.
+    """
+    from cupertino_nvr_spark.llm.pipeline import (
+        curation_flags,
+        curation_stage_counts,
+    )
+
+    flags = curation_flags(docs).persist()
+    clean = docs.join(
+        flags.filter(F.col("is_clean")).select(F.col("doc_id").alias(id_col)),
+        id_col,
+    )
+    manifest = write_train_shards(
+        clean,
+        out_dir,
+        fmt=fmt,
+        id_col=id_col,
+        text_col=text_col,
+        token_budget=token_budget,
+        n_buckets=n_buckets,
+    )
+    return curation_stage_counts(flags), manifest
+
+
+__all__ = ["write_train_shards", "curation_materialize"]

@@ -2770,97 +2770,12 @@ _GRAM5_SQL = (
     "gram join (benchmark side broadcast)",
 )
 def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+    # single-pass flag chain (incl. the filter-pushdown trap guard) lives
+    # in llm.pipeline.curation_flags — shared with curation_materialize so
+    # the report and the shards it gates cannot drift
+    from cupertino_nvr_spark.llm.pipeline import curation_flags, curation_stage_counts
 
-    aug = augmented_docs(spark, sf_dir)
-    keepers = (
-        aug.groupBy(F.md5(F.col("text")).alias("digest"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(True).alias("is_keeper"))
-    )
-    t = F.col("t")
-    g2 = F.transform(
-        _shingle_spans(F.size(t), 2),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
-    flagged = (
-        aug.join(keepers, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
-            ws_tokens(F.lower(F.col("text"))).alias("t"),
-        )
-        .select(
-            "doc_id",
-            "is_keeper",
-            "t",
-            (F.col("is_keeper") & (F.col("doc_id") % 23 != 0)).alias("is_nonbench"),
-        )
-        .select(
-            "doc_id",
-            "is_keeper",
-            "is_nonbench",
-            "t",
-            (F.col("is_nonbench") & repetition_gate(t, g2)).alias("is_qual"),
-        )
-    )
-
-    g5 = F.transform(
-        _shingle_spans(F.size(t), 5),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(5)]),
-    )
-    # TRAP (measured 17 s vs 3 s at sf0.1): `flagged.filter(is_qual)` lets
-    # PushDownPredicates substitute the gate's full expression below the
-    # token projection, re-evaluating ws_tokens once per token reference —
-    # filter pushdown has no duplicate-expensive-expression guard the way
-    # CollapseProject does. Keep the gate OUT of any Filter: explode an
-    # empty array for non-qual rows inside the same projection instead.
-    qgrams = flagged.select(
-        "doc_id",
-        F.explode(
-            F.when(F.col("is_qual"), F.array_distinct(g5)).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("gram"),
-    )
-    bench = (
-        aug.filter(F.col("doc_id") % 23 == 0)
-        .select(ws_tokens(F.lower(F.col("text"))).alias("t"))
-        .select(F.explode(F.array_distinct(g5)).alias("gram"))
-        .distinct()
-    )
-    contam = (
-        qgrams.join(F.broadcast(bench), "gram")
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_contam", F.lit(True))
-    )
-    final = flagged.join(contam, "doc_id", "left").select(
-        "is_keeper",
-        "is_nonbench",
-        "is_qual",
-        (F.col("is_qual") & F.col("is_contam").isNull()).alias("is_clean"),
-    )
-    flag = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
-    return (
-        final.agg(
-            F.count("*").alias("n_raw"),
-            flag("is_keeper").alias("n_exact_keepers"),
-            flag("is_nonbench").alias("n_nonbenchmark"),
-            flag("is_qual").alias("n_quality_pass"),
-            flag("is_clean").alias("n_clean"),
-        )
-        .select(
-            "n_raw",
-            "n_exact_keepers",
-            "n_nonbenchmark",
-            "n_quality_pass",
-            "n_clean",
-            F.round(F.col("n_clean") * 100.0 / F.col("n_raw"), 6).alias(
-                "retention_pct"
-            ),
-        )
-    )
+    return curation_stage_counts(curation_flags(augmented_docs(spark, sf_dir)))
 
 
 # Product quantization: 4 subspaces x 16 dims, codewords hash-sampled from

@@ -39,6 +39,26 @@ from cupertino_nvr_spark.session import get_spark
 from cupertino_nvr_spark.sources.tables import load_table
 
 
+def run_curation_materialize(spark, sf_dir: str, out_dir: str) -> dict:
+    """The report-pinned funnel materialization: ONE DAG from the
+    augmented corpus through exact-dedup -> benchmark exclusion ->
+    quality gate -> decontamination -> token-budget shards, returning the
+    stage counts (identical by construction to docs_curation_report) and
+    the shard manifest totals."""
+    from cupertino_nvr_spark.llm.export import curation_materialize
+    from cupertino_nvr_spark.plans.llm import augmented_docs
+
+    docs = augmented_docs(spark, sf_dir)
+    counts, manifest = curation_materialize(
+        docs, out_dir, token_budget=512, n_buckets=4
+    )
+    report = counts.collect()[0].asDict()
+    shards = manifest.collect()
+    report["n_shards"] = len(shards)
+    report["shard_docs_total"] = sum(r["n_docs"] for r in shards)
+    return report
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="shards_")
@@ -89,6 +109,11 @@ def main() -> None:
     manifest = write_train_shards(kept, out_dir, fmt="parquet")
     print(f"shards written to {out_dir}:")
     manifest.orderBy("split", "bucket", "shard").show(12, truncate=False)
+
+    # 5. the report-pinned single-DAG materialization (exact-dedup ->
+    # quality -> decontam -> shards, stage counts == docs_curation_report)
+    report = run_curation_materialize(spark, sf_dir, out_dir + "_curated")
+    print("curation_materialize:", report)
     spark.stop()
 
 

@@ -54,3 +54,64 @@ def test_shard_export_roundtrip(spark, docs_df, tmp_path, fmt):
 def test_shard_export_rejects_unknown_format(spark, docs_df, tmp_path):
     with pytest.raises(ValueError):
         write_train_shards(docs_df, str(tmp_path / "x"), fmt="csv")
+
+
+def test_curation_materialize_pins_report(spark, tmp_path):
+    """The single-DAG funnel materialization must agree with the
+    oracle-checked docs_curation_report on every stage count, and the
+    written shards must contain exactly the clean survivors (manifest
+    round-trips against the files on disk)."""
+    from cupertino_nvr_spark.llm.export import curation_materialize
+    from cupertino_nvr_spark.llm.pipeline import curation_flags
+    from cupertino_nvr_spark.plans import REGISTRY
+    from cupertino_nvr_spark.plans.llm import augmented_docs
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    docs = augmented_docs(spark, sf)
+    counts, manifest = curation_materialize(docs, out, token_budget=512, n_buckets=4)
+
+    got = counts.collect()[0].asDict()
+    want = REGISTRY["docs_curation_report"].spark(spark, sf).collect()[0].asDict()
+    assert got == want
+
+    mani = manifest.collect()
+    assert sum(r["n_docs"] for r in mani) == want["n_clean"]
+
+    back = spark.read.parquet(out)
+    disk_ids = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    clean_ids = sorted(
+        r["doc_id"]
+        for r in curation_flags(docs).filter("is_clean").select("doc_id").collect()
+    )
+    assert disk_ids == clean_ids
+    # the funnel actually filtered (aug corpus carries planted dups,
+    # benchmark rows, and repetition failures)
+    assert want["n_clean"] < want["n_raw"]
+    # manifest matches disk per shard
+    import pyspark.sql.functions as F  # noqa: N812
+
+    disk = {
+        (r["split"], r["bucket"], r["shard"]): r["n"]
+        for r in back.groupBy("split", "bucket", "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {
+        (r["split"], r["bucket"], r["shard"]): r["n_docs"] for r in mani
+    } == disk
+
+
+def test_curation_materialize_demo_roundtrip(spark, tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from curation_pipeline_demo import run_curation_materialize
+
+    report = run_curation_materialize(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "demo")
+    )
+    assert report["shard_docs_total"] == report["n_clean"]
+    assert report["n_shards"] > 0
+    assert 0 < report["retention_pct"] < 100

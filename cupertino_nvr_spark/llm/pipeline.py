@@ -97,13 +97,19 @@ def components_over_keys(
     are connected iff they transitively share keys. Returns
     (id_col, cluster_id) where cluster_id = min node id in the component.
 
-    Alternating min-label propagation — each round pushes labels
-    node→key (min per key) then key→node (min over a node's keys);
-    a round therefore spans two graph hops, and the loop converges in
-    ⌈diameter/2⌉+1 rounds. Work per round is O(|membership|): no pair
-    join ever happens, which is what makes clustering hot bands safe at
-    scale. Raises if ``max_iter`` rounds don't reach the fixpoint —
-    a loud failure beats a silently-wrong clustering.
+    Alternating min-label propagation with POINTER JUMPING — each round
+    pushes labels node→key (min per key) then key→node (min over a
+    node's keys), then path-halves (label := label's label, one
+    labels-sized equi-join; every label is itself a node id so the hop
+    is total). The key hops alone converge in ⌈diameter/2⌉+1 rounds,
+    which a CHAIN-shaped component makes linear — near-dup graphs are
+    chain-prone (A~B~C with A!~C), and the sf1 cross-modal graph hit a
+    >50-hop chain. Path halving makes the distance-to-min shrink
+    geometrically, so convergence is O(log diameter) rounds. Work per
+    round stays O(|membership| + |nodes|): no pair join ever happens,
+    which is what makes clustering hot bands safe at scale. Raises if
+    ``max_iter`` rounds don't reach the fixpoint — a loud failure beats
+    a silently-wrong clustering.
     """
     labels = nodes.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
     memb = reliable_checkpoint(
@@ -121,20 +127,45 @@ def components_over_keys(
             .groupBy(id_col)
             .agg(F.min("key_label").alias("nbr_label"))
         )
+        # persisted: referenced twice below (self + pointer map) — without
+        # the cache the membership joins above would execute twice a round
+        stepped = (
+            labels.join(via_keys, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("_mid"),
+            )
+            .persist()
+        )
+        # pointer jumping: follow the label one hop (label-of-label);
+        # labels only decrease, so min(_mid, its label) keeps the
+        # component-min invariant while halving chain distances
+        ptr = stepped.select(
+            F.col(id_col).alias("_mid"), F.col("_mid").alias("_mid2")
+        )
         # the change flag rides in the checkpointed frame, so convergence
         # detection is a column sum over the rows this round materializes
         # anyway — no extra old-vs-new join per round
         new_labels = reliable_checkpoint(
-            labels.join(via_keys, id_col, "left")
+            stepped.join(ptr, "_mid", "left")
             .select(
                 F.col(id_col),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("_mid"), F.coalesce(F.col("_mid2"), F.col("_mid"))
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).cast("int").alias("_changed"),
+                (
+                    F.least(
+                        F.col("_mid"), F.coalesce(F.col("_mid2"), F.col("_mid"))
+                    )
+                    < F.col("_old")
+                ).cast("int").alias("_changed"),
             )
         )
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        stepped.unpersist()
         labels = new_labels.drop("_changed")
         if changed == 0:
             return labels.withColumnRenamed("label", "cluster_id")

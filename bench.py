@@ -189,6 +189,7 @@ EXTRAS = [
     "docs_unigram_lm_train",
     "docs_unigram_segment",
     "docs_tokenizer_fertility",
+    "docs_wordpiece_train_merges",
 ]
 
 

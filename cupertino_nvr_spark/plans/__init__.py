@@ -51,6 +51,7 @@ _R9_WINDOW_PRIORITY = [
     "docs_unigram_lm_train",
     "docs_unigram_segment",
     "docs_tokenizer_fertility",
+    "docs_wordpiece_train_merges",
     # fill: relational/TPC-H (family last driver-green r5), in r5 order;
     # the window takes the first 50 overall, the tail overflows naturally
     "pricing_summary", "revenue_by_nation", "shipping_priority",

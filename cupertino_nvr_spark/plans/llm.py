@@ -4201,6 +4201,198 @@ def docs_bpe_tokenized_len(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WordPiece (BERT) tokenizer trainer — the third production tokenizer
+# trainer next to BPE and unigram-LM. Identical greedy-merge loop to BPE
+# (Sennrich-style rounds over the vocabulary-bounded word table) with the
+# published WordPiece objective swapped in: merge the pair maximizing
+# count(xy) / (count(x) * count(y)) — a likelihood gain, preferring
+# pairs whose parts rarely occur apart, where BPE takes raw frequency.
+# The ratio argmax rides FIXED-POINT MICRO-NATS
+# (round((ln(c) - ln(a) - ln(b)) * 1e6) as BIGINT — the unigram trainer's
+# rule) so the selection is an exact integer sort in both engines; ties
+# break on (left, right) like BPE.
+_WP_MERGES = 6
+
+
+def _wp_round_sql(i: int) -> str:
+    s, ss = _BPE_S, _BPE_SS
+    return f"""
+    vs{i} AS (SELECT string_split(enc, '{ss}') AS syms, f FROM v{i}),
+    vu{i} AS (
+      SELECT syms[j] AS sym, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM (SELECT syms, f,
+                   unnest(range(2, greatest(len(syms), 2))) AS j
+            FROM vs{i})
+      GROUP BY 1
+    ),
+    vp{i} AS (
+      SELECT syms[j] AS l, syms[j+1] AS r2, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM (SELECT syms, f,
+                   unnest(range(2, greatest(len(syms) - 1, 2))) AS j
+            FROM vs{i})
+      GROUP BY 1, 2
+    ),
+    vsc{i} AS (
+      SELECT p.l, p.r2, p.cnt,
+             CAST(round((ln(CAST(p.cnt AS DOUBLE)) - ln(CAST(ul.cnt AS DOUBLE))
+                         - ln(CAST(ur.cnt AS DOUBLE))) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM vp{i} p
+      JOIN vu{i} ul ON ul.sym = p.l
+      JOIN vu{i} ur ON ur.sym = p.r2
+    ),
+    vm{i} AS (SELECT l, r2, cnt, score_micro FROM vsc{i}
+              ORDER BY score_micro DESC, l, r2 LIMIT 1),
+    v{i + 1} AS (
+      SELECT w, replace(enc, '{s}' || m.l || '{ss}' || m.r2 || '{s}',
+                        '{s}' || m.l || m.r2 || '{s}') AS enc, f
+      FROM v{i}, vm{i} m
+    )"""
+
+
+_WP_FINAL_SQL = "\n    UNION ALL ".join(
+    f"SELECT {i + 1} AS merge_rank, l AS left_sym, r2 AS right_sym, "
+    f"l || r2 AS merged, cnt AS pair_count, score_micro FROM vm{i}"
+    for i in range(_WP_MERGES)
+)
+
+
+@register(
+    "docs_wordpiece_train_merges",
+    f"""
+    WITH toks AS (
+      SELECT lower(term) AS w FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    v0 AS (
+      SELECT w,
+             '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
+             COUNT(*) AS f
+      FROM toks GROUP BY w
+    ),
+    {",".join(_wp_round_sql(i) for i in range(_WP_MERGES))}
+    {_WP_FINAL_SQL}
+    """,
+    doc=(
+        f"WordPiece (BERT) tokenizer training, {_WP_MERGES} merge rounds: "
+        "the BPE greedy loop with the published likelihood objective — "
+        "merge the pair maximizing count(xy)/(count(x)count(y)), i.e. "
+        "pairs whose parts rarely occur apart — completing the "
+        "production tokenizer-trainer trio (BPE frequency, unigram-LM "
+        "EM, WordPiece likelihood). Same scale shape as "
+        "docs_bpe_train_merges: the corpus collapses ONCE to the "
+        "vocabulary-bounded word table; every round is one symbol count "
+        "+ one pair count (both map-side combined), a 1-row argmax over "
+        "fixed-point micro-nat scores (exact integer sort, (l, r) "
+        "tiebreak), one string replace. Oracle unrolls the identical "
+        "rounds as CTEs."
+    ),
+)
+def docs_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    enc0 = F.concat(
+        F.lit(_BPE_SS), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SS)
+    )
+    state = reliable_checkpoint(words.select("w", enc0.alias("enc"), "f"))
+    merge_rows = []
+    for i in range(_WP_MERGES):
+        syms = F.split(F.col("enc"), _BPE_SS)
+        n = F.size(syms)
+        sym_spans = F.when(n >= 3, F.sequence(F.lit(2), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        ucounts = (
+            state.select(
+                F.explode(
+                    F.transform(sym_spans, lambda j: F.element_at(syms, j))
+                ).alias("sym"),
+                "f",
+            )
+            .groupBy("sym")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+        # pair spans: same n >= 4 guard as the BPE trainer (F.sequence
+        # REVERSES when the upper bound is below the lower)
+        pair_spans = F.when(
+            n >= 4, F.sequence(F.lit(2), n - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pair = F.explode(
+            F.transform(
+                pair_spans,
+                lambda j: F.struct(
+                    F.element_at(syms, j).alias("l"),
+                    F.element_at(syms, j + 1).alias("r2"),
+                ),
+            )
+        )
+        pcounts = (
+            state.select(pair.alias("p"), "f")
+            .groupBy("p.l", "p.r2")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+        ul = ucounts.select(F.col("sym").alias("l"), F.col("cnt").alias("ucnt_l"))
+        ur = ucounts.select(F.col("sym").alias("r2"), F.col("cnt").alias("ucnt_r"))
+        scored = (
+            pcounts.join(F.broadcast(ul), "l")
+            .join(F.broadcast(ur), "r2")
+            .select(
+                "l",
+                "r2",
+                "cnt",
+                F.round(
+                    (
+                        F.log(F.col("cnt").cast("double"))
+                        - F.log(F.col("ucnt_l").cast("double"))
+                        - F.log(F.col("ucnt_r").cast("double"))
+                    )
+                    * 1000000,
+                    0,
+                )
+                .cast("bigint")
+                .alias("score_micro"),
+            )
+        )
+        m = scored.orderBy(
+            F.col("score_micro").desc(), F.col("l"), F.col("r2")
+        ).limit(1)
+        merge_rows.append(
+            m.select(
+                F.lit(i + 1).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r2").alias("right_sym"),
+                F.concat("l", "r2").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+                "score_micro",
+            )
+        )
+        pattern = F.concat(
+            F.lit(_BPE_S), F.col("l"), F.lit(_BPE_SS), F.col("r2"), F.lit(_BPE_S)
+        )
+        replacement = F.concat(
+            F.lit(_BPE_S), F.col("l"), F.col("r2"), F.lit(_BPE_S)
+        )
+        state = reliable_checkpoint(
+            state.crossJoin(F.broadcast(m)).select(
+                "w",
+                F.replace(F.col("enc"), pattern, replacement).alias("enc"),
+                "f",
+            )
+        )
+    out = merge_rows[0]
+    for mr in merge_rows[1:]:
+        out = out.unionAll(mr)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer trainer — the other
 # half of production tokenizer training, complementing the BPE family.
 # Hard-EM over the vocabulary-bounded word table: seed vocab = top-V

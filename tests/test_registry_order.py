@@ -29,6 +29,7 @@ R9_DEBUTS = {
     "docs_unigram_lm_train",
     "docs_unigram_segment",
     "docs_tokenizer_fertility",
+    "docs_wordpiece_train_merges",
 }
 
 # relational/TPC-H family: last driver-green r5, the stalest family and

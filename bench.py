@@ -190,6 +190,7 @@ EXTRAS = [
     "docs_unigram_segment",
     "docs_tokenizer_fertility",
     "docs_wordpiece_train_merges",
+    "events_holt_winters",
 ]
 
 

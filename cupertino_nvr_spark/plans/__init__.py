@@ -52,6 +52,7 @@ _R9_WINDOW_PRIORITY = [
     "docs_unigram_segment",
     "docs_tokenizer_fertility",
     "docs_wordpiece_train_merges",
+    "events_holt_winters",
     # fill: relational/TPC-H (family last driver-green r5), in r5 order;
     # the window takes the first 50 overall, the tail overflows naturally
     "pricing_summary", "revenue_by_nation", "shipping_priority",

@@ -1752,6 +1752,192 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Additive Holt-Winters (level + trend + weekly seasonality) forecast-
+# residual anomaly detection on the per-type daily series — the seasonal
+# upgrade of events_ewma_anomaly (a weekly-cycled metric false-alarms
+# every weekend under a level-only forecast). Smoothing constants are
+# exact binary fractions (1/2, 1/4) and every recurrence step runs in
+# EXACT DECIMAL arithmetic quantized to 6 decimals (HALF_UP both
+# engines), so the sequential triple (level, trend, seasonal) replays
+# bit-for-bit; the only float ops are the two init means and the final
+# pct_dev division (IEEE-identical given identical inputs).
+_HW_M = 7
+_HW_MIN_DAYS = 2 * _HW_M + 1
+
+
+def _hw_kernel(pdf):
+    """Per-type Holt-Winters recurrence over the days-bounded daily frame
+    (the Markov-kernel pattern: sequential arithmetic on a domain-bounded
+    frame, exact fixed-point so the SQL oracle replays it)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    q = Decimal("0.000001")
+
+    def q6(d: Decimal) -> Decimal:
+        return d.quantize(q, ROUND_HALF_UP)
+
+    def rrepr(x: float) -> float:
+        # Spark/DuckDB round(double, 6): HALF_UP on the shortest repr
+        return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
+
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    if len(pdf) < _HW_MIN_DAYS:
+        return pd.DataFrame(
+            columns=[
+                "event_type", "day", "total_value", "idx", "level", "trend",
+                "seasonal", "forecast", "resid", "pct_dev", "is_anomaly",
+            ]
+        )
+    xs = [Decimal(int(c)) / 100 for c in pdf["cents"]]
+    m = _HW_M
+    alpha, beta, gamma1 = Decimal("0.5"), Decimal("0.25"), Decimal("0.75")
+    level = Decimal(repr(rrepr(float(sum(xs[:m], Decimal(0))) / m)))
+    trend = Decimal(
+        repr(
+            rrepr(
+                (
+                    float(sum(xs[m : 2 * m], Decimal(0)))
+                    - float(sum(xs[:m], Decimal(0)))
+                )
+                / (m * m)
+            )
+        )
+    )
+    sh = [q6(x - level) for x in xs[:m]]
+    rows = []
+    for i in range(m, len(xs)):
+        x = xs[i]
+        s_tm = sh[0]
+        forecast = level + trend + s_tm
+        lnew = q6(alpha * (x - s_tm) + alpha * (level + trend))
+        bnew = q6(beta * (lnew - level) + gamma1 * trend)
+        snew = q6(beta * (x - lnew) + gamma1 * s_tm)
+        resid = x - forecast
+        fc_f = float(forecast)
+        if fc_f != 0.0:
+            pct = rrepr(float(resid) / fc_f)
+        else:  # mirror IEEE double division
+            rf = float(resid)
+            pct = float("inf") if rf > 0 else float("-inf") if rf < 0 else float("nan")
+        rows.append(
+            (
+                pdf["event_type"].iloc[0],
+                pdf["day"].iloc[i],
+                float(x),
+                i + 1,
+                float(lnew),
+                float(bnew),
+                float(snew),
+                float(forecast),
+                float(resid),
+                pct,
+                int(2 * abs(resid) > abs(forecast)),
+            )
+        )
+        level, trend = lnew, bnew
+        sh = sh[1:] + [snew]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "event_type", "day", "total_value", "idx", "level", "trend",
+            "seasonal", "forecast", "resid", "pct_dev", "is_anomaly",
+        ],
+    )
+
+
+@register(
+    "events_holt_winters",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(24,6)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ),
+    elig AS (SELECT * FROM seq WHERE n_days >= {_HW_MIN_DAYS}),
+    init AS (
+      SELECT event_type,
+             CAST(round(CAST(SUM(CASE WHEN idx <= {_HW_M} THEN x END) AS DOUBLE)
+                        / {_HW_M}, 6) AS DECIMAL(24,6)) AS l0,
+             CAST(round((CAST(SUM(CASE WHEN idx BETWEEN {_HW_M + 1} AND {2 * _HW_M} THEN x END) AS DOUBLE)
+                         - CAST(SUM(CASE WHEN idx <= {_HW_M} THEN x END) AS DOUBLE))
+                        / {_HW_M * _HW_M}, 6) AS DECIMAL(24,6)) AS b0
+      FROM elig WHERE idx <= {2 * _HW_M} GROUP BY event_type
+    ),
+    s0 AS (
+      SELECT e.event_type, list(CAST(e.x - i.l0 AS DECIMAL(24,6)) ORDER BY e.idx) AS sh
+      FROM elig e JOIN init i USING (event_type) WHERE e.idx <= {_HW_M}
+      GROUP BY e.event_type
+    ),
+    hw AS (
+      SELECT i.event_type, CAST({_HW_M} AS BIGINT) AS idx, i.l0 AS l, i.b0 AS b,
+             s.sh AS sh, CAST(NULL AS DECIMAL(24,6)) AS x,
+             CAST(NULL AS TIMESTAMP) AS day,
+             CAST(NULL AS DECIMAL(24,6)) AS forecast
+      FROM init i JOIN s0 s USING (event_type)
+      UNION ALL
+      SELECT event_type, idx, lnew AS l,
+             CAST(round(0.25 * (lnew - l) + 0.75 * b, 6) AS DECIMAL(24,6)) AS b,
+             sh[2:] || [CAST(round(0.25 * (x - lnew) + 0.75 * sh[1], 6) AS DECIMAL(24,6))] AS sh,
+             x, day,
+             CAST(l + b + sh[1] AS DECIMAL(24,6)) AS forecast
+      FROM (
+        SELECT h.event_type, e.idx,
+               CAST(round(0.5 * (e.x - h.sh[1]) + 0.5 * (h.l + h.b), 6) AS DECIMAL(24,6)) AS lnew,
+               h.l AS l, h.b AS b, h.sh AS sh, e.x AS x, e.day AS day
+        FROM hw h JOIN elig e ON e.event_type = h.event_type AND e.idx = h.idx + 1
+      )
+    )
+    SELECT event_type, day, CAST(x AS DOUBLE) AS total_value, idx,
+           CAST(l AS DOUBLE) AS level, CAST(b AS DOUBLE) AS trend,
+           CAST(sh[{_HW_M}] AS DOUBLE) AS seasonal,
+           CAST(forecast AS DOUBLE) AS forecast,
+           CAST(x - forecast AS DOUBLE) AS resid,
+           round(CAST(x - forecast AS DOUBLE) / CAST(forecast AS DOUBLE), 6) AS pct_dev,
+           CAST(2 * abs(x - forecast) > abs(forecast) AS INT) AS is_anomaly
+    FROM hw WHERE idx > {_HW_M}
+    """,
+    doc=(
+        "Additive Holt-Winters forecast-residual anomaly detection per "
+        "event type: level + trend + weekly (m=7) seasonality, the "
+        "seasonal upgrade of events_ewma_anomaly. The fact table "
+        "contributes ONE map-side-combined daily rollup; the sequential "
+        "triple-recurrence runs as an Arrow-batched kernel over the "
+        "(type x day) frame — bounded by the time domain, never the "
+        "corpus (the Markov-kernel pattern). Smoothing constants are "
+        "exact binary fractions and every step is exact DECIMAL "
+        "quantized to 6 (HALF_UP both engines), so level/trend/seasonal "
+        "replay bit-for-bit; the oracle unrolls the recurrence as a "
+        "recursive CTE carrying the m-slot seasonal ring as a DECIMAL "
+        "list. Types with fewer than 2m+1 observed days are skipped "
+        "(insufficient initialization window); anomaly = |residual| > "
+        "50% of |forecast| as an exact decimal comparison."
+    ),
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    schema = (
+        "event_type string, day timestamp, total_value double, idx bigint, "
+        "level double, trend double, seasonal double, forecast double, "
+        "resid double, pct_dev double, is_anomaly int"
+    )
+    return daily.groupBy("event_type").applyInPandas(_hw_kernel, schema)
+
+
 # Markov-chain attribution by removal effect (Anderl et al. 2014, the
 # standard data-driven alternative to last-touch): build the first-order
 # journey chain (START -> channels -> CONV/NULL, truncated at the first

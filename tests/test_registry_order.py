@@ -30,6 +30,7 @@ R9_DEBUTS = {
     "docs_unigram_segment",
     "docs_tokenizer_fertility",
     "docs_wordpiece_train_merges",
+    "events_holt_winters",
 }
 
 # relational/TPC-H family: last driver-green r5, the stalest family and

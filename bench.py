@@ -408,13 +408,16 @@ def main() -> None:
                 if val > 0 and (k not in prior or val < prior[k]):
                     prior[k] = val
 
+    # absolute floor on prior-relative anomalies: 2x a 0.3 s prior is
+    # scheduling noise, not a regression worth a fresh-JVM probe
+    reprobe_floor = float(os.environ.get("SPARK_GRAFT_REPROBE_FLOOR", "1.5"))
     outliers = [
         n
         for n, t in extras.items()
         if n not in OPS
         and t is not None
         and (
-            t > 2 * prior[n]
+            t > max(reprobe_floor, 2 * prior[n])
             if n in prior
             else t > reprobe_threshold
         )

@@ -7325,7 +7325,13 @@ def _mmr_round_sql(r: int) -> str:
         "Arrow-batched kernel over #probes rows (inputs pre-rounded to "
         "6 decimals, so both engines argmax identical doubles). "
         "Production swaps the panel for the query batch and the "
-        "brute-force leg for the IVF/LSH candidate chain."
+        "brute-force leg for the IVF/LSH candidate chain. "
+        "panel_saturated_at: sf1 — ids are denser than the vec_id < "
+        "20000 bound, so the 200-slot panel only fills at sf1 (20 "
+        "probes at sf0.1); the sf0.1 bench constant understates the "
+        "per-query cost, whose true saturated number is the sf1 record "
+        "(~8 s, measured linear post-saturation: 1.9x for 2x data with "
+        "the panel pinned at 200 in both legs, ROUND_NOTES_r09)."
     ),
 )
 def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -191,6 +191,8 @@ EXTRAS = [
     "docs_tokenizer_fertility",
     "docs_wordpiece_train_merges",
     "events_holt_winters",
+    "docs_substring_excise_plan",
+    "docs_cluster_bcubed",
 ]
 
 

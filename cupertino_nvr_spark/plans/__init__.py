@@ -53,6 +53,8 @@ _R9_WINDOW_PRIORITY = [
     "docs_tokenizer_fertility",
     "docs_wordpiece_train_merges",
     "events_holt_winters",
+    "docs_substring_excise_plan",
+    "docs_cluster_bcubed",
     # fill: relational/TPC-H (family last driver-green r5), in r5 order;
     # the window takes the first 50 overall, the tail overflows naturally
     "pricing_summary", "revenue_by_nation", "shipping_priority",

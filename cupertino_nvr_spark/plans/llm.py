@@ -1284,6 +1284,98 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dup_cluster_frames(spark, sf_dir)[1]
 
 
+# B-cubed clustering quality (Bagga & Baldwin 1998, the standard
+# extrinsic clustering eval): score the MinHash-band candidate clusters
+# against the corpus-construction gold (every augmented variant's gold
+# class is its source doc: doc_id % 1e6 — exact copies, tail near-copies,
+# cased variants, and the sub-shingle-width truncations all belong with
+# their source). Element-averaged precision/recall reduce to
+# sum(n_ij^2 / |C_i|) / N and sum(n_ij^2 / |G_j|) / N over the
+# (cluster, gold) contingency counts — O(elements), never pairwise.
+@register(
+    "docs_cluster_bcubed",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTE_SQL},
+    labeled AS (
+      SELECT doc_id, cluster_id, doc_id % 1000000 AS gold_id FROM comp
+    ),
+    cont AS (
+      SELECT cluster_id, gold_id, COUNT(*) AS nij
+      FROM labeled GROUP BY 1, 2
+    ),
+    csz AS (SELECT cluster_id, COUNT(*) AS ci FROM labeled GROUP BY 1),
+    gsz AS (SELECT gold_id, COUNT(*) AS gj FROM labeled GROUP BY 1),
+    terms AS (
+      SELECT CAST(round(CAST(nij * nij AS DOUBLE) / ci, 9) AS DECIMAL(24,9)) AS p_term,
+             CAST(round(CAST(nij * nij AS DOUBLE) / gj, 9) AS DECIMAL(24,9)) AS r_term,
+             nij
+      FROM cont JOIN csz USING (cluster_id) JOIN gsz USING (gold_id)
+    ),
+    agg AS (
+      SELECT CAST(SUM(nij) AS BIGINT) AS n_elements,
+             CAST(SUM(p_term) AS DOUBLE) AS psum,
+             CAST(SUM(r_term) AS DOUBLE) AS rsum
+      FROM terms
+    )
+    SELECT n_elements,
+           round(psum / n_elements, 6) AS bcubed_precision,
+           round(rsum / n_elements, 6) AS bcubed_recall,
+           round(2 * (psum / n_elements) * (rsum / n_elements)
+                 / (psum / n_elements + rsum / n_elements), 6) AS bcubed_f1
+    FROM agg
+    """,
+    doc=(
+        "B-cubed clustering quality (Bagga & Baldwin 1998) of the "
+        "MinHash-band candidate dup clusters against the corpus-"
+        "construction gold (gold class = source doc id; the truncated "
+        "variants are sub-shingle-width, so perfect recall is "
+        "structurally impossible — the eval measures exactly that "
+        "blocking tradeoff). Element-averaged precision/recall reduce "
+        "to contingency-count identities (sum nij^2/|C| and nij^2/|G| "
+        "over (cluster, gold) cells) — O(elements) aggregates on the "
+        "SAME shared cluster chain as docs_dup_clusters, never a "
+        "pairwise join; per-cell terms ride fixed-point DECIMAL(24,9) "
+        "so the averages hash-match across engines."
+    ),
+)
+def docs_cluster_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug, clusters = _dup_cluster_frames(spark, sf_dir)
+    labeled = clusters.select(
+        "doc_id", "cluster_id", (F.col("doc_id") % 1000000).alias("gold_id")
+    )
+    cont = labeled.groupBy("cluster_id", "gold_id").agg(
+        F.count("*").alias("nij")
+    )
+    csz = labeled.groupBy("cluster_id").agg(F.count("*").alias("ci"))
+    gsz = labeled.groupBy("gold_id").agg(F.count("*").alias("gj"))
+    terms = (
+        cont.join(csz, "cluster_id")
+        .join(gsz, "gold_id")
+        .select(
+            "nij",
+            F.round((F.col("nij") * F.col("nij")).cast("double") / F.col("ci"), 9)
+            .cast("decimal(24,9)")
+            .alias("p_term"),
+            F.round((F.col("nij") * F.col("nij")).cast("double") / F.col("gj"), 9)
+            .cast("decimal(24,9)")
+            .alias("r_term"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("nij").cast("bigint").alias("n_elements"),
+        F.sum("p_term").cast("double").alias("psum"),
+        F.sum("r_term").cast("double").alias("rsum"),
+    )
+    p = F.col("psum") / F.col("n_elements")
+    r = F.col("rsum") / F.col("n_elements")
+    return agg.select(
+        "n_elements",
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), 6).alias("bcubed_f1"),
+    )
+
+
 @register(
     "docs_dedup_survivors",
     f"""
@@ -5184,6 +5276,137 @@ def docs_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_gram_frac"
         ),
         F.coalesce(F.col("first_dup_pos"), F.lit(0)).alias("first_dup_pos"),
+    )
+
+
+# The EXCISION half of exact-substring dedup: docs_substring_dup_spans
+# finds duplicated k-token windows; this plan merges each doc's
+# duplicated windows into maximal excision islands (interval union —
+# overlapping or adjacent windows coalesce) and emits the cut list a
+# span-removal materializer executes, Lee et al. 2022's actual dedup
+# action ("we remove the duplicated span, keeping the rest of the
+# document"). Interval union is the classic sorted running-max-end
+# window: a window starting past (previous max end + 1) opens a new
+# island.
+
+
+@register(
+    "docs_substring_excise_plan",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM aug
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(CASE WHEN len(toks) >= {_SUBSTR_K}
+                         THEN range(1, len(toks) - {_SUBSTR_K} + 2)
+                         ELSE [] END) AS pos
+      FROM tok
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             {_md5_int_sql(f"array_to_string(list_slice(toks, pos, pos + {_SUBSTR_K} - 1), ' ')", 11)} AS gram
+      FROM pos
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    iv AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + {_SUBSTR_K} - 1 AS e
+      FROM grams g SEMI JOIN dup USING (gram)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) >= s - 1
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island_idx
+      FROM flagged
+    )
+    SELECT doc_id, CAST(island_idx AS INT) AS island_idx,
+           CAST(MIN(s) AS BIGINT) AS start_tok,
+           CAST(MAX(e) AS BIGINT) AS end_tok,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS island_len,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_id, island_idx
+    """,
+    doc=(
+        "Exact-substring EXCISION plan (the action half of Lee et al. "
+        "2022's suffix-array dedup; docs_substring_dup_spans is the "
+        "detection half, chain shared): each doc's duplicated k-token "
+        "windows merge into maximal excision islands via interval union "
+        "— one per-doc sorted window pass (running max end; a window "
+        "starting past prev_max_end+1 opens a new island), emitting the "
+        "(start_tok, end_tok) cut list a span-removal writer executes. "
+        "Scale shape: the gram digest groupBy + semi join are the "
+        "detection chain's (map-side combined, digest-partitioned); the "
+        "union windows are partitioned per doc over its duplicated "
+        "windows only — no all-pairs, no global sort."
+    ),
+)
+def docs_substring_excise_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.dedup import md5_int
+
+    k = _SUBSTR_K
+    aug = augmented_docs(spark, sf_dir)
+    tok = aug.select(
+        "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("toks")
+    )
+    spans = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = tok.select("doc_id", F.explode(spans).alias("pos"), "toks").select(
+        "doc_id",
+        "pos",
+        md5_int(F.array_join(F.slice("toks", F.col("pos"), k), " "), seed=11).alias(
+            "gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    iv = grams.join(dup, "gram", "left_semi").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e")
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(wprev) >= F.col("s") - 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = flagged.select(
+        "doc_id", "s", "e", F.sum("new_island").over(wrun).alias("island_idx")
+    )
+    return isl.groupBy("doc_id", F.col("island_idx").cast("int").alias("island_idx")).agg(
+        F.min("s").cast("bigint").alias("start_tok"),
+        F.max("e").cast("bigint").alias("end_tok"),
+        (F.max("e") - F.min("s") + 1).cast("bigint").alias("island_len"),
+        F.count("*").alias("n_windows"),
     )
 
 

@@ -31,6 +31,8 @@ R9_DEBUTS = {
     "docs_tokenizer_fertility",
     "docs_wordpiece_train_merges",
     "events_holt_winters",
+    "docs_substring_excise_plan",
+    "docs_cluster_bcubed",
 }
 
 # relational/TPC-H family: last driver-green r5, the stalest family and

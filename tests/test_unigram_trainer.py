@@ -134,3 +134,74 @@ def test_tokenizer_fertility_shapes(spark, tmp_path):
     for r in rows.values():
         assert r.n_units >= r.n_words  # every word is >= 1 unit
         assert r.n_units <= r.n_chars  # and <= its characters
+
+
+def _brute_best(w: str, vocab: dict[str, int]):
+    """All segmentations of w into vocab pieces (len <= _UNI_MAXP),
+    scored by summed micro-nat log-probs; best by (score, then the DP's
+    greedy longer-piece tiebreak encoded as the lexicographically LAST
+    reversed-length vector among score ties)."""
+    segs = []
+
+    def rec(pos, acc):
+        if pos == len(w):
+            segs.append(list(acc))
+            return
+        for ln in range(1, min(_UNI_MAXP, len(w) - pos) + 1):
+            piece = w[pos : pos + ln]
+            if piece in vocab:
+                acc.append(piece)
+                rec(pos + ln, acc)
+                acc.pop()
+
+    rec(0, [])
+    if not segs:
+        return None
+    return max(
+        segs,
+        key=lambda s: (
+            sum(vocab[p] for p in s),
+            # the DP prefers the longer piece at every position from the
+            # END backwards: encode as the tuple of piece lengths
+            # right-to-left
+            tuple(len(p) for p in reversed(s)),
+        ),
+    )
+
+
+def test_viterbi_matches_bruteforce_enumeration():
+    """Property: on every word up to 7 chars over a small alphabet with a
+    randomized-but-deterministic vocab, the reference Viterbi (which the
+    Spark DP is golden-pinned to) must return a maximum-score
+    segmentation, and its score must equal the brute-force max."""
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abc"
+    pieces = [
+        "".join(p)
+        for ln in range(1, _UNI_MAXP + 1)
+        for p in itertools.product(alphabet, repeat=ln)
+    ]
+    # vocab: all single chars (coverage) + a random half of longer pieces
+    vocab = {p: -rng.randint(1_000_000, 20_000_000) for p in pieces
+             if len(p) == 1 or rng.random() < 0.5}
+    checked = 0
+    for ln in range(1, 8):
+        for tup in itertools.product(alphabet, repeat=ln):
+            w = "".join(tup)
+            if rng.random() > 120 / (3 ** ln):  # sample the larger spaces
+                continue
+            got = _viterbi(w, vocab)  # backtrace order: END piece first
+            want = _brute_best(w, vocab)  # forward order
+            assert got is not None and want is not None, w
+            gs = sum(vocab[p] for p in got)
+            ws = sum(vocab[p] for p in want)
+            assert gs == ws, (w, got, want)
+            # the tiebreak is exactly the backward longer-piece rule
+            assert tuple(len(p) for p in got) == tuple(
+                len(p) for p in reversed(want)
+            ), (w, got, want)
+            checked += 1
+    assert checked > 150, checked

@@ -1918,7 +1918,10 @@ def _hw_kernel(pdf):
         "recursive CTE carrying the m-slot seasonal ring as a DECIMAL "
         "list. Types with fewer than 2m+1 observed days are skipped "
         "(insufficient initialization window); anomaly = |residual| > "
-        "50% of |forecast| as an exact decimal comparison."
+        "50% of |forecast| as an exact decimal comparison. Streaming "
+        "twin: streaming/ewma.py::holt_winters_stream shares THIS "
+        "plan's recurrence kernel over the same keyed day-grid state — "
+        "final emission pinned exactly equal under arbitrary chopping."
     ),
 )
 def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:

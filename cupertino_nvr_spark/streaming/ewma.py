@@ -178,9 +178,69 @@ def ewma_anomaly_stream(events: DataFrame, weights: list[float]) -> DataFrame:
     )
 
 
+HW_OUTPUT_SCHEMA = (
+    "event_type string, day timestamp, total_value double, idx bigint, "
+    "level double, trend double, seasonal double, forecast double, "
+    "resid double, pct_dev double, is_anomaly int"
+)
+
+
+def holt_winters_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_holt_winters`` plan: the SAME
+    keyed day-grid state as ``ewma_anomaly_stream`` (exact integer cents
+    per (type, day) — order-insensitive under any chopping), re-running
+    the batch plan's OWN recurrence kernel (``plans/temporal.py::
+    _hw_kernel`` — level/trend/seasonal cannot fork between the twins)
+    over the accumulated grid after every micro-batch and re-emitting the
+    type's full anomaly frame. Build the input with ``ewma_daily_grid``.
+
+    State: 2 bigints per (type, day), bounded by the time domain;
+    production prunes closed days behind watermark-lookback exactly like
+    the EWMA twin."""
+    from cupertino_nvr_spark.plans.temporal import _hw_kernel
+
+    def update_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        days, cents = state.get if state.exists else ([], [])
+        acc = dict(zip(list(days), list(cents)))
+        seen = False
+        for pdf in pdfs:
+            for d, c in zip(pdf["day_epoch"].values, pdf["cents"].values):
+                acc[int(d)] = acc.get(int(d), 0) + int(c)
+                seen = True
+        if not seen and not state.exists:
+            return
+        ds = sorted(acc)
+        state.update((ds, [acc[d] for d in ds]))
+        grid = pd.DataFrame(
+            {
+                "event_type": event_type,
+                "day": pd.to_datetime(ds, unit="D"),
+                "cents": [acc[d] for d in ds],
+            }
+        )
+        out = _hw_kernel(grid)
+        if len(out):
+            yield out
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update_fn,
+        HW_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 __all__ = [
     "ewma_anomaly_stream",
     "ewma_daily_grid",
     "ewma_weights",
+    "holt_winters_stream",
     "EWMA_OUTPUT_SCHEMA",
+    "HW_OUTPUT_SCHEMA",
 ]

@@ -1347,3 +1347,65 @@ def test_ewma_anomaly_stream_matches_batch(spark, stream_dir):
             and e["is_anomaly"] == r["is_anomaly"]
             for e in emissions
         ), key
+
+
+# streaming Holt-Winters (twin of events_holt_winters)
+
+
+def test_holt_winters_stream_matches_batch(spark, stream_dir):
+    """The twin shares the batch plan's own recurrence kernel and
+    accumulates exact integer cents, so under ANY chopping the final
+    emission equals the batch rows EXACTLY (every column, no tolerance).
+    Same replay mechanics as the EWMA twin; the final frame per (type,
+    idx) must appear in the output and per-(type, idx) n-row growth is
+    monotone in days seen."""
+    from cupertino_nvr_spark.plans import REGISTRY
+    from cupertino_nvr_spark.sources.tables import load_table
+    from cupertino_nvr_spark.streaming.ewma import (
+        ewma_daily_grid,
+        holt_winters_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf)
+    grid = ewma_daily_grid(ev).select(
+        "event_type", "day_epoch", "cents",
+        F.monotonically_increasing_id().alias("_rid"),
+    )
+    rows = grid.orderBy("_rid").collect()
+    n = len(rows)
+    bounds = [0, n // 3, (3 * n) // 5, n]
+    src = f"{stream_dir}/hwev"
+    write_batches(
+        [
+            spark.createDataFrame(
+                [(r["event_type"], r["day_epoch"], r["cents"]) for r in chunk],
+                "event_type string, day_epoch int, cents long",
+            )
+            for chunk in (rows[lo:hi] for lo, hi in zip(bounds, bounds[1:]))
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("event_type string, day_epoch int, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        holt_winters_stream(stream), stream_dir, output_mode="update"
+    ).collect()
+    assert out
+    got = {}
+    for r in out:
+        got.setdefault((r["event_type"], r["idx"]), []).append(r)
+    batch = REGISTRY["events_holt_winters"].spark(spark, sf).collect()
+    assert batch
+    cols = [
+        "day", "total_value", "level", "trend", "seasonal", "forecast",
+        "resid", "pct_dev", "is_anomaly",
+    ]
+    for b in batch:
+        emissions = got[(b["event_type"], b["idx"])]
+        assert any(
+            all(e[c] == b[c] for c in cols) for e in emissions
+        ), (b["event_type"], b["idx"])

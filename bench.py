@@ -487,8 +487,12 @@ def main() -> None:
     # full per-query record for the NEXT run's prior-cost baseline (the
     # driver's own record keeps only a stdout tail fragment). Only the
     # round-record scale persists — a sf0.001 smoke run must not clobber
-    # the sf0.1 priors (the file holds ONE record).
-    if not headline_only and abs(float(sf) - 0.1) < 1e-9:
+    # the round-record priors (the file holds ONE record). The record
+    # scale follows SPARK_GRAFT_RECORD_SF (default 0.1) so a future
+    # round-record scale change (e.g. sf1) keeps refreshing the prior
+    # baseline the prior-relative reprobe trigger depends on.
+    record_sf = float(os.environ.get("SPARK_GRAFT_RECORD_SF", "0.1"))
+    if not headline_only and abs(float(sf) - record_sf) < 1e-9:
         try:
             (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
                 json.dumps(result)

@@ -90,19 +90,23 @@ def curation_materialize(
 
     Returns (stage_counts, shard_manifest). The flag frame is persisted
     once and feeds BOTH the clean-doc filter under the shard write and
-    the stage-count aggregate — the corpus is scanned for flags once and
-    for shard payloads once, never once per stage; at 100 TB this is the
-    difference between a 2-scan job and a 5-scan one.
+    the stage-count aggregate — one flag DAG with no per-stage recompute
+    plus one payload scan under the shard write, never one scan per
+    stage; at 100 TB this is the difference between a 2-pass job and a
+    5-pass one. The caller owns unpersisting the cached flag frame: call
+    ``spark.catalog.clearCache()`` or collect the returned stage_counts
+    and then ``stage_counts.sparkSession.catalog.clearCache()`` once both
+    returned frames have been consumed (the manifest and the counts both
+    read it lazily, so unpersisting inside would defeat the sharing).
     """
     from cupertino_nvr_spark.llm.pipeline import (
         curation_flags,
         curation_stage_counts,
     )
 
-    flags = curation_flags(docs).persist()
+    flags = curation_flags(docs, id_col=id_col, text_col=text_col).persist()
     clean = docs.join(
-        flags.filter(F.col("is_clean")).select(F.col("doc_id").alias(id_col)),
-        id_col,
+        flags.filter(F.col("is_clean")).select(id_col), id_col
     )
     manifest = write_train_shards(
         clean,

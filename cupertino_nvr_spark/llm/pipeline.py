@@ -224,16 +224,21 @@ def dedup_survivors(
     )
 
 
-def curation_flags(docs: DataFrame) -> DataFrame:
+def curation_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """Per-doc monotone curation-funnel flags — THE funnel definition,
     shared by the ``docs_curation_report`` query and
     ``llm.export.curation_materialize`` so the report and the shards it
-    gates can never drift: (doc_id, is_keeper [exact-dedup winner],
+    gates can never drift: (id_col, is_keeper [exact-dedup winner],
     is_nonbench [not in the held-out benchmark slice], is_qual
     [repetition/quality gate], is_clean [5-gram decontamination]).
+    ``id_col`` must be numeric (the benchmark slice is a modulus residue).
 
-    Single-pass shape (the docs_curation_report plan): every doc carries
-    its flags through one projection chain; the only shuffles are the
+    One-DAG shape (the docs_curation_report plan): every doc carries its
+    flags through one projection chain with no per-stage recompute — the
+    flag DAG reads docs in three subtrees (keeper digests, the flag
+    projection, the 1/23 benchmark slice); the only shuffles are the
     digest groupBy, the keeper join, and the broadcast contamination gram
     join. The quality gate stays OUT of any Filter (an exploded
     empty-array instead) — filter pushdown would re-evaluate the token
@@ -243,9 +248,9 @@ def curation_flags(docs: DataFrame) -> DataFrame:
     from cupertino_nvr_spark.llm.text import repetition_gate
 
     keepers = (
-        docs.groupBy(F.md5(F.col("text")).alias("digest"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(True).alias("is_keeper"))
+        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, F.lit(True).alias("is_keeper"))
     )
     t = F.col("t")
     g2 = F.transform(
@@ -253,20 +258,20 @@ def curation_flags(docs: DataFrame) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
     )
     flagged = (
-        docs.join(keepers, "doc_id", "left")
+        docs.join(keepers, id_col, "left")
         .select(
-            "doc_id",
+            id_col,
             F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
-            ws_tokens(F.lower(F.col("text"))).alias("t"),
+            ws_tokens(F.lower(F.col(text_col))).alias("t"),
         )
         .select(
-            "doc_id",
+            id_col,
             "is_keeper",
             "t",
-            (F.col("is_keeper") & (F.col("doc_id") % 23 != 0)).alias("is_nonbench"),
+            (F.col("is_keeper") & (F.col(id_col) % 23 != 0)).alias("is_nonbench"),
         )
         .select(
-            "doc_id",
+            id_col,
             "is_keeper",
             "is_nonbench",
             "t",
@@ -278,7 +283,7 @@ def curation_flags(docs: DataFrame) -> DataFrame:
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(5)]),
     )
     qgrams = flagged.select(
-        "doc_id",
+        id_col,
         F.explode(
             F.when(F.col("is_qual"), F.array_distinct(g5)).otherwise(
                 F.array().cast("array<string>")
@@ -286,19 +291,19 @@ def curation_flags(docs: DataFrame) -> DataFrame:
         ).alias("gram"),
     )
     bench = (
-        docs.filter(F.col("doc_id") % 23 == 0)
-        .select(ws_tokens(F.lower(F.col("text"))).alias("t"))
+        docs.filter(F.col(id_col) % 23 == 0)
+        .select(ws_tokens(F.lower(F.col(text_col))).alias("t"))
         .select(F.explode(F.array_distinct(g5)).alias("gram"))
         .distinct()
     )
     contam = (
         qgrams.join(F.broadcast(bench), "gram")
-        .select("doc_id")
+        .select(id_col)
         .distinct()
         .withColumn("is_contam", F.lit(True))
     )
-    return flagged.join(contam, "doc_id", "left").select(
-        "doc_id",
+    return flagged.join(contam, id_col, "left").select(
+        id_col,
         "is_keeper",
         "is_nonbench",
         "is_qual",

@@ -1681,9 +1681,14 @@ _EWMA_THRESHOLD = 0.5
     )
     SELECT event_type, day, total_value, n_prev,
            round(wsum / wtot, 6) AS ewma_prev,
-           round((total_value - wsum / wtot) / (wsum / wtot), 6) AS pct_dev,
-           CAST(abs((total_value - wsum / wtot) / (wsum / wtot)) > {_EWMA_THRESHOLD}
-                AS INT) AS is_anomaly
+           CASE WHEN wsum <> 0
+                THEN round((total_value - wsum / wtot) / (wsum / wtot), 6)
+           END AS pct_dev,
+           CASE WHEN wsum <> 0
+                THEN CAST(abs((total_value - wsum / wtot) / (wsum / wtot))
+                          > {_EWMA_THRESHOLD} AS INT)
+                ELSE CAST(total_value <> 0 AS INT)
+           END AS is_anomaly
     FROM trail WHERE n_prev > 0
     """,
     doc=(
@@ -1739,15 +1744,22 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(w, 9).cast("decimal(18,9)")).cast("double").alias("wtot"),
     )
     ewma = F.col("wsum") / F.col("wtot")
+    # zero-forecast guard: ewma == 0 iff wsum == 0 (wtot > 0 whenever
+    # n_prev > 0). Rounding an infinite double raises in Spark (BigDecimal
+    # cannot represent Infinity), and the streaming twin must be able to
+    # emit the identical row on a degenerate all-zero trailing window —
+    # contract: pct_dev NULL, is_anomaly = (total_value != 0).
+    nz = F.col("wsum") != 0
+    dev = (F.col("total_value") - ewma) / ewma
     return trail.filter(F.col("n_prev") > 0).select(
         "event_type",
         "day",
         "total_value",
         "n_prev",
         F.round(ewma, 6).alias("ewma_prev"),
-        F.round((F.col("total_value") - ewma) / ewma, 6).alias("pct_dev"),
-        (F.abs((F.col("total_value") - ewma) / ewma) > _EWMA_THRESHOLD)
-        .cast("int")
+        F.when(nz, F.round(dev, 6)).alias("pct_dev"),
+        F.when(nz, (F.abs(dev) > _EWMA_THRESHOLD).cast("int"))
+        .otherwise((F.col("total_value") != 0).cast("int"))
         .alias("is_anomaly"),
     )
 

@@ -76,7 +76,7 @@ def ewma_weights(spark: SparkSession) -> list[float]:
     pow(decay, age-1) exactly as the batch query computes it."""
     rows = (
         spark.range(1, _EWMA_LOOKBACK + 1)
-        .select(F.pow(F.lit(_EWMA_DECAY), F.col("id") - 1).alias("w"))
+        .select("id", F.pow(F.lit(_EWMA_DECAY), F.col("id") - 1).alias("w"))
         .orderBy("id")
         .collect()
     )
@@ -111,10 +111,15 @@ def _ewma_rows(
             continue
         tv = float(Decimal(by_day[d]) / 100)
         ewma = float(wsum) / float(wtot)
+        # zero-forecast contract shared with the batch plan (which cannot
+        # round an infinite double): pct_dev NULL, anomaly iff actual != 0
         if ewma != 0.0:
             dev = (tv - ewma) / ewma
-        else:  # mirror double division: signed infinity / NaN
-            dev = float("inf") if tv > 0 else float("-inf") if tv < 0 else float("nan")
+            pct = float(_round_repr(dev, _Q6))
+            anom = int(abs(dev) > _EWMA_THRESHOLD)
+        else:
+            pct = None
+            anom = int(tv != 0.0)
         out.append(
             (
                 event_type,
@@ -122,8 +127,8 @@ def _ewma_rows(
                 tv,
                 n_prev,
                 float(_round_repr(ewma, _Q6)),
-                float(_round_repr(dev, _Q6)) if dev == dev and abs(dev) != float("inf") else dev,
-                int(abs(dev) > _EWMA_THRESHOLD),
+                pct,
+                anom,
             )
         )
     return out

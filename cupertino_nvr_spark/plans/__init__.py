@@ -30,54 +30,53 @@ from cupertino_nvr_spark.plans import llm  # noqa: F401,E402
 from cupertino_nvr_spark.plans import relational  # noqa: F401,E402
 from cupertino_nvr_spark.plans import tpch_extra  # noqa: F401,E402
 
-# r9 sampled-window priority. Composition (pinned by
-# tests/test_registry_order.py, which recomputes "never sampled" from the
-# committed CORRECTNESS_r01..r08 records):
+# r10 sampled-window priority. Composition (pinned by
+# tests/test_registry_order.py, which recomputes last-green rounds from
+# the committed CORRECTNESS_r01..r09 records):
 #   1  flagship (always in-window, green every round)
-#   1  orders_benford — the ONLY declared query of r8's 189 without a
-#      driver-green row (it sat at idx 50, one slot past the r8 window)
-#   r9 debuts (advisor/judge policy: new queries ship inside their debut
-#      window; names listed before their modules land are skipped until
-#      registered)
-#   fill: relational/TPC-H rows, the family longest without a green row
-#      (last driver-green r5), stalest-first
-_R9_WINDOW_PRIORITY = [
+#   r10 debuts + this round's semantics-modified queries (advisor/judge
+#      policy: new or changed queries ship inside the sampled window in
+#      the round they land; names listed before their modules register
+#      are skipped until registered)
+#   the 10 r5-stale relational/TPC-H rows — the r9 window overflow, the
+#      last queries whose most recent driver-green row is r5 (after r10
+#      no declared query's last green row is older than r6)
+#   fill: the LLM/ANN/media family last driver-green r6, the next-stalest
+#      family; the window takes the first 50 overall, the tail overflows
+#      naturally into the r11 pool
+_R10_WINDOW_PRIORITY = [
     "asof_ttl_overlay",
-    # the one never-driver-green query (r8 VERDICT "What's missing" #2)
-    "orders_benford",
-    # r9 debuts
-    "media_phash_pixels",
-    "media_doc_dup_clusters",
-    "docs_unigram_lm_train",
-    "docs_unigram_segment",
+    # r10 debuts
+    "docs_substring_excised_stats",
+    "docs_wordpiece_tokenized_len",
+    "events_cusum_changepoints",
+    # modified this round (fertility extended to the three-way BPE /
+    # unigram / WordPiece comparison) — changed semantics re-verify
+    # in-window like a debut
     "docs_tokenizer_fertility",
-    "docs_wordpiece_train_merges",
-    "events_holt_winters",
-    "docs_substring_excise_plan",
-    "docs_cluster_bcubed",
-    # fill: relational/TPC-H (family last driver-green r5), in r5 order;
-    # the window takes the first 50 overall, the tail overflows naturally
-    "pricing_summary", "revenue_by_nation", "shipping_priority",
-    "orders_rollup", "lineitem_cube", "orders_grouping_sets",
-    "event_type_distinct_users", "user_event_pivot",
-    "nation_region_broadcast", "customers_with_orders",
-    "customers_without_orders", "premium_lineitems_theta",
-    "orders_above_avg", "latest_event_per_user", "user_running_value",
-    "event_gaps", "top_orders_per_customer", "trailing_user_activity",
-    "top20_lineitems", "nation_presence_set_ops", "order_price_stats",
-    "quantity_price_correlation", "user_value_exact_stats",
-    "user_event_unpivot", "customer_order_bracket",
-    "customer_order_distribution", "promo_revenue_ratio",
-    "small_quantity_revenue", "large_volume_orders",
-    "disjunctive_part_revenue", "returned_item_revenue",
-    "idle_rich_customers", "order_priority_check",
-    "nation_volume_shipping", "returnflag_priority_counts",
-    "top_supplier_revenue", "waiting_suppliers", "forecast_revenue",
-    "market_share", "product_profit", "nation_yearly_growth",
-    "orders_part_pairs", "min_cost_supplier", "important_parts",
-    "supplier_part_variety", "dominant_promo_suppliers",
-    "parts_copurchase_pagerank", "customer_value_distribution",
-    "supplier_concentration_hhi",
+    # the 10 remaining r5-stale relational queries (r9 VERDICT item 1)
+    "product_profit", "nation_yearly_growth", "orders_part_pairs",
+    "min_cost_supplier", "important_parts", "supplier_part_variety",
+    "dominant_promo_suppliers", "parts_copurchase_pagerank",
+    "customer_value_distribution", "supplier_concentration_hhi",
+    # fill: the r6-stale LLM/ANN/media family, 40 entries — the first 35
+    # fit the 50-row window, the last 5 directly follow it
+    "docs_bigram_lm_score", "docs_bm25_search", "docs_cdc_chunk_dedup",
+    "docs_chunked", "docs_contamination", "docs_curation_report",
+    "docs_dedup_survivors", "docs_dsir_weights", "docs_dup_clusters",
+    "docs_hot_ngram_coverage", "docs_lang_balanced_sample",
+    "docs_length_band_filter", "docs_minhash_jaccard_estimate",
+    "docs_mixture_weights", "docs_ngram_novelty",
+    "docs_perplexity_buckets", "docs_pii_scrub",
+    "docs_repetition_quality", "docs_tfidf_topterms",
+    "docs_train_shards", "docs_unigram_lm_score", "docs_vocab_topk",
+    "docs_zipf_slope", "embedding_cosine_neardup", "embedding_dim_stats",
+    "embedding_int8_ann", "embedding_int8_ivf_ann", "embedding_ivf_ann",
+    "embedding_kmeans", "embedding_lsh_ann",
+    "embedding_lsh_ann_multiprobe", "embedding_pq_ann",
+    "embedding_pq_quant", "embedding_prefix_rerank_ann",
+    "embedding_semdedup", "events_stratified_sample", "media_exact_dedup",
+    "media_features", "media_frame_plan", "media_patch_plan",
 ]
 
-_registry.WINDOW_PRIORITY[:] = _R9_WINDOW_PRIORITY
+_registry.WINDOW_PRIORITY[:] = _R10_WINDOW_PRIORITY

@@ -5345,68 +5345,177 @@ def docs_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "windows merge into maximal excision islands via interval union "
         "— one per-doc sorted window pass (running max end; a window "
         "starting past prev_max_end+1 opens a new island), emitting the "
-        "(start_tok, end_tok) cut list a span-removal writer executes. "
-        "Scale shape: the gram digest groupBy + semi join are the "
+        "(start_tok, end_tok) cut list a span-removal writer executes "
+        "(llm/excise.py::excise_materialize — this plan and the writer "
+        "share llm/excise.py::excision_islands, the single chain source)."
+        " Scale shape: the gram digest groupBy + semi join are the "
         "detection chain's (map-side combined, digest-partitioned); the "
         "union windows are partitioned per doc over its duplicated "
         "windows only — no all-pairs, no global sort."
     ),
 )
 def docs_substring_excise_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cupertino_nvr_spark.llm.excise import excision_islands
 
-    from cupertino_nvr_spark.llm.dedup import md5_int
+    return excision_islands(augmented_docs(spark, sf_dir), k=_SUBSTR_K)
 
-    k = _SUBSTR_K
+
+# The EXECUTOR half's per-doc report: one excision pass applied, plus the
+# residual duplicated-window count the Lee et al. fixpoint iterates on
+# (removing a span joins its flanks, which can mint NEW duplicated
+# windows — llm/excise.py::excise_materialize loops this exact chain
+# until the residual hits zero before writing the corpus).
+
+
+@register(
+    "docs_substring_excised_stats",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM aug
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(CASE WHEN len(toks) >= {_SUBSTR_K}
+                         THEN range(1, len(toks) - {_SUBSTR_K} + 2)
+                         ELSE [] END) AS pos
+      FROM tok
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             {_md5_int_sql(f"array_to_string(list_slice(toks, pos, pos + {_SUBSTR_K} - 1), ' ')", 11)} AS gram
+      FROM pos
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    iv AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + {_SUBSTR_K} - 1 AS e
+      FROM grams g SEMI JOIN dup USING (gram)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) >= s - 1
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island_idx
+      FROM flagged
+    ),
+    islands AS (
+      SELECT doc_id, island_idx, MIN(s) AS start_tok, MAX(e) AS end_tok
+      FROM isl GROUP BY doc_id, island_idx
+    ),
+    ni AS (SELECT doc_id, COUNT(*) AS n_islands FROM islands GROUP BY doc_id),
+    cutpos AS (
+      SELECT doc_id, unnest(range(start_tok, end_tok + 1)) AS p FROM islands
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(toks) AS tokn,
+             unnest(range(1, len(toks) + 1)) AS p
+      FROM tok
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tokn, t.p
+      FROM tokpos t ANTI JOIN cutpos c ON c.doc_id = t.doc_id AND c.p = t.p
+    ),
+    toks2 AS (
+      SELECT doc_id, list(tokn ORDER BY p) AS toks, COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    ex AS (
+      SELECT t.doc_id, COALESCE(t2.toks, []) AS toks,
+             COALESCE(t2.n_kept, 0) AS n_kept
+      FROM tok t LEFT JOIN toks2 t2 USING (doc_id)
+    ),
+    pos2 AS (
+      SELECT doc_id, toks,
+             unnest(CASE WHEN len(toks) >= {_SUBSTR_K}
+                         THEN range(1, len(toks) - {_SUBSTR_K} + 2)
+                         ELSE [] END) AS pos
+      FROM ex
+    ),
+    grams2 AS (
+      SELECT doc_id, pos,
+             {_md5_int_sql(f"array_to_string(list_slice(toks, pos, pos + {_SUBSTR_K} - 1), ' ')", 11)} AS gram
+      FROM pos2
+    ),
+    dup2 AS (
+      SELECT gram FROM grams2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    resid AS (
+      SELECT g.doc_id, COUNT(*) AS residual_dup_windows
+      FROM grams2 g SEMI JOIN dup2 USING (gram) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens_before,
+           CAST(COALESCE(ni.n_islands, 0) AS BIGINT) AS n_islands,
+           CAST(len(t.toks) - e.n_kept AS BIGINT) AS n_removed,
+           CAST(e.n_kept AS BIGINT) AS n_tokens_after,
+           CAST(COALESCE(r.residual_dup_windows, 0) AS BIGINT)
+             AS residual_dup_windows
+    FROM tok t
+    JOIN ex e USING (doc_id)
+    LEFT JOIN ni USING (doc_id)
+    LEFT JOIN resid r USING (doc_id)
+    """,
+    doc=(
+        "Exact-substring excision EXECUTED, one pass (the action "
+        "docs_substring_excise_plan plans): per doc, token counts before "
+        "and after cutting the duplicated-window islands out of the "
+        "token stream, plus the RESIDUAL duplicated-window count in the "
+        "excised corpus — the quantity Lee et al.'s fixpoint iterates on "
+        "(one pass can mint new duplicates by joining a cut's flanks). "
+        "llm/excise.py::excise_materialize loops this exact chain until "
+        "the residual is zero and writes the corpus; this query and the "
+        "writer share excision_islands/apply_excision, so the report "
+        "can never drift from the materialization. Scale shape: the "
+        "detection chain's digest groupBy + semi join, a per-doc "
+        "interval-union window, and a per-row higher-order token filter "
+        "— no all-pairs stage, no global sort, linear in corpus tokens."
+    ),
+)
+def docs_substring_excised_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.excise import (
+        _dup_windows,
+        apply_excision,
+        excision_islands,
+    )
+
     aug = augmented_docs(spark, sf_dir)
-    tok = aug.select(
+    islands = excision_islands(aug, k=_SUBSTR_K)
+    excised = apply_excision(aug, islands)
+    ni = islands.groupBy("doc_id").agg(F.count("*").alias("n_islands"))
+    toks2 = excised.select(
         "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("toks")
     )
-    spans = F.when(
-        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = tok.select("doc_id", F.explode(spans).alias("pos"), "toks").select(
-        "doc_id",
-        "pos",
-        md5_int(F.array_join(F.slice("toks", F.col("pos"), k), " "), seed=11).alias(
-            "gram"
-        ),
+    resid = (
+        _dup_windows(toks2, "doc_id", _SUBSTR_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("residual_dup_windows"))
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram")
-    )
-    iv = grams.join(dup, "gram", "left_semi").select(
-        "doc_id", F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e")
-    )
-    wprev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.select(
-        "doc_id",
-        "s",
-        "e",
-        F.when(F.max("e").over(wprev) >= F.col("s") - 1, F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("new_island"),
-    )
-    wrun = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = flagged.select(
-        "doc_id", "s", "e", F.sum("new_island").over(wrun).alias("island_idx")
-    )
-    return isl.groupBy("doc_id", F.col("island_idx").cast("int").alias("island_idx")).agg(
-        F.min("s").cast("bigint").alias("start_tok"),
-        F.max("e").cast("bigint").alias("end_tok"),
-        (F.max("e") - F.min("s") + 1).cast("bigint").alias("island_len"),
-        F.count("*").alias("n_windows"),
+    return (
+        excised.select(
+            "doc_id", "n_tokens_before", "n_removed", "n_tokens_after"
+        )
+        .join(ni, "doc_id", "left")
+        .join(resid, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
+            "n_removed",
+            "n_tokens_after",
+            F.coalesce("residual_dup_windows", F.lit(0))
+            .cast("bigint")
+            .alias("residual_dup_windows"),
+        )
     )
 
 

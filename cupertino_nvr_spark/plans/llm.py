@@ -4382,6 +4382,18 @@ _WP_FINAL_SQL = "\n    UNION ALL ".join(
     ),
 )
 def docs_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merge_rows, _ = _wp_train(spark, sf_dir)
+    out = merge_rows[0]
+    for mr in merge_rows[1:]:
+        out = out.unionAll(mr)
+    return out
+
+
+def _wp_train(spark: SparkSession, sf_dir: str):
+    """Shared WordPiece trainer loop: returns (merge_rows, final_state) —
+    the merges query unions the former; the application legs
+    (docs_wordpiece_tokenized_len, the fertility wordpiece row) derive
+    the greedy-matching vocabulary from the latter."""
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
     docs = load_table(spark, "documents", sf_dir)
@@ -4478,10 +4490,267 @@ def docs_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "f",
             )
         )
-    out = merge_rows[0]
-    for mr in merge_rows[1:]:
-        out = out.unionAll(mr)
-    return out
+    return merge_rows, state
+
+
+# WordPiece APPLICATION (the BERT tokenizer's runtime half): greedy
+# longest-match-first with continuation pieces. The vocabulary derives
+# from the trained word state — word-initial pieces are each word's first
+# final-segmentation symbol, continuation pieces (BERT's "##xyz" class,
+# carried here as an is_cont flag instead of a literal prefix) are every
+# later symbol — plus the corpus alphabet in BOTH classes (BERT's
+# coverage guarantee: tokenization of an in-alphabet word can always fall
+# back to single characters; a word containing an out-of-alphabet
+# character becomes ONE [UNK] token, the published whole-word-UNK rule).
+# Greedy matching is position-independent of the path taken (the best
+# piece at position s depends only on (word, s, s>1)), so the per-word
+# longest-match table is ONE vocabulary join + groupBy-max and the walk
+# is a per-row fold — no per-position joins, no UDF.
+
+
+def _wp_vocab(state: DataFrame) -> DataFrame:
+    """Trained word state -> (piece, is_cont) application vocabulary."""
+    syms = F.split(F.col("enc"), _BPE_SS)
+    n = F.size(syms)
+    init_p = state.select(F.element_at(syms, 2).alias("piece")).distinct()
+    cont_idx = F.when(n >= 4, F.sequence(F.lit(3), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    cont_p = state.select(
+        F.explode(
+            F.transform(cont_idx, lambda j: F.element_at(syms, j))
+        ).alias("piece")
+    ).distinct()
+    chr_idx = F.when(
+        F.length("w") >= 1, F.sequence(F.lit(1), F.length("w").cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chars = state.select(
+        F.explode(
+            F.transform(chr_idx, lambda j: F.col("w").substr(j, F.lit(1)))
+        ).alias("piece")
+    ).distinct()
+    return (
+        init_p.unionByName(chars)
+        .distinct()
+        .withColumn("is_cont", F.lit(False))
+        .unionByName(
+            cont_p.unionByName(chars).distinct().withColumn("is_cont", F.lit(True))
+        )
+    )
+
+
+def _wp_word_tokens(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Greedy longest-match-first WordPiece token counts per word:
+    (w) x (piece, is_cont) -> (w, n_wp, unk). ``words`` may be ANY word
+    frame (not just the training table) — words containing characters
+    outside the vocabulary alphabet take the whole-word [UNK] path
+    (n_wp = 1, unk = 1). Cost: one broadcast vocabulary join over the
+    (word x position x piece-length) candidate frame (vocabulary-bounded,
+    piece length capped by the longest trained piece), one groupBy-max,
+    one per-row fold."""
+    ml = vocab.agg(F.max(F.length("piece")).cast("int").alias("ml"))
+    starts = F.when(
+        F.length("w") >= 1, F.sequence(F.lit(1), F.length("w").cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    cands = (
+        words.select("w")
+        .crossJoin(F.broadcast(ml))
+        .select("w", "ml", F.explode(starts).alias("s"))
+        .select(
+            "w",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.col("ml"), (F.length("w") - F.col("s") + 1).cast("int")
+                    ),
+                )
+            ).alias("plen"),
+        )
+        .select(
+            "w",
+            "s",
+            "plen",
+            F.col("w").substr(F.col("s"), F.col("plen")).alias("piece"),
+            (F.col("s") > 1).alias("is_cont"),
+        )
+    )
+    best = (
+        cands.join(F.broadcast(vocab), ["piece", "is_cont"])
+        .groupBy("w", "s")
+        .agg(F.max("plen").cast("int").alias("bl"))
+    )
+    bmap = best.groupBy("w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("s").cast("int").alias("k"), F.col("bl")))
+        ).alias("bmap")
+    )
+    ln = F.length("w").cast("int")
+    init = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.lit(0).cast("int").alias("n"),
+        F.lit(False).alias("unk"),
+    )
+
+    def step(acc, _):
+        bl = F.element_at(F.col("bmap"), acc["pos"])
+        return F.when(acc["pos"] > ln, acc).otherwise(
+            F.when(
+                bl.isNull(),
+                F.struct(
+                    (ln + 1).cast("int").alias("pos"),
+                    acc["n"].alias("n"),
+                    F.lit(True).alias("unk"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["pos"] + bl).cast("int").alias("pos"),
+                    (acc["n"] + 1).cast("int").alias("n"),
+                    acc["unk"].alias("unk"),
+                )
+            )
+        )
+
+    steps = F.when(ln >= 1, F.sequence(F.lit(1), ln)).otherwise(
+        F.array().cast("array<int>")
+    )
+    res = F.aggregate(steps, init, step)
+    return words.select("w").join(bmap, "w", "left").select(
+        "w",
+        F.when(res["unk"], F.lit(1))
+        .otherwise(res["n"])
+        .cast("bigint")
+        .alias("n_wp"),
+        res["unk"].cast("int").alias("unk"),
+    )
+
+
+def _wp_apply_sql() -> str:
+    """The application chain as CTEs following the trained v{K} word
+    state: vocabulary derivation, candidate pieces, per-(word, position)
+    longest match, the recursive greedy walk, per-word token counts."""
+    k = _WP_MERGES
+    ss = _BPE_SS
+    # every CTE below is AS MATERIALIZED: the final word state is
+    # referenced four times and wpbest once per RECURSIVE walk step —
+    # unmaterialized inlining re-expands the whole trainer chain per
+    # reference and exploded DuckDB file opens (the unigram oracle's
+    # lesson, plans/llm.py::_uni_round_sql)
+    return f"""vfin AS MATERIALIZED (SELECT w, enc, f FROM v{k}),
+    wsyms AS MATERIALIZED (SELECT w, string_split(enc, '{ss}') AS syms FROM vfin),
+    wpinit AS MATERIALIZED (SELECT DISTINCT syms[2] AS piece FROM wsyms),
+    wpcont AS MATERIALIZED (
+      SELECT DISTINCT syms[j] AS piece
+      FROM (SELECT syms, unnest(range(3, len(syms))) AS j FROM wsyms)
+    ),
+    wpchars AS MATERIALIZED (
+      SELECT DISTINCT substr(w, CAST(j AS INT), 1) AS piece
+      FROM (SELECT w, unnest(range(1, length(w) + 1)) AS j FROM vfin)
+    ),
+    wpvocab AS MATERIALIZED (
+      SELECT piece, FALSE AS is_cont
+      FROM (SELECT piece FROM wpinit UNION SELECT piece FROM wpchars)
+      UNION ALL
+      SELECT piece, TRUE AS is_cont
+      FROM (SELECT piece FROM wpcont UNION SELECT piece FROM wpchars)
+    ),
+    wpml AS MATERIALIZED (SELECT MAX(length(piece)) AS ml FROM wpvocab),
+    wpcand AS MATERIALIZED (
+      SELECT w, c.s AS s, c.plen AS plen,
+             substr(w, CAST(c.s AS INT), CAST(c.plen AS INT)) AS piece
+      FROM (
+        SELECT w,
+               unnest(flatten(list_transform(range(1, length(w) + 1),
+                 s -> list_transform(range(1, least(ml, length(w) - s + 1) + 1),
+                      p -> struct_pack(s := s, plen := p))))) AS c
+        FROM vfin CROSS JOIN wpml
+      )
+    ),
+    wpbest AS MATERIALIZED (
+      SELECT c.w, c.s, MAX(c.plen) AS bl
+      FROM wpcand c JOIN wpvocab v
+        ON v.piece = c.piece AND v.is_cont = (c.s > 1)
+      GROUP BY c.w, c.s
+    ),
+    wpwalk(w, pos, n, unk) AS (
+      SELECT w, CAST(1 AS BIGINT), 0, FALSE FROM vfin
+      UNION ALL
+      SELECT k.w,
+             CASE WHEN b.bl IS NULL THEN length(k.w) + 1 ELSE k.pos + b.bl END,
+             CASE WHEN b.bl IS NULL THEN k.n ELSE k.n + 1 END,
+             k.unk OR b.bl IS NULL
+      FROM wpwalk k LEFT JOIN wpbest b ON b.w = k.w AND b.s = k.pos
+      WHERE k.pos <= length(k.w)
+    ),
+    wptok AS MATERIALIZED (
+      SELECT w, CASE WHEN unk THEN 1 ELSE n END AS n_wp
+      FROM wpwalk WHERE pos > length(w)
+    )"""
+
+
+@register(
+    "docs_wordpiece_tokenized_len",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT lower(term) AS w FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    ),
+    v0 AS (
+      SELECT w,
+             '{_BPE_SS}' || regexp_replace(w, '(.)', '\\1{_BPE_SS}', 'g') AS enc,
+             COUNT(*) AS f
+      FROM toks GROUP BY w
+    ),
+    {",".join(_wp_round_sql(i) for i in range(_WP_MERGES))},
+    {_wp_apply_sql()},
+    toksd AS (
+      SELECT doc_id, lower(term) AS w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(k.n_wp) AS BIGINT) AS n_wp_tokens,
+           ROUND(CAST(SUM(k.n_wp) AS DOUBLE) / COUNT(*), 6)
+             AS wp_tokens_per_word
+    FROM toksd t JOIN wptok k USING (w)
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Per-document token count under the trained WordPiece vocabulary "
+        "— the application leg completing train→apply parity for the "
+        "tokenizer-trainer trio (BPE: docs_bpe_tokenized_len; unigram: "
+        "docs_unigram_segment; WordPiece: this). Tokenization is BERT's "
+        "greedy longest-match-first with continuation pieces (the "
+        "'##' class, carried as an is_cont flag) over the vocabulary "
+        "derived from the trained word state, alphabet included in both "
+        "classes (coverage guarantee). The greedy longest match at a "
+        "position is path-independent, so the per-word match table is "
+        "ONE broadcast vocabulary join + groupBy-max and the walk is a "
+        "per-row higher-order fold (no per-position joins, no UDF); "
+        "per-doc application is then a word-keyed equi-join of the token "
+        "stream against the vocabulary-bounded word table — the "
+        "word-level-cache shape production tokenizers serve from. Oracle "
+        "replays the walk as a recursive CTE over the same longest-match "
+        "table."
+    ),
+)
+def docs_wordpiece_tokenized_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, state = _wp_train(spark, sf_dir)
+    wptok = _wp_word_tokens(state.select("w"), _wp_vocab(state))
+    docs = load_table(spark, "documents", sf_dir)
+    toksd = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return toksd.join(wptok.select("w", "n_wp"), "w").groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_wp").cast("bigint").alias("n_wp_tokens"),
+        F.round(
+            F.sum("n_wp").cast("double") / F.count("*"), 6
+        ).alias("wp_tokens_per_word"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4860,6 +5129,9 @@ def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks GROUP BY w
     ),
     {",".join(_bpe_round_sql(i) for i in range(_BPE_MERGES))},
+    v0 AS MATERIALIZED (SELECT w, enc, f FROM w0),
+    {",".join(_wp_round_sql(i) for i in range(_WP_MERGES))},
+    {_wp_apply_sql()},
     bpe_elig AS (
       SELECT 'bpe' AS tokenizer,
              CAST(SUM(f) AS BIGINT) AS n_words,
@@ -4875,27 +5147,43 @@ def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(f * n_pieces) AS BIGINT) AS n_units
       FROM words JOIN r{_UNI_ROUNDS}_wp USING (w)
     ),
-    both_tok AS (SELECT * FROM bpe_elig UNION ALL SELECT * FROM uni_elig)
+    wp_elig AS (
+      SELECT 'wordpiece' AS tokenizer,
+             CAST(SUM(f) AS BIGINT) AS n_words,
+             CAST(SUM(f * length(w)) AS BIGINT) AS n_chars,
+             CAST(SUM(f * k.n_wp) AS BIGINT) AS n_units
+      FROM vfin JOIN wptok k USING (w)
+      WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+    ),
+    all_tok AS (
+      SELECT * FROM bpe_elig
+      UNION ALL SELECT * FROM uni_elig
+      UNION ALL SELECT * FROM wp_elig
+    )
     SELECT tokenizer, n_words, n_chars, n_units,
            ROUND(CAST(n_units AS DOUBLE) / n_words, 6) AS units_per_word,
            ROUND(CAST(n_chars AS DOUBLE) / n_units, 6) AS chars_per_unit
-    FROM both_tok
+    FROM all_tok
     """,
     doc=(
-        "Tokenizer fertility comparison — BPE vs unigram-LM on the SAME "
-        "eligible word multiset (words within the unigram surface cap): "
-        "units per word and chars per unit, the two numbers a tokenizer "
-        "team compares before committing a vocabulary. Both legs reuse "
-        "their trainer chains verbatim (the BPE final word state "
-        "filtered to eligible words; the unigram final-round per-word "
-        "piece counts), so the comparison can never drift from the "
-        "trained tokenizers; the added cost over the two trainers is two "
-        "1-row aggregates."
+        "Tokenizer fertility comparison — BPE vs unigram-LM vs WordPiece "
+        "on the SAME eligible word multiset (words within the unigram "
+        "surface cap): units per word and chars per unit, the numbers a "
+        "tokenizer team compares before committing a vocabulary. All "
+        "three legs reuse their trainer chains verbatim (the BPE final "
+        "word state filtered to eligible words; the unigram final-round "
+        "per-word piece counts; the WordPiece greedy longest-match "
+        "counts over the trained vocabulary — the "
+        "docs_wordpiece_tokenized_len word table), so the comparison can "
+        "never drift from the trained tokenizers; the added cost over "
+        "the three trainers is three 1-row aggregates."
     ),
 )
 def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, bpe_state = _bpe_train(spark, sf_dir)
     words, _, word_pieces = _unigram_train(spark, sf_dir)
+    _, wp_state = _wp_train(spark, sf_dir)
+    wptok = _wp_word_tokens(wp_state.select("w"), _wp_vocab(wp_state))
     bpe = (
         bpe_state.filter(F.length("w").between(1, _UNI_MAXW))
         .agg(
@@ -4920,7 +5208,19 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("unigram").alias("tokenizer"), "n_words", "n_chars", "n_units"
         )
     )
-    both = bpe.unionByName(uni)
+    wp = (
+        wp_state.filter(F.length("w").between(1, _UNI_MAXW))
+        .join(wptok.select("w", "n_wp"), "w")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_words"),
+            F.sum(F.col("f") * F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("f") * F.col("n_wp")).cast("bigint").alias("n_units"),
+        )
+        .select(
+            F.lit("wordpiece").alias("tokenizer"), "n_words", "n_chars", "n_units"
+        )
+    )
+    both = bpe.unionByName(uni).unionByName(wp)
     return both.select(
         "tokenizer",
         "n_words",

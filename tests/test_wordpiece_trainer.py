@@ -90,3 +90,105 @@ def test_wordpiece_trainer_matches_reference(spark, tmp_path):
             pair_c[(w[j], w[j + 1])] += f
     bpe_winner = min(pair_c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
     assert bpe_winner != ("q", "z")
+
+
+# ---------------------------------------------------------------------------
+# Application golden: greedy longest-match-first with continuation pieces
+# over the trained vocabulary, against a plain-Python reference.
+
+
+def _apply_merges(words, merges):
+    state = {w: list(w) for w in words}
+    for l, r, *_ in merges:
+        for w, syms in state.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            state[w] = out
+    return state
+
+
+def _mk_vocab(state):
+    init = {syms[0] for syms in state.values()}
+    cont = {s for syms in state.values() for s in syms[1:]}
+    chars = {c for w in state for c in w}
+    return init | chars, cont | chars
+
+
+def _greedy_wp(w, vinit, vcont):
+    pos, n = 0, 0
+    while pos < len(w):
+        vocab = vinit if pos == 0 else vcont
+        for ln in range(len(w) - pos, 0, -1):
+            if w[pos : pos + ln] in vocab:
+                pos += ln
+                n += 1
+                break
+        else:
+            return 1, True  # whole-word [UNK]
+    return n, False
+
+
+def test_wordpiece_application_matches_reference(spark, tmp_path):
+    from cupertino_nvr_spark.plans.llm import (
+        _wp_train,
+        _wp_vocab,
+        _wp_word_tokens,
+    )
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, TOY_TEXT, "en", "toy", len(TOY_TEXT))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    _, state = _wp_train(spark, sf_dir)
+    vocab = _wp_vocab(state)
+    got = {
+        r["w"]: (r["n_wp"], r["unk"])
+        for r in _wp_word_tokens(state.select("w"), vocab).collect()
+    }
+
+    words = Counter(TOY_TEXT.split())
+    merges = _reference_wordpiece(dict(words), _WP_MERGES)
+    ref_state = _apply_merges(set(words), merges)
+    vinit, vcont = _mk_vocab(ref_state)
+    expected = {
+        w: (lambda t: (t[0], int(t[1])))(_greedy_wp(w, vinit, vcont))
+        for w in words
+    }
+    assert got == expected
+    # training-corpus words never hit UNK (alphabet in both classes)
+    assert all(u == 0 for _, u in got.values())
+
+
+def test_wordpiece_application_unk_path(spark, tmp_path):
+    """A word with an out-of-alphabet character takes the whole-word
+    [UNK] path (n_wp = 1, unk = 1) — the published BERT rule."""
+    from cupertino_nvr_spark.plans.llm import (
+        _wp_train,
+        _wp_vocab,
+        _wp_word_tokens,
+    )
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, TOY_TEXT, "en", "toy", len(TOY_TEXT))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    _, state = _wp_train(spark, sf_dir)
+    vocab = _wp_vocab(state)
+    out = {
+        r["w"]: (r["n_wp"], r["unk"])
+        for r in _wp_word_tokens(
+            spark.createDataFrame([("ban0na",), ("banana",)], "w string"), vocab
+        ).collect()
+    }
+    assert out["ban0na"] == (1, 1)  # '0' is outside the toy alphabet
+    assert out["banana"][1] == 0

@@ -1953,6 +1953,186 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(_hw_kernel, schema)
 
 
+# CUSUM changepoint detection (Page 1954; tabular two-sided form per
+# Montgomery / NIST-SEMATECH) on the per-type daily series — completing
+# the monitoring family: EWMA (level residuals) -> Holt-Winters
+# (seasonal residuals) -> CUSUM (sustained small shifts neither catches
+# quickly). Reference mean/sigma are the type's own full-series moments
+# (the standard offline phase-I estimate; a production run would freeze
+# them from a calibration window). Slack k = sigma/2, decision interval
+# h = 4*sigma — the textbook (0.5, 4) design tuned for ~1-sigma shifts.
+# Both CUSUM sums reset to 0 after an alarm, so alarms SEGMENT the
+# series (changepoints) rather than re-firing every day after a shift.
+#
+# Cross-engine exactness: x rides exact DECIMAL (from integer cents);
+# mu/k/h are each ONE rounded double (round 6 = HALF_UP on the shortest
+# repr, replayed via Decimal(repr)); the recurrence itself is pure
+# decimal addition and max against exact 6-decimal quantities — no
+# accumulating float error, so the sequential sums replay bit-for-bit
+# and the oracle carries them through a recursive CTE.
+
+
+def _cusum_kernel(pdf):
+    """Per-type two-sided tabular CUSUM over the days-bounded daily frame
+    (the Markov-kernel pattern shared with _hw_kernel)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    q = Decimal("0.000001")
+
+    def rrepr6(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q, ROUND_HALF_UP)
+
+    cols = [
+        "event_type", "day", "total_value", "idx", "cusum_pos",
+        "cusum_neg", "is_changepoint", "direction",
+    ]
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    if not len(pdf):
+        return pd.DataFrame(columns=cols)
+    xs = [Decimal(int(c)) / 100 for c in pdf["cents"]]
+    n = len(xs)
+    sx = sum(xs, Decimal(0))
+    sxx = sum((x * x for x in xs), Decimal(0))
+    mu_d = float(sx) / n
+    var_d = max(float(sxx) / n - mu_d * mu_d, 0.0)
+    sig = math.sqrt(var_d)
+    mu = rrepr6(mu_d)
+    kslack = rrepr6(sig / 2)
+    h = rrepr6(4 * sig)
+    zero = Decimal(0)
+    cpos = cneg = zero
+    rows = []
+    for i, x in enumerate(xs):
+        cp = max(zero, cpos + (x - mu - kslack))
+        cn = max(zero, cneg + (mu - x - kslack))
+        up = cp > h
+        dn = cn > h
+        is_cp = up or dn
+        rows.append(
+            (
+                pdf["event_type"].iloc[0],
+                pdf["day"].iloc[i],
+                float(x),
+                i + 1,
+                float(cp),
+                float(cn),
+                int(is_cp),
+                "up" if up else ("down" if dn else None),
+            )
+        )
+        cpos, cneg = (zero, zero) if is_cp else (cp, cn)
+    return pd.DataFrame(rows, columns=cols)
+
+
+@register(
+    "events_cusum_changepoints",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(24,6)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS idx
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(24,6)) AS mu,
+             CAST(round(sqrt(greatest(
+                    CAST(SUM(x*x) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(x) AS DOUBLE) / COUNT(*)), 0)) / 2, 6)
+                  AS DECIMAL(24,6)) AS kslack,
+             CAST(round(4 * sqrt(greatest(
+                    CAST(SUM(x*x) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(x) AS DOUBLE) / COUNT(*)), 0)), 6)
+                  AS DECIMAL(24,6)) AS h
+      FROM seq GROUP BY event_type
+    ),
+    cs AS (
+      SELECT event_type, CAST(0 AS BIGINT) AS idx,
+             CAST(0 AS DECIMAL(24,6)) AS cpos,
+             CAST(0 AS DECIMAL(24,6)) AS cneg,
+             CAST(NULL AS DECIMAL(24,6)) AS x,
+             CAST(NULL AS TIMESTAMP) AS day,
+             CAST(NULL AS DECIMAL(24,6)) AS cpos_out,
+             CAST(NULL AS DECIMAL(24,6)) AS cneg_out,
+             0 AS is_cp, CAST(NULL AS VARCHAR) AS direction
+      FROM stats
+      UNION ALL
+      SELECT event_type, idx,
+             CASE WHEN is_cp = 1 THEN CAST(0 AS DECIMAL(24,6)) ELSE cpos_out END,
+             CASE WHEN is_cp = 1 THEN CAST(0 AS DECIMAL(24,6)) ELSE cneg_out END,
+             x, day, cpos_out, cneg_out, is_cp,
+             CASE WHEN up THEN 'up' WHEN dn THEN 'down' END AS direction
+      FROM (
+        SELECT *, CAST(up OR dn AS INT) AS is_cp FROM (
+          SELECT *, cpos_out > h AS up, cneg_out > h AS dn FROM (
+            SELECT c.event_type, e.idx, e.x, e.day, st.h,
+                   CAST(greatest(CAST(0 AS DECIMAL(24,6)),
+                        c.cpos + (e.x - st.mu - st.kslack))
+                        AS DECIMAL(24,6)) AS cpos_out,
+                   CAST(greatest(CAST(0 AS DECIMAL(24,6)),
+                        c.cneg + (st.mu - e.x - st.kslack))
+                        AS DECIMAL(24,6)) AS cneg_out
+            FROM cs c
+            JOIN seq e ON e.event_type = c.event_type AND e.idx = c.idx + 1
+            JOIN stats st ON st.event_type = c.event_type
+          )
+        )
+      )
+    )
+    SELECT event_type, day, CAST(x AS DOUBLE) AS total_value, idx,
+           CAST(cpos_out AS DOUBLE) AS cusum_pos,
+           CAST(cneg_out AS DOUBLE) AS cusum_neg,
+           is_cp AS is_changepoint, direction
+    FROM cs WHERE idx > 0
+    """,
+    doc=(
+        "Two-sided tabular CUSUM changepoint detection per event type "
+        "(Page 1954; k = sigma/2, h = 4*sigma, the textbook design): "
+        "each day's total accumulates its slack-adjusted deviation from "
+        "the type's reference mean into one-sided upper/lower sums; a "
+        "sum crossing the decision interval flags a changepoint and "
+        "resets both sums, segmenting the series. Completes the "
+        "monitoring family (EWMA level residuals, Holt-Winters seasonal "
+        "residuals, CUSUM sustained small shifts). The fact table "
+        "contributes ONE map-side-combined daily rollup; the recurrence "
+        "runs as an Arrow-batched kernel over the (type x day) frame — "
+        "bounded by the time domain, never the corpus. Reference "
+        "moments ride exact decimal sums with ONE rounded double each "
+        "for mu/k/h; the recurrence itself is exact decimal addition, "
+        "so the sequential sums replay bit-for-bit and the oracle "
+        "unrolls them as a recursive CTE. Streaming twin: "
+        "streaming/ewma.py::cusum_stream shares THIS kernel over the "
+        "shared keyed day-grid state — pinned exactly equal under "
+        "arbitrary chopping."
+    ),
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    schema = (
+        "event_type string, day timestamp, total_value double, idx bigint, "
+        "cusum_pos double, cusum_neg double, is_changepoint int, "
+        "direction string"
+    )
+    return daily.groupBy("event_type").applyInPandas(_cusum_kernel, schema)
+
+
 # Markov-chain attribution by removal effect (Anderl et al. 2014, the
 # standard data-driven alternative to last-touch): build the first-order
 # journey chain (START -> channels -> CONV/NULL, truncated at the first

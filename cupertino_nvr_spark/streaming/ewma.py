@@ -241,11 +241,70 @@ def holt_winters_stream(events: DataFrame) -> DataFrame:
     )
 
 
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, day timestamp, total_value double, idx bigint, "
+    "cusum_pos double, cusum_neg double, is_changepoint int, "
+    "direction string"
+)
+
+
+def cusum_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_cusum_changepoints`` plan:
+    the SAME keyed day-grid state as the EWMA/Holt-Winters twins (exact
+    integer cents per (type, day) — order-insensitive under any
+    chopping), re-running the batch plan's OWN recurrence kernel
+    (``plans/temporal.py::_cusum_kernel``) over the accumulated grid
+    after every micro-batch and re-emitting the type's full changepoint
+    frame. Build the input with ``ewma_daily_grid``. Note the phase-I
+    reference moments recompute over the grid as it grows (the batch
+    plan's full-series semantics) — a production monitor would freeze
+    them from a calibration window; the twin pins the BATCH contract."""
+    from cupertino_nvr_spark.plans.temporal import _cusum_kernel
+
+    def update_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        days, cents = state.get if state.exists else ([], [])
+        acc = dict(zip(list(days), list(cents)))
+        seen = False
+        for pdf in pdfs:
+            for d, c in zip(pdf["day_epoch"].values, pdf["cents"].values):
+                acc[int(d)] = acc.get(int(d), 0) + int(c)
+                seen = True
+        if not seen and not state.exists:
+            return
+        ds = sorted(acc)
+        state.update((ds, [acc[d] for d in ds]))
+        grid = pd.DataFrame(
+            {
+                "event_type": event_type,
+                "day": pd.to_datetime(ds, unit="D"),
+                "cents": [acc[d] for d in ds],
+            }
+        )
+        out = _cusum_kernel(grid)
+        if len(out):
+            yield out
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update_fn,
+        CUSUM_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 __all__ = [
+    "cusum_stream",
     "ewma_anomaly_stream",
     "ewma_daily_grid",
     "ewma_weights",
     "holt_winters_stream",
+    "CUSUM_OUTPUT_SCHEMA",
     "EWMA_OUTPUT_SCHEMA",
     "HW_OUTPUT_SCHEMA",
 ]

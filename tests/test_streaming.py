@@ -1409,3 +1409,63 @@ def test_holt_winters_stream_matches_batch(spark, stream_dir):
         assert any(
             all(e[c] == b[c] for c in cols) for e in emissions
         ), (b["event_type"], b["idx"])
+
+
+# streaming CUSUM (twin of events_cusum_changepoints)
+
+
+def test_cusum_stream_matches_batch(spark, stream_dir):
+    """The twin shares the batch plan's own recurrence kernel and
+    accumulates exact integer cents, so under ANY chopping the final
+    emission equals the batch rows EXACTLY (every column, no
+    tolerance)."""
+    from cupertino_nvr_spark.plans import REGISTRY
+    from cupertino_nvr_spark.sources.tables import load_table
+    from cupertino_nvr_spark.streaming.ewma import (
+        cusum_stream,
+        ewma_daily_grid,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf)
+    grid = ewma_daily_grid(ev).select(
+        "event_type", "day_epoch", "cents",
+        F.monotonically_increasing_id().alias("_rid"),
+    )
+    rows = grid.orderBy("_rid").collect()
+    n = len(rows)
+    bounds = [0, n // 4, n // 2, n]
+    src = f"{stream_dir}/cusumev"
+    write_batches(
+        [
+            spark.createDataFrame(
+                [(r["event_type"], r["day_epoch"], r["cents"]) for r in chunk],
+                "event_type string, day_epoch int, cents long",
+            )
+            for chunk in (rows[lo:hi] for lo, hi in zip(bounds, bounds[1:]))
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("event_type string, day_epoch int, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        cusum_stream(stream), stream_dir, output_mode="update"
+    ).collect()
+    assert out
+    got = {}
+    for r in out:
+        got.setdefault((r["event_type"], r["idx"]), []).append(r)
+    batch = REGISTRY["events_cusum_changepoints"].spark(spark, sf).collect()
+    assert batch
+    cols = [
+        "day", "total_value", "cusum_pos", "cusum_neg", "is_changepoint",
+        "direction",
+    ]
+    for b in batch:
+        emissions = got[(b["event_type"], b["idx"])]
+        assert any(
+            all(e[c] == b[c] for c in cols) for e in emissions
+        ), (b["event_type"], b["idx"])

@@ -1,0 +1,267 @@
+"""Incremental curation-funnel maintenance — the operating mode of a
+100 TB corpus: daily crawl increments must update the exact-dedup keeper
+table, the benchmark-contamination gram set, and the per-doc funnel
+flags in O(|delta| + |affected state|), never by re-scanning the
+history's text.
+
+The funnel (``llm.pipeline.curation_flags``) is maintainable because its
+flags are MONOTONE under corpus growth:
+
+- ``is_keeper``: keeper = min doc id per text digest. A MIN monoid —
+  the digest table merges through ``operators.incremental``'s
+  ``aggregate_base``/``merge_additive``. Keepership can only move to a
+  SMALLER id; the displaced keeper's flags all flip False (downstream
+  flags are conjunctions), never anything upward.
+- ``is_nonbench`` / ``is_qual``: pure per-row functions of (id, text) —
+  computed once when the doc's delta lands.
+- ``is_clean``: the benchmark 5-gram set only GROWS, so a clean doc can
+  only become contaminated. Retroactive flips are found through a
+  (gram -> doc) posting index over clean-candidate docs — the inverted
+  index is the honest price of O(affected) exactness; without it every
+  new benchmark gram would force a history rescan.
+
+State = four frames: ``digest_min`` (digest -> keeper id),
+``bench_grams`` (distinct benchmark 5-grams), ``postings``
+(gram -> doc_id for every doc that ever passed the quality gate), and
+``flags`` (the per-doc funnel flags — the maintained view itself).
+``merge_delta(state, delta)`` returns the state after the delta;
+``tests/test_incremental_curation.py`` pins it EXACTLY equal to
+``curation_flags`` on the concatenated corpus under arbitrary splits,
+including keeper-takeover and retroactive-contamination deltas.
+
+Reference analog: none (north-star §2.11 curation family; full-corpus
+twin ``llm.pipeline.curation_flags``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.llm.text import ws_tokens
+from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+from cupertino_nvr_spark.operators.incremental import (
+    aggregate_base,
+    merge_additive,
+)
+
+
+@dataclass(frozen=True)
+class CurationState:
+    digest_min: DataFrame  # (digest, min_keeper_id)
+    bench_grams: DataFrame  # (gram)
+    postings: DataFrame  # (gram, doc_id) for quality-gate passers
+    flags: DataFrame  # (doc_id, is_keeper, is_nonbench, is_qual, is_clean)
+
+
+def _doc_attrs(docs: DataFrame) -> DataFrame:
+    """Per-row funnel attributes (one projection, no shuffles): text
+    digest, benchmark-slice membership, the quality-gate verdict, and
+    the distinct 5-gram array — the same predicates curation_flags
+    evaluates (shared helpers, pinned equal by test)."""
+    from cupertino_nvr_spark.llm.dedup import _shingle_spans
+    from cupertino_nvr_spark.llm.text import repetition_gate
+
+    t = F.col("t")
+    g2 = F.transform(
+        _shingle_spans(F.size(t), 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    g5 = F.transform(
+        _shingle_spans(F.size(t), 5),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(5)]),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("digest"),
+        (F.col("doc_id") % 23 != 0).alias("is_nonbench"),
+        ws_tokens(F.lower(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id",
+        "digest",
+        "is_nonbench",
+        repetition_gate(t, g2).alias("qual_raw"),
+        F.array_distinct(g5).alias("grams"),
+    )
+
+
+def _delta_digest_agg(attrs: DataFrame) -> DataFrame:
+    return aggregate_base(
+        attrs.select("digest", F.col("doc_id").alias("keeper_id")),
+        keys=["digest"],
+        mins=["keeper_id"],
+        counts=False,
+    )
+
+
+def init_state(docs: DataFrame) -> CurationState:
+    """Build the state from scratch (the bootstrap load): equivalent to
+    merge_delta over an empty state, expressed directly."""
+    attrs = reliable_checkpoint(_doc_attrs(docs))
+    digest_min = reliable_checkpoint(_delta_digest_agg(attrs))
+    bench = reliable_checkpoint(
+        attrs.filter(~F.col("is_nonbench"))
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    flags = _flags_against(attrs, digest_min, bench)
+    postings = attrs.join(
+        flags.filter("is_qual").select("doc_id"), "doc_id"
+    ).select(F.explode("grams").alias("gram"), "doc_id")
+    return CurationState(
+        digest_min=digest_min,
+        bench_grams=bench,
+        postings=reliable_checkpoint(postings),
+        flags=reliable_checkpoint(flags),
+    )
+
+
+def _flags_against(
+    attrs: DataFrame, digest_min: DataFrame, bench_grams: DataFrame
+) -> DataFrame:
+    """Funnel flags for ``attrs`` docs evaluated against the given keeper
+    table and benchmark gram set (both already merged with the delta)."""
+    flagged = attrs.join(digest_min, "digest").select(
+        "doc_id",
+        (F.col("doc_id") == F.col("min_keeper_id")).alias("is_keeper"),
+        "is_nonbench",
+        "qual_raw",
+        "grams",
+    ).select(
+        "doc_id",
+        "is_keeper",
+        (F.col("is_keeper") & F.col("is_nonbench")).alias("is_nonbench"),
+        "qual_raw",
+        "grams",
+    ).select(
+        "doc_id",
+        "is_keeper",
+        "is_nonbench",
+        (F.col("is_nonbench") & F.col("qual_raw")).alias("is_qual"),
+        "grams",
+    )
+    qgrams = flagged.select(
+        "doc_id",
+        F.explode(
+            F.when(F.col("is_qual"), F.col("grams")).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
+    )
+    contam = (
+        qgrams.join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    return flagged.join(contam, "doc_id", "left").select(
+        "doc_id",
+        "is_keeper",
+        "is_nonbench",
+        "is_qual",
+        (F.col("is_qual") & F.col("is_contam").isNull()).alias("is_clean"),
+    )
+
+
+def merge_delta(state: CurationState, delta: DataFrame) -> CurationState:
+    """Fold one new-docs batch into the curation state. Costs:
+    O(|delta|) text work (the delta's own attrs projection), one
+    digest-keyed merge join (O(|delta digests| + |affected digests|)),
+    one posting probe against the delta's NEW benchmark grams
+    (O(|new grams| + |docs holding them|)), and flag-frame joins that
+    touch only flipped docs — the history's TEXT is never re-read."""
+    attrs = reliable_checkpoint(_doc_attrs(delta))
+
+    # 1. keeper digests: MIN-monoid merge through operators.incremental
+    merged_digest = reliable_checkpoint(
+        merge_additive(
+            state.digest_min,
+            _delta_digest_agg(attrs),
+            keys=["digest"],
+            mins=["keeper_id"],
+            counts=False,
+        )
+    )
+    # displaced keepers: digest existed, keeper id moved (to a smaller
+    # delta id) and the old keeper is NOT a delta doc -> its flags all
+    # flip False (every downstream flag conjoins is_keeper)
+    losers = (
+        state.digest_min.alias("old")
+        .join(merged_digest.alias("new"), "digest")
+        .filter(F.col("old.min_keeper_id") != F.col("new.min_keeper_id"))
+        .select(F.col("old.min_keeper_id").alias("doc_id"))
+        .withColumn("_lost", F.lit(True))
+    )
+
+    # 2. benchmark gram set: grows by the delta's bench-doc grams; the
+    # genuinely NEW grams drive retroactive contamination
+    delta_bench = (
+        attrs.filter(~F.col("is_nonbench"))
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    new_grams = reliable_checkpoint(
+        delta_bench.join(state.bench_grams, "gram", "left_anti")
+    )
+    merged_bench = reliable_checkpoint(
+        state.bench_grams.unionByName(new_grams)
+    )
+
+    # 3. retroactively contaminated old docs: posting probe on new grams
+    hit = (
+        state.postings.join(F.broadcast(new_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+
+    # 4. delta docs' own flags, evaluated against the MERGED state (so
+    # an intra-delta duplicate or bench doc resolves exactly as a full
+    # recompute would)
+    delta_flags = _flags_against(attrs, merged_digest, merged_bench)
+
+    old_flags = (
+        state.flags.join(losers, "doc_id", "left")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                (F.col(c) & F.col("_lost").isNull()).alias(c)
+                for c in ("is_keeper", "is_nonbench", "is_qual")
+            ],
+            (
+                F.col("is_clean")
+                & F.col("_lost").isNull()
+                & F.col("_hit").isNull()
+            ).alias("is_clean"),
+        )
+    )
+    merged_flags = reliable_checkpoint(old_flags.unionByName(delta_flags))
+
+    merged_postings = reliable_checkpoint(
+        state.postings.unionByName(
+            attrs.join(
+                delta_flags.filter("is_qual").select("doc_id"), "doc_id"
+            ).select(F.explode("grams").alias("gram"), "doc_id")
+        )
+    )
+    return CurationState(
+        digest_min=merged_digest,
+        bench_grams=merged_bench,
+        postings=merged_postings,
+        flags=merged_flags,
+    )
+
+
+def state_counts(state: CurationState) -> DataFrame:
+    """The docs_curation_report stage-count row from the maintained flag
+    frame: one aggregate over O(|docs|) booleans — the 5-flag view, not
+    the text corpus."""
+    from cupertino_nvr_spark.llm.pipeline import curation_stage_counts
+
+    return curation_stage_counts(state.flags)
+
+
+__all__ = ["CurationState", "init_state", "merge_delta", "state_counts"]

@@ -92,80 +92,102 @@ def components_over_keys(
     id_col: str = "doc_id",
     key_col: str = "band_key",
     max_iter: int = 25,
+    hops_per_round: int = 3,
 ) -> DataFrame:
     """Connected components of the bipartite (node, key) graph: two nodes
     are connected iff they transitively share keys. Returns
     (id_col, cluster_id) where cluster_id = min node id in the component.
 
-    Alternating min-label propagation with POINTER JUMPING — each round
-    pushes labels node→key (min per key) then key→node (min over a
-    node's keys), then path-halves (label := label's label, one
+    Alternating min-label propagation, MULTI-HOP per round, with pointer
+    jumping — each round pushes labels node→key (min per key) then
+    key→node (min over a node's keys) ``hops_per_round`` times, then
+    path-halves once (label := min(label, label-of-label), one
     labels-sized equi-join; every label is itself a node id so the hop
-    is total). The key hops alone converge in ⌈diameter/2⌉+1 rounds,
-    which a CHAIN-shaped component makes linear — near-dup graphs are
-    chain-prone (A~B~C with A!~C), and the sf1 cross-modal graph hit a
-    >50-hop chain. Path halving makes the distance-to-min shrink
-    geometrically, so convergence is O(log diameter) rounds. Work per
-    round stays O(|membership| + |nodes|): no pair join ever happens,
-    which is what makes clustering hot bands safe at scale. Raises if
-    ``max_iter`` rounds don't reach the fixpoint — a loud failure beats
-    a silently-wrong clustering.
+    is total). The r10 sf1 profile established WHERE the cost lives on
+    chain-shaped graphs (near-dup graphs are chain-prone — A~B~C with
+    A!~C — and the sf1 cross-modal graph has >40-hop key chains): the
+    min label can only travel one key-graph EDGE per node→key→node
+    pass (tail rounds measured jumped=0 while changed>0, so label-tree
+    compression cannot shortcut it), and at sf1 the frames are small
+    enough (~1M rows) that each round's cost is dominated by FIXED
+    per-round overhead (scheduling + checkpoint + the convergence
+    collect), not data volume — a frontier/broadcast variant that
+    minimized per-round data moved was measured 2.4x SLOWER because it
+    tripled the number of materializations per round. So the lever is
+    amortization: taking 3 key hops per round shrinks rounds ~3x while
+    the per-round cost grows far less than 3x (the checkpoint/collect
+    overhead is paid once per round) — measured 106 s -> 80 s on the
+    sf1 cross-modal query (5 hops: 86 s — past ~3 the extra persists
+    eat the gain), with the residual bound structural (rounds ~
+    key-graph diameter / hops). Work per round stays O(hops * (|membership| +
+    |nodes|)): no pair join ever happens, which is what makes
+    clustering hot bands safe at scale. Raises if ``max_iter`` rounds
+    don't reach the fixpoint — a loud failure beats a silently-wrong
+    clustering.
     """
-    labels = nodes.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
+    labels = nodes.select(F.col(id_col)).distinct().select(
+        F.col(id_col), F.col(id_col).alias("label")
+    )
     memb = reliable_checkpoint(
         membership.select(F.col(id_col), F.col(key_col)).distinct()
     )
 
     for _ in range(max_iter):
-        key_min = (
-            memb.join(labels, id_col)
-            .groupBy(key_col)
-            .agg(F.min("label").alias("key_label"))
-        )
-        via_keys = (
-            memb.join(key_min, key_col)
-            .groupBy(id_col)
-            .agg(F.min("key_label").alias("nbr_label"))
-        )
-        # persisted: referenced twice below (self + pointer map) — without
-        # the cache the membership joins above would execute twice a round
-        stepped = (
-            labels.join(via_keys, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.col("label").alias("_old"),
+        cur = labels.select(id_col, F.col("label").alias("_old"), "label")
+        hop_frames = []
+        for _hop in range(hops_per_round):
+            # each hop's frame is referenced TWICE (the key_min probe and
+            # the label merge) — persist per hop or the hop chains
+            # re-execute 2^hops times
+            cur = cur.persist()
+            hop_frames.append(cur)
+            key_min = (
+                memb.join(cur.select(id_col, "label"), id_col)
+                .groupBy(key_col)
+                .agg(F.min("label").alias("key_label"))
+            )
+            via = (
+                memb.join(key_min, key_col)
+                .groupBy(id_col)
+                .agg(F.min("key_label").alias("nbr_label"))
+            )
+            cur = cur.join(via, id_col, "left").select(
+                id_col,
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("_mid"),
+                ).alias("label"),
             )
-            .persist()
-        )
+        # persisted: referenced twice below (self + pointer map)
+        stepped = cur.persist()
+        hop_frames.append(stepped)
         # pointer jumping: follow the label one hop (label-of-label);
-        # labels only decrease, so min(_mid, its label) keeps the
+        # labels only decrease, so min(label, its label) keeps the
         # component-min invariant while halving chain distances
         ptr = stepped.select(
-            F.col(id_col).alias("_mid"), F.col("_mid").alias("_mid2")
+            F.col(id_col).alias("_t"), F.col("label").alias("_tl")
         )
         # the change flag rides in the checkpointed frame, so convergence
         # detection is a column sum over the rows this round materializes
         # anyway — no extra old-vs-new join per round
         new_labels = reliable_checkpoint(
-            stepped.join(ptr, "_mid", "left")
+            stepped.join(ptr, stepped["label"] == F.col("_t"), "left")
             .select(
                 F.col(id_col),
                 F.least(
-                    F.col("_mid"), F.coalesce(F.col("_mid2"), F.col("_mid"))
+                    F.col("label"), F.coalesce(F.col("_tl"), F.col("label"))
                 ).alias("label"),
                 (
                     F.least(
-                        F.col("_mid"), F.coalesce(F.col("_mid2"), F.col("_mid"))
+                        F.col("label"), F.coalesce(F.col("_tl"), F.col("label"))
                     )
                     < F.col("_old")
                 ).cast("int").alias("_changed"),
             )
         )
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
-        stepped.unpersist()
+        for f in hop_frames:
+            f.unpersist()
         labels = new_labels.drop("_changed")
         if changed == 0:
             return labels.withColumnRenamed("label", "cluster_id")

@@ -36,15 +36,19 @@ def test_components_chain_and_singletons(spark):
 
 
 def test_components_no_fixpoint_raises(spark):
-    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
-    # a 6-chain needs 3 doc->key->doc rounds + 1 to detect the fixpoint
+    # a 64-chain: one membership round moves labels ~1 key-hop and the
+    # frontier pointer jumps (<=3 per round) at most triple the reach,
+    # so max_iter=1 cannot finish — the loud-failure path must fire
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     memb = spark.createDataFrame(
-        [(i, f"k{i}") for i in range(5)] + [(i + 1, f"k{i}") for i in range(5)],
+        [(i, f"k{i}") for i in range(n - 1)]
+        + [(i + 1, f"k{i}") for i in range(n - 1)],
         "doc_id long, bkey string",
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        components_over_keys(nodes, memb, key_col="bkey", max_iter=2)
-    got = components_over_keys(nodes, memb, key_col="bkey", max_iter=10)
+        components_over_keys(nodes, memb, key_col="bkey", max_iter=1)
+    got = components_over_keys(nodes, memb, key_col="bkey", max_iter=25)
     assert {r["cluster_id"] for r in got.collect()} == {0}
 
 

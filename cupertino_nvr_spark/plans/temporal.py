@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cupertino_nvr_spark.plans.registry import register
+from cupertino_nvr_spark.plans.registry import REGISTRY, register
 from cupertino_nvr_spark.sources.tables import load_table
 
 
@@ -2131,6 +2131,82 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "direction string"
     )
     return daily.groupBy("event_type").applyInPandas(_cusum_kernel, schema)
+
+
+_CUSUM_SQL = REGISTRY["events_cusum_changepoints"].oracle
+
+
+@register(
+    "events_cusum_segments",
+    f"""
+    WITH cpz AS ({_CUSUM_SQL}),
+    segged AS (
+      SELECT event_type, day, total_value, is_changepoint, direction,
+             1 + COALESCE(SUM(is_changepoint) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS segment_id
+      FROM cpz
+    )
+    SELECT event_type, CAST(segment_id AS BIGINT) AS segment_id,
+           MIN(day) AS start_day, MAX(day) AS end_day,
+           COUNT(*) AS n_days,
+           round(CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS seg_mean,
+           MAX(CASE WHEN is_changepoint = 1 THEN direction END) AS ended_by
+    FROM segged
+    GROUP BY event_type, segment_id
+    """,
+    doc=(
+        "Per-segment statistics between CUSUM changepoints — the "
+        "consumer a segmentation exists for: each (type, segment) with "
+        "its day span, length, mean daily total (exact-decimal sum, one "
+        "rounded division), and the alarm direction that CLOSED it "
+        "(NULL for the trailing open segment). Segment id = 1 + number "
+        "of changepoints strictly before the day, so an alarm day "
+        "closes the segment it ends. Reuses the events_cusum_changepoints "
+        "chain verbatim (the alarm semantics cannot drift between the "
+        "flag query and its summary); the additions are one "
+        "domain-bounded window over the (type x day) frame and one "
+        "segment-keyed aggregate — the fact table still contributes a "
+        "single map-side-combined daily rollup."
+    ),
+)
+def events_cusum_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cp = events_cusum_changepoints(spark, sf_dir)
+    wseg = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    segged = cp.select(
+        "event_type",
+        "day",
+        "total_value",
+        "is_changepoint",
+        "direction",
+        (
+            F.lit(1)
+            + F.coalesce(F.sum("is_changepoint").over(wseg), F.lit(0))
+        ).alias("segment_id"),
+    )
+    return segged.groupBy(
+        "event_type", F.col("segment_id").cast("bigint").alias("segment_id")
+    ).agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("seg_mean"),
+        F.max(F.when(F.col("is_changepoint") == 1, F.col("direction"))).alias(
+            "ended_by"
+        ),
+    )
 
 
 # Markov-chain attribution by removal effect (Anderl et al. 2014, the

@@ -32,6 +32,7 @@ R10_DEBUTS = {
     "docs_substring_excised_stats",
     "docs_wordpiece_tokenized_len",
     "events_cusum_changepoints",
+    "events_cusum_segments",
     "docs_tokenizer_fertility",
 }
 

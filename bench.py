@@ -193,6 +193,11 @@ EXTRAS = [
     "events_holt_winters",
     "docs_substring_excise_plan",
     "docs_cluster_bcubed",
+    # r10 debuts
+    "docs_substring_excised_stats",
+    "docs_wordpiece_tokenized_len",
+    "events_cusum_changepoints",
+    "events_cusum_segments",
 ]
 
 

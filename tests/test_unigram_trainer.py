@@ -127,10 +127,11 @@ def test_tokenizer_fertility_shapes(spark, tmp_path):
         r.tokenizer: r
         for r in REGISTRY["docs_tokenizer_fertility"].spark(spark, sf_dir).collect()
     }
-    assert set(rows) == {"bpe", "unigram"}
-    # same eligible word multiset on both legs
-    assert rows["bpe"].n_words == rows["unigram"].n_words
-    assert rows["bpe"].n_chars == rows["unigram"].n_chars
+    assert set(rows) == {"bpe", "unigram", "wordpiece"}
+    # same eligible word multiset on all three legs
+    for leg in ("unigram", "wordpiece"):
+        assert rows["bpe"].n_words == rows[leg].n_words
+        assert rows["bpe"].n_chars == rows[leg].n_chars
     for r in rows.values():
         assert r.n_units >= r.n_words  # every word is >= 1 unit
         assert r.n_units <= r.n_chars  # and <= its characters

@@ -114,12 +114,20 @@ def components_over_keys(
     collect), not data volume — a frontier/broadcast variant that
     minimized per-round data moved was measured 2.4x SLOWER because it
     tripled the number of materializations per round. So the lever is
-    amortization: taking 3 key hops per round shrinks rounds ~3x while
-    the per-round cost grows far less than 3x (the checkpoint/collect
-    overhead is paid once per round) — measured 106 s -> 80 s on the
-    sf1 cross-modal query (5 hops: 86 s — past ~3 the extra persists
-    eat the gain), with the residual bound structural (rounds ~
-    key-graph diameter / hops). Work per round stays O(hops * (|membership| +
+    amortization: taking ``hops_per_round`` key hops per round shrinks
+    rounds while the per-round cost grows far less (the
+    checkpoint/collect overhead is paid once per round) — measured
+    106 s -> 80 s on the sf1 cross-modal query at 3 hops flat (5 hops:
+    86 s — past ~3 the extra persists eat the gain), with the residual
+    bound structural (rounds ~ key-graph diameter / hops). The hop
+    count RAMPS (rounds 1-6 single-hop, hops_per_round after): shallow
+    graphs — exact-dup band memberships with diameter 2-3, the COMMON
+    case — converge inside the single-hop rounds and never pay for
+    hops they don't need (3 hops flat measured docs_dup_clusters at
+    sf0.1 ~1.5x slower), while a query still unconverged after 6
+    rounds is draining a chain, where the amortization wins (sf1
+    cross-modal measured 106 s -> 78 s end to end). Work per round
+    stays O(hops * (|membership| +
     |nodes|)): no pair join ever happens, which is what makes
     clustering hot bands safe at scale. Raises if ``max_iter`` rounds
     don't reach the fixpoint — a loud failure beats a silently-wrong
@@ -132,15 +140,23 @@ def components_over_keys(
         membership.select(F.col(id_col), F.col(key_col)).distinct()
     )
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        # rounds 1-6 are plain single-hop rounds (identical cost to the
+        # pre-r10 loop — every shallow graph, i.e. every clustering
+        # consumer except deep-chain near-dup graphs, converges inside
+        # them); a query still unconverged after 6 rounds is draining a
+        # chain, where multi-hop amortization wins
+        hops = 1 if rnd < 6 else hops_per_round
         cur = labels.select(id_col, F.col("label").alias("_old"), "label")
         hop_frames = []
-        for _hop in range(hops_per_round):
-            # each hop's frame is referenced TWICE (the key_min probe and
-            # the label merge) — persist per hop or the hop chains
-            # re-execute 2^hops times
-            cur = cur.persist()
-            hop_frames.append(cur)
+        for _hop in range(hops):
+            # every hop's frame is referenced TWICE (the key_min probe
+            # and the label merge): the first hop reads the checkpointed
+            # labels frame (already materialized), later hops' frames
+            # must persist or the hop chains re-execute 2^hops times
+            if _hop > 0:
+                cur = cur.persist()
+                hop_frames.append(cur)
             key_min = (
                 memb.join(cur.select(id_col, "label"), id_col)
                 .groupBy(key_col)

@@ -198,6 +198,7 @@ EXTRAS = [
     "docs_wordpiece_tokenized_len",
     "events_cusum_changepoints",
     "events_cusum_segments",
+    "docs_lsh_tuning_profile",
 ]
 
 

@@ -51,6 +51,7 @@ _R10_WINDOW_PRIORITY = [
     "docs_wordpiece_tokenized_len",
     "events_cusum_changepoints",
     "events_cusum_segments",
+    "docs_lsh_tuning_profile",
     # modified this round (fertility extended to the three-way BPE /
     # unigram / WordPiece comparison) — changed semantics re-verify
     # in-window like a debut

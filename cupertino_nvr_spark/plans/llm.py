@@ -3560,6 +3560,123 @@ def docs_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH banding-parameter tuning profile: for every (bands, rows_per_band)
+# factorization of the 8-hash signature, the classic S-curve threshold
+# tau = (1/b)^(1/r) (the Jaccard at ~50% collision probability — how a
+# dedup team picks banding) plus the EMPIRICAL bucket-load profile on
+# this corpus. tau values are precomputed Python double literals emitted
+# into BOTH engines, so no cross-engine libm pow is in the hash path.
+_LSH_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+_LSH_TAUS = {(b, r): (1.0 / b) ** (1.0 / r) for b, r in _LSH_CONFIGS}
+_LSH_PROFILE_CAP = 64  # the production chain's band cap
+
+
+def _lsh_profile_cfg_sql(b: int, r: int) -> str:
+    bands_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, "
+        + " || '_' || ".join(
+            f"CAST(h{i * r + j} AS VARCHAR)" for j in range(r)
+        )
+        + " AS band_key FROM sig"
+        for i in range(b)
+    )
+    cap = _LSH_PROFILE_CAP
+    return f"""cfg{b}_{r}_sizes AS (
+      SELECT band_idx, band_key, COUNT(*) AS m
+      FROM ({bands_sel}) GROUP BY 1, 2
+    ),
+    cfg{b}_{r}_stats AS (
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             {_LSH_TAUS[(b, r)]!r} AS tau_threshold,
+             CAST(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_multi,
+             CAST(SUM(CASE WHEN m > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+               AS hot_buckets,
+             CAST(MAX(m) AS BIGINT) AS max_bucket,
+             CAST(SUM(CASE WHEN m BETWEEN 2 AND {cap}
+                           THEN m * (m - 1) // 2 ELSE 0 END) AS BIGINT)
+               AS candidate_pair_slots
+      FROM cfg{b}_{r}_sizes
+    )"""
+
+
+@register(
+    "docs_lsh_tuning_profile",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    {_minhash_band_chain_sql("t")},
+    {",".join(_lsh_profile_cfg_sql(b, r) for b, r in _LSH_CONFIGS)}
+    {" UNION ALL ".join(f"SELECT * FROM cfg{b}_{r}_stats" for b, r in _LSH_CONFIGS)}
+    """,
+    doc=(
+        "LSH banding-parameter tuning profile — the planning table a "
+        "dedup team reads before committing (bands, rows_per_band): for "
+        "every factorization of the 8-hash MinHash signature, the "
+        "S-curve threshold tau = (1/b)^(1/r) (the Jaccard level at ~50% "
+        "collision probability; more bands -> catches lower similarity, "
+        "more candidates) next to the EMPIRICAL cost on this corpus — "
+        "multi-member buckets, hot buckets past the production cap, max "
+        "bucket size, and the candidate-pair slots the capped banded "
+        "join would emit (sum of C(m,2) over admissible buckets — "
+        "derived from group SIZES, so the profile never materializes a "
+        "pair). Completes the banding family: candidates "
+        "(docs_minhash_lsh_candidates) -> quality (docs_lsh_quality_eval)"
+        " -> tuning (this). The signature table is computed ONCE "
+        "(checkpointed) and each config adds one explode + one "
+        "map-side-combined groupBy over doc-count-sized rows — linear "
+        "at any corpus size, bounded by #configs."
+    ),
+)
+def docs_lsh_tuning_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import minhash_signature
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    aug = augmented_docs(spark, sf_dir)
+    sigs = reliable_checkpoint(
+        minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    )
+    cap = _LSH_PROFILE_CAP
+    out = None
+    for b, r in _LSH_CONFIGS:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.concat_ws(
+                        "_", *[F.col(f"h{i * r + j}") for j in range(r)]
+                    ).alias("band_key"),
+                )
+                for i in range(b)
+            ]
+        )
+        sizes = (
+            sigs.select(F.explode(bands).alias("band"))
+            .groupBy("band.band_idx", "band.band_key")
+            .agg(F.count("*").alias("m"))
+        )
+        m = F.col("m")
+        stats = sizes.agg(
+            F.sum((m >= 2).cast("long")).alias("n_buckets_multi"),
+            F.sum((m > cap).cast("long")).alias("hot_buckets"),
+            F.max(m).cast("bigint").alias("max_bucket"),
+            F.sum(
+                F.when(m.between(2, cap), (m * (m - 1) / 2).cast("bigint"))
+                .otherwise(F.lit(0))
+            ).alias("candidate_pair_slots"),
+        ).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.lit(_LSH_TAUS[(b, r)]).alias("tau_threshold"),
+            "n_buckets_multi",
+            "hot_buckets",
+            "max_bucket",
+            "candidate_pair_slots",
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
 # UDTF surface (§2.10): same contract as docs_chunked, computed through
 # the Python table-function extension point — same oracle STRING, so the
 # two physical paths are held to one definition.

@@ -33,6 +33,7 @@ R10_DEBUTS = {
     "docs_wordpiece_tokenized_len",
     "events_cusum_changepoints",
     "events_cusum_segments",
+    "docs_lsh_tuning_profile",
     "docs_tokenizer_fertility",
 }
 

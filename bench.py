@@ -199,6 +199,7 @@ EXTRAS = [
     "events_cusum_changepoints",
     "events_cusum_segments",
     "docs_lsh_tuning_profile",
+    "media_doc_dedup_survivors",
 ]
 
 

@@ -52,6 +52,7 @@ _R10_WINDOW_PRIORITY = [
     "events_cusum_changepoints",
     "events_cusum_segments",
     "docs_lsh_tuning_profile",
+    "media_doc_dedup_survivors",
     # modified this round (fertility extended to the three-way BPE /
     # unigram / WordPiece comparison) — changed semantics re-verify
     # in-window like a debut

@@ -6773,10 +6773,12 @@ def media_phash_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_pairs_from_hashes(hashes)
 
 
-@register(
-    "media_doc_dup_clusters",
-    f"""
-    WITH RECURSIVE aug AS ({_AUG_SQL}),
+def _media_doc_comp_sql() -> str:
+    """The cross-modal transitive-closure CTE chain (aug..comp) — the
+    single SQL source behind media_doc_dup_clusters AND
+    media_doc_dedup_survivors, mirroring the Spark side's shared
+    _media_doc_components."""
+    return f"""aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
     {_minhash_band_chain_sql()},
     {_phash_media_sql()},
@@ -6820,7 +6822,13 @@ def media_phash_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
     ),
-    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+
+@register(
+    "media_doc_dup_clusters",
+    f"""
+    WITH RECURSIVE {_media_doc_comp_sql()}
     SELECT CASE WHEN node LIKE 'd:%' THEN 'doc' ELSE 'media' END AS node_kind,
            CAST(substr(node, 3) AS BIGINT) AS node_id,
            cluster_id,
@@ -6857,6 +6865,24 @@ def media_phash_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    comp = _media_doc_components(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    is_doc = F.col("node").startswith("d:")
+    return comp.select(
+        F.when(is_doc, "doc").otherwise("media").alias("node_kind"),
+        F.expr("CAST(substring(node, 3) AS BIGINT)").alias("node_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        F.sum(is_doc.cast("int")).over(w).cast("bigint").alias("n_docs"),
+        F.sum((~is_doc).cast("int")).over(w).cast("bigint").alias("n_media"),
+    )
+
+
+def _media_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared cross-modal component chain: (node['d:'/'m:'-prefixed],
+    cluster_id) over text band membership + pHash-verified media pairs +
+    media->page provenance links — media_doc_dup_clusters reports it,
+    media_doc_dedup_survivors acts on it."""
     from cupertino_nvr_spark.llm.pipeline import components_over_keys
 
     aug = augmented_docs(spark, sf_dir)
@@ -6904,16 +6930,127 @@ def media_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("m:"), F.col("media_id").cast("string")).alias("node")
         )
     )
-    comp = components_over_keys(nodes, membership, id_col="node", key_col="k")
-    w = Window.partitionBy("cluster_id")
+    return components_over_keys(nodes, membership, id_col="node", key_col="k")
+
+
+@register(
+    "media_doc_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_media_doc_comp_sql()},
+    dnodes AS (
+      SELECT c.cluster_id, CAST(substr(c.node, 3) AS BIGINT) AS node_id,
+             length(a.text) AS tl
+      FROM comp c JOIN aug a ON c.node = 'd:' || CAST(a.doc_id AS VARCHAR)
+    ),
+    surv AS (
+      SELECT cluster_id, node_id AS surv_doc FROM (
+        SELECT cluster_id, node_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY tl DESC, node_id) AS rn
+        FROM dnodes) WHERE rn = 1
+    ),
+    mrep AS (
+      SELECT cluster_id, MIN(CAST(substr(node, 3) AS BIGINT)) AS media_rep
+      FROM comp WHERE node LIKE 'm:%' GROUP BY cluster_id
+    )
+    SELECT CASE WHEN node LIKE 'd:%' THEN 'doc' ELSE 'media' END AS node_kind,
+           CAST(substr(node, 3) AS BIGINT) AS node_id,
+           c.cluster_id,
+           CAST(CASE WHEN node LIKE 'd:%'
+                     THEN CAST(substr(node, 3) AS BIGINT) = s.surv_doc
+                     WHEN s.surv_doc IS NOT NULL
+                     THEN CAST(substr(node, 3) AS BIGINT) = s.surv_doc
+                     ELSE CAST(substr(node, 3) AS BIGINT) = m.media_rep
+                END AS INT) AS is_kept,
+           CASE WHEN node LIKE 'd:%' THEN
+                  CASE WHEN CAST(substr(node, 3) AS BIGINT) = s.surv_doc
+                       THEN 'survivor_doc' ELSE 'dup_doc' END
+                WHEN s.surv_doc IS NOT NULL THEN
+                  CASE WHEN CAST(substr(node, 3) AS BIGINT) = s.surv_doc
+                       THEN 'media_of_survivor' ELSE 'dup_media' END
+                ELSE
+                  CASE WHEN CAST(substr(node, 3) AS BIGINT) = m.media_rep
+                       THEN 'media_rep' ELSE 'dup_media' END
+           END AS keep_reason
+    FROM comp c
+    LEFT JOIN surv s USING (cluster_id)
+    LEFT JOIN mrep m USING (cluster_id)
+    """,
+    doc=(
+        "Cross-modal dedup DECISION — the action the cross-modal "
+        "clusters exist for (the media_doc_dup_clusters -> survivors "
+        "closure, like excision's plan -> materialize pairing): per "
+        "cluster, keep the best DOC (longest text, ties -> smallest id) "
+        "and exactly the media attached to the kept page (base media "
+        "share their page's id, so the provenance test is an id "
+        "equality); media of dropped pages and pHash copies drop with "
+        "their pages; media-only clusters keep their min-id "
+        "representative. Emits every node with is_kept and a "
+        "keep_reason (survivor_doc / dup_doc / media_of_survivor / "
+        "media_rep / dup_media). Shares the component chain verbatim "
+        "with media_doc_dup_clusters (_media_doc_components /"
+        " _media_doc_comp_sql — the decision can never drift from the "
+        "reported clusters); the additions are one doc-length attach, "
+        "one max_by survivor aggregate (map-side combined, no "
+        "per-cluster sort), one min media aggregate, and two "
+        "cluster-keyed left joins."
+    ),
+)
+def media_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _media_doc_components(spark, sf_dir)
+    aug = augmented_docs(spark, sf_dir)
     is_doc = F.col("node").startswith("d:")
-    return comp.select(
-        F.when(is_doc, "doc").otherwise("media").alias("node_kind"),
-        F.expr("CAST(substring(node, 3) AS BIGINT)").alias("node_id"),
+    base = comp.select(
+        "node",
         "cluster_id",
-        F.count("*").over(w).alias("cluster_size"),
-        F.sum(is_doc.cast("int")).over(w).cast("bigint").alias("n_docs"),
-        F.sum((~is_doc).cast("int")).over(w).cast("bigint").alias("n_media"),
+        is_doc.alias("is_doc"),
+        F.expr("CAST(substring(node, 3) AS BIGINT)").alias("node_id"),
+    )
+    dn = base.filter("is_doc").join(
+        aug.select(
+            F.col("doc_id").alias("node_id"), F.length("text").alias("tl")
+        ),
+        "node_id",
+    )
+    surv = dn.groupBy("cluster_id").agg(
+        F.max_by(
+            "node_id", F.struct(F.col("tl"), (-F.col("node_id")).alias("nid"))
+        ).alias("surv_doc")
+    )
+    mrep = (
+        base.filter(~F.col("is_doc"))
+        .groupBy("cluster_id")
+        .agg(F.min("node_id").alias("media_rep"))
+    )
+    nid = F.col("node_id")
+    kept = F.when(F.col("is_doc"), nid == F.col("surv_doc")).otherwise(
+        F.when(F.col("surv_doc").isNotNull(), nid == F.col("surv_doc")).otherwise(
+            nid == F.col("media_rep")
+        )
+    )
+    reason = F.when(
+        F.col("is_doc"),
+        F.when(nid == F.col("surv_doc"), "survivor_doc").otherwise("dup_doc"),
+    ).otherwise(
+        F.when(
+            F.col("surv_doc").isNotNull(),
+            F.when(nid == F.col("surv_doc"), "media_of_survivor").otherwise(
+                "dup_media"
+            ),
+        ).otherwise(
+            F.when(nid == F.col("media_rep"), "media_rep").otherwise("dup_media")
+        )
+    )
+    return (
+        base.join(surv, "cluster_id", "left")
+        .join(mrep, "cluster_id", "left")
+        .select(
+            F.when(F.col("is_doc"), "doc").otherwise("media").alias("node_kind"),
+            "node_id",
+            "cluster_id",
+            kept.cast("int").alias("is_kept"),
+            reason.alias("keep_reason"),
+        )
     )
 
 

@@ -99,3 +99,45 @@ def test_bcubed_reduction_matches_definition():
     r_red = sum(n * n / gj[g] for (c, g), n in nij.items()) / len(els)
     assert abs(p_def - p_red) < 1e-12
     assert abs(r_def - r_red) < 1e-12
+
+
+def test_media_doc_dedup_survivors_invariants(spark):
+    """The cross-modal keep/drop decision: exactly one surviving doc per
+    doc-bearing cluster; media survive only alongside their kept page
+    (base media share the page's id); media-only clusters keep exactly
+    their min-id representative; reasons partition consistently."""
+    from cupertino_nvr_spark.plans.registry import REGISTRY
+
+    rows = (
+        REGISTRY["media_doc_dedup_survivors"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert rows
+    saw_dup_doc = saw_media_of_survivor = False
+    for cid, members in by_cluster.items():
+        docs = [m for m in members if m["node_kind"] == "doc"]
+        media = [m for m in members if m["node_kind"] == "media"]
+        kept_docs = [m for m in docs if m["is_kept"]]
+        if docs:
+            assert len(kept_docs) == 1, cid
+            surv = kept_docs[0]["node_id"]
+            assert kept_docs[0]["keep_reason"] == "survivor_doc"
+            for m in media:
+                if m["is_kept"]:
+                    assert m["node_id"] == surv
+                    assert m["keep_reason"] == "media_of_survivor"
+                    saw_media_of_survivor = True
+            saw_dup_doc = saw_dup_doc or any(
+                d["keep_reason"] == "dup_doc" for d in docs
+            )
+        else:
+            kept_media = [m for m in media if m["is_kept"]]
+            assert len(kept_media) == 1, cid
+            assert kept_media[0]["node_id"] == min(m["node_id"] for m in media)
+            assert kept_media[0]["keep_reason"] == "media_rep"
+    # the corpus actually exercises the interesting branches
+    assert saw_dup_doc and saw_media_of_survivor

@@ -34,6 +34,7 @@ R10_DEBUTS = {
     "events_cusum_changepoints",
     "events_cusum_segments",
     "docs_lsh_tuning_profile",
+    "media_doc_dedup_survivors",
     "docs_tokenizer_fertility",
 }
 

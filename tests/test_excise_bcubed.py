@@ -141,3 +141,28 @@ def test_media_doc_dedup_survivors_invariants(spark):
             assert kept_media[0]["keep_reason"] == "media_rep"
     # the corpus actually exercises the interesting branches
     assert saw_dup_doc and saw_media_of_survivor
+
+
+def test_lsh_tuning_profile_monotone(spark):
+    """Banding monotonicity: more bands -> lower S-curve threshold and
+    at least as many candidate-pair slots (finer blocking can only add
+    collisions on this corpus); the 4 factorizations of the 8-hash
+    signature are all present with their precomputed tau literals."""
+    from cupertino_nvr_spark.plans.llm import _LSH_TAUS
+    from cupertino_nvr_spark.plans.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["docs_lsh_tuning_profile"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [(r["bands"], r["rows_per_band"]) for r in rows] == [
+        (1, 8), (2, 4), (4, 2), (8, 1),
+    ]
+    for r in rows:
+        assert r["tau_threshold"] == _LSH_TAUS[(r["bands"], r["rows_per_band"])]
+    taus = [r["tau_threshold"] for r in rows]
+    slots = [r["candidate_pair_slots"] for r in rows]
+    assert taus == sorted(taus, reverse=True)  # more bands -> lower tau
+    assert slots == sorted(slots)  # more bands -> more candidates

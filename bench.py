@@ -200,6 +200,7 @@ EXTRAS = [
     "events_cusum_segments",
     "docs_lsh_tuning_profile",
     "media_doc_dedup_survivors",
+    "media_phash_tau_profile",
 ]
 
 

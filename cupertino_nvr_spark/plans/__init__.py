@@ -53,6 +53,7 @@ _R10_WINDOW_PRIORITY = [
     "events_cusum_segments",
     "docs_lsh_tuning_profile",
     "media_doc_dedup_survivors",
+    "media_phash_tau_profile",
     # modified this round (fertility extended to the three-way BPE /
     # unigram / WordPiece comparison) — changed semantics re-verify
     # in-window like a debut

@@ -6525,10 +6525,12 @@ def _phash_pair_tail_sql() -> str:
     FROM scored WHERE hamming <= {_PHASH_TAU}"""
 
 
-def _phash_pairs_from_hashes(hashes: DataFrame) -> DataFrame:
-    """Shared banded-Hamming verify chain (Spark side) from a
+def _phash_scored_pairs(hashes: DataFrame) -> DataFrame:
+    """Shared banded-Hamming candidate scoring (Spark side) from a
     (media_id, band0..band3) frame: 4-band equi-join candidates, one
-    distinct-pair dedup, xor+bit_count Hamming verify, tau cap."""
+    distinct-pair dedup, xor+bit_count Hamming verify — UNCAPPED
+    (id_a, id_b, hamming); the serving chain applies the tau, the tau
+    profile sweeps it."""
     membership = None
     for b in range(_PHASH_BANDS):
         m = hashes.select(
@@ -6564,6 +6566,14 @@ def _phash_pairs_from_hashes(hashes: DataFrame) -> DataFrame:
         cand.join(ha, "id_a")
         .join(hb, "id_b")
         .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+def _phash_pairs_from_hashes(hashes: DataFrame) -> DataFrame:
+    """The serving chain: scored candidates capped at the production tau
+    (shared scoring via _phash_scored_pairs)."""
+    return (
+        _phash_scored_pairs(hashes)
         .filter(F.col("hamming") <= _PHASH_TAU)
         .select(
             "id_a",
@@ -6771,6 +6781,89 @@ def media_phash_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _phash_media(spark, sf_dir)
     hashes = phash_pixel_hashes(media)
     return _phash_pairs_from_hashes(hashes)
+
+
+_PHASH_TAU_SWEEP = 16  # profile taus 0..16 (production tau = 6 sits mid-curve)
+
+
+@register(
+    "media_phash_tau_profile",
+    f"""
+    WITH {_phash_media_sql()},
+    {_phash_pair_ctes_sql()},
+    spine AS (SELECT unnest(range(0, {_PHASH_TAU_SWEEP + 1})) AS tau),
+    per_tau AS (
+      SELECT s.tau, COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN p.hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact
+      FROM spine s JOIN scored p ON p.hamming <= s.tau
+      GROUP BY s.tau
+    ),
+    med AS (
+      SELECT s.tau, COUNT(DISTINCT x.m) AS n_media
+      FROM spine s JOIN (
+        SELECT id_a AS m, hamming FROM scored
+        UNION ALL SELECT id_b, hamming FROM scored
+      ) x ON x.hamming <= s.tau
+      GROUP BY s.tau
+    )
+    SELECT CAST(s.tau AS INT) AS tau,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(p.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(m.n_media, 0) AS BIGINT) AS n_media,
+           CAST(s.tau = {_PHASH_TAU} AS INT) AS is_production_tau
+    FROM spine s
+    LEFT JOIN per_tau p USING (tau)
+    LEFT JOIN med m USING (tau)
+    """,
+    doc=(
+        "pHash Hamming-threshold tuning profile — the sweep a media-"
+        "dedup owner reads before committing tau: for every threshold "
+        "0..16, the verified near-dup pair count, the exact-copy "
+        "(Hamming 0) share, and the distinct media drawn into pairs, "
+        "with the production tau flagged in-row. Sweeps the SHARED "
+        "banded-Hamming scoring chain (_phash_scored_pairs — the same "
+        "candidates media_phash_neardup serves from, uncapped), so the "
+        "profile measures exactly the production candidate set; the "
+        "sweep itself is a 17-row spine range-joined against the "
+        "bounded post-banding candidate table — band balance bounds "
+        "the scored rows, never all-pairs, and the spine side is a "
+        "17-row broadcast."
+    ),
+)
+def media_phash_tau_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _phash_media(spark, sf_dir)
+    scored = _phash_scored_pairs(_phash_byte_hashes(media))
+    spine = spark.range(0, _PHASH_TAU_SWEEP + 1).select(
+        F.col("id").cast("int").alias("tau")
+    )
+    hits = F.broadcast(spine).join(
+        scored, F.col("hamming") <= F.col("tau")
+    )
+    per_tau = hits.groupBy("tau").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("n_exact"),
+    )
+    exploded = scored.select(
+        F.col("id_a").alias("m"), "hamming"
+    ).unionByName(scored.select(F.col("id_b").alias("m"), "hamming"))
+    med = (
+        F.broadcast(spine)
+        .join(exploded, F.col("hamming") <= F.col("tau"))
+        .groupBy("tau")
+        .agg(F.count_distinct("m").alias("n_media"))
+    )
+    return (
+        spine.join(per_tau, "tau", "left")
+        .join(med, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+            F.coalesce("n_media", F.lit(0)).cast("bigint").alias("n_media"),
+            (F.col("tau") == _PHASH_TAU).cast("int").alias("is_production_tau"),
+        )
+    )
 
 
 def _media_doc_comp_sql() -> str:

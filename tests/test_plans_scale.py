@@ -195,6 +195,10 @@ ALLOWED_BNLJ = {
     # two 1-row totals attaches (bigram total, token total); the scoring
     # joins are term-keyed equi-joins bounded by the vocabularies
     "docs_pmi_collocations",
+    # 17-row tau spine range-joined against the bounded post-banding
+    # candidate table (band balance bounds scored rows, never all-pairs);
+    # the spine side broadcasts — the events_psi_drift spine pattern
+    "media_phash_tau_profile",
     # 9-row decile-threshold spine x the bounded 0.1-granular value grid
     # (the threshold-crossing edge derivation); the fact table contributes
     # one map-side-combined groupBy, and the bucket assignment itself is

@@ -35,6 +35,7 @@ R10_DEBUTS = {
     "events_cusum_segments",
     "docs_lsh_tuning_profile",
     "media_doc_dedup_survivors",
+    "media_phash_tau_profile",
     "docs_tokenizer_fertility",
 }
 

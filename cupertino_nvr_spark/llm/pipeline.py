@@ -15,10 +15,14 @@ Scale notes per operator:
   doc→key→doc per iteration means cost per round is linear in membership
   rows (never pair rows), so a hot band of m docs costs m, not m² — the
   component structure comes out WITHOUT materializing candidate pairs.
-  Iterations = graph diameter in key-hops; each is two shuffles
-  (groupBy key, groupBy doc) with map-side combine on MIN.
-  ``reliable_checkpoint`` truncates the growing lineage each round
-  (fault-tolerant ``checkpoint()`` on clusters, local otherwise).
+  Two-phase: single-hop propagation for the first ``ramp_rounds`` rounds
+  (shallow graphs — the common case — converge there at minimum
+  per-round cost), then large-star/small-star edge contraction for the
+  deep-chain tail (O(log² n) rounds independent of diameter, where
+  propagation is bound by diameter). Each round is two shuffles with
+  map-side combine on MIN; ``reliable_checkpoint`` truncates the growing
+  lineage each round (fault-tolerant ``checkpoint()`` on clusters, local
+  otherwise).
 - **Split + shard packing** — hash-split (train/val/test) then greedy
   token-budget packing via a running sum windowed over (split, bucket):
   bucketing bounds every window partition to ~1/n_buckets of the split,
@@ -50,6 +54,12 @@ _REDACTIONS = [  # applied in order; email first so its domain dots never
     (PHONE_RE, "<PHONE>"),
     (IPV4_RE, "<IP>"),
 ]
+
+# Diagnostics from the most recent components_over_keys call on this
+# driver (round counts + which deep path engaged) — what the round-notes
+# measurement tables and the path-engagement regression tests read.
+# Driver-local bookkeeping only; never consulted by the plans.
+LAST_RUN_STATS: dict = {}
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
@@ -93,46 +103,64 @@ def components_over_keys(
     key_col: str = "band_key",
     max_iter: int = 25,
     hops_per_round: int = 3,
+    ramp_rounds: int = 6,
+    deep_path: str = "contract",
 ) -> DataFrame:
     """Connected components of the bipartite (node, key) graph: two nodes
     are connected iff they transitively share keys. Returns
     (id_col, cluster_id) where cluster_id = min node id in the component.
 
-    Alternating min-label propagation, MULTI-HOP per round, with pointer
-    jumping — each round pushes labels node→key (min per key) then
-    key→node (min over a node's keys) ``hops_per_round`` times, then
-    path-halves once (label := min(label, label-of-label), one
-    labels-sized equi-join; every label is itself a node id so the hop
-    is total). The r10 sf1 profile established WHERE the cost lives on
-    chain-shaped graphs (near-dup graphs are chain-prone — A~B~C with
-    A!~C — and the sf1 cross-modal graph has >40-hop key chains): the
-    min label can only travel one key-graph EDGE per node→key→node
-    pass (tail rounds measured jumped=0 while changed>0, so label-tree
-    compression cannot shortcut it), and at sf1 the frames are small
-    enough (~1M rows) that each round's cost is dominated by FIXED
-    per-round overhead (scheduling + checkpoint + the convergence
-    collect), not data volume — a frontier/broadcast variant that
-    minimized per-round data moved was measured 2.4x SLOWER because it
-    tripled the number of materializations per round. So the lever is
-    amortization: taking ``hops_per_round`` key hops per round shrinks
-    rounds while the per-round cost grows far less (the
-    checkpoint/collect overhead is paid once per round) — measured
-    106 s -> 80 s on the sf1 cross-modal query at 3 hops flat (5 hops:
-    86 s — past ~3 the extra persists eat the gain), with the residual
-    bound structural (rounds ~ key-graph diameter / hops). The hop
-    count RAMPS (rounds 1-6 single-hop, hops_per_round after): shallow
+    Two-phase: the first ``ramp_rounds`` rounds are plain single-hop
+    min-label propagation with pointer jumping — each round pushes
+    labels node→key (min per key) then key→node (min over a node's
+    keys), then path-halves once (label := min(label, label-of-label);
+    every label is itself a node id so the hop is total). Shallow
     graphs — exact-dup band memberships with diameter 2-3, the COMMON
-    case — converge inside the single-hop rounds and never pay for
-    hops they don't need (3 hops flat measured docs_dup_clusters at
-    sf0.1 ~1.5x slower), while a query still unconverged after 6
-    rounds is draining a chain, where the amortization wins (sf1
-    cross-modal measured 106 s -> 78 s end to end). Work per round
-    stays O(hops * (|membership| +
-    |nodes|)): no pair join ever happens, which is what makes
-    clustering hot bands safe at scale. Raises if ``max_iter`` rounds
-    don't reach the fixpoint — a loud failure beats a silently-wrong
-    clustering.
+    case for every clustering consumer — converge inside the ramp at
+    the cheapest possible per-round cost (two min-combined shuffles +
+    one labels-sized join). A graph still unconverged after the ramp is
+    draining a chain — the r10 sf1 profile measured the min label
+    traveling exactly one key-graph EDGE per node→key→node pass
+    (jumped=0 while changed>0 in tail rounds: label-tree compression
+    cannot shortcut distance that lives in the KEY graph) on >40-hop
+    key chains — so the loop switches to the ``deep_path``:
+
+    - ``"contract"`` (default): alternating large-star/small-star edge
+      contraction (Kiveris et al. 2014, "Connected Components in
+      MapReduce and Beyond") over the LABEL-contracted graph — nodes
+      collapse to their current labels (same-component invariant), each
+      key star-ifies to (member-label → key-min-label) edges, and the
+      alternating rounds converge in O(log^2 n) rounds INDEPENDENT of
+      graph diameter, vs rounds ≈ diameter for propagation (r10
+      measured 19 rounds on the sf1 cross-modal graph). Same fixpoint:
+      the component min node's label is itself, so the star roots ARE
+      the component minima.
+    - ``"multihop"``: the r10 ramped multi-hop loop — each round takes
+      ``hops_per_round`` key hops, amortizing the FIXED per-round
+      overhead (scheduling + checkpoint + the convergence collect; at
+      ~1M-row frames that overhead, not data volume, dominates — a
+      frontier/broadcast variant was measured 2.4x SLOWER because it
+      tripled materializations per round). Measured sf1 cross-modal
+      106 s -> 78 s; kept as the measurable alternative the contraction
+      path is A/B'd against.
+
+    Round semantics (r10 advisor note): ``max_iter`` counts ROUNDS, not
+    key hops — after the ramp a multihop round advances up to
+    ``hops_per_round`` key hops and a contract round is one large-star +
+    small-star pass; callers with ``max_iter <= ramp_rounds`` run pure
+    single-hop propagation and never engage the deep path. Work per
+    round stays O(|membership| + |nodes|) (contraction: O(|edges|) with
+    |edges| <= |membership|): no pair join ever happens, which is what
+    makes clustering hot bands safe at scale. Raises if ``max_iter``
+    rounds don't reach the fixpoint — a loud failure beats a
+    silently-wrong clustering.
     """
+    if deep_path not in ("contract", "multihop"):
+        raise ValueError(f"deep_path must be 'contract' or 'multihop', got {deep_path!r}")
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(
+        {"propagation_rounds": 0, "deep_path": None, "contract_rounds": 0}
+    )
     labels = nodes.select(F.col(id_col)).distinct().select(
         F.col(id_col), F.col(id_col).alias("label")
     )
@@ -141,12 +169,18 @@ def components_over_keys(
     )
 
     for rnd in range(max_iter):
-        # rounds 1-6 are plain single-hop rounds (identical cost to the
-        # pre-r10 loop — every shallow graph, i.e. every clustering
-        # consumer except deep-chain near-dup graphs, converges inside
-        # them); a query still unconverged after 6 rounds is draining a
-        # chain, where multi-hop amortization wins
-        hops = 1 if rnd < 6 else hops_per_round
+        if rnd >= ramp_rounds and deep_path == "contract":
+            # unconverged after the ramp: a deep chain — hand the
+            # label-contracted graph to star contraction, which owns
+            # the remaining round budget
+            LAST_RUN_STATS["deep_path"] = "contract"
+            return _contract_components(
+                labels, memb, id_col, key_col, max_iter - rnd
+            )
+        LAST_RUN_STATS["propagation_rounds"] = rnd + 1
+        if rnd >= ramp_rounds:
+            LAST_RUN_STATS["deep_path"] = "multihop"
+        hops = 1 if rnd < ramp_rounds else hops_per_round
         cur = labels.select(id_col, F.col("label").alias("_old"), "label")
         hop_frames = []
         for _hop in range(hops):
@@ -208,6 +242,109 @@ def components_over_keys(
         if changed == 0:
             return labels.withColumnRenamed("label", "cluster_id")
     raise RuntimeError(f"components_over_keys: no fixpoint after {max_iter} rounds")
+
+
+def _contract_components(
+    labels: DataFrame,
+    memb: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Finish a partially-propagated clustering by star contraction.
+
+    ``labels`` is (id, label) where label is a node id inside the same
+    component (the min-propagation invariant) — so contracting every
+    node to its label preserves components exactly, and the component
+    MIN's label is itself (nothing smaller exists to displace it), so
+    the contracted graph's component minima are the original ones.
+    Edges: per key, the distinct member labels star-ify onto the
+    key-min label — O(|membership|) edges, never a pair join. Final
+    labels: node -> root(label) (labels absent from the edge set are
+    already component minima or singletons).
+    """
+    lab_memb = (
+        memb.join(labels, id_col)
+        .select(F.col("label").alias("u"), F.col(key_col).alias("_k"))
+        .distinct()
+    )
+    kmin = lab_memb.groupBy("_k").agg(F.min("u").alias("v"))
+    edges = (
+        lab_memb.join(kmin, "_k")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    roots = _star_contract(edges, max_iter)
+    return (
+        labels.join(roots, labels["label"] == roots["_cn"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_croot"), F.col("label")).alias("cluster_id"),
+        )
+    )
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff the (child, parent) edge set is a union of disjoint
+    stars: every child has exactly one parent and no parent is itself a
+    child. At that point both star operations are no-ops and every
+    child's parent is its component min (edges stay child>parent
+    oriented throughout, so a star's root is its min). Two limit-1
+    probe jobs — cheap next to the round's shuffles."""
+    multi = (
+        edges.groupBy("u").agg(F.count("*").alias("_n")).filter(F.col("_n") > 1)
+    )
+    chained = edges.join(
+        edges.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
+    )
+    return multi.isEmpty() and chained.isEmpty()
+
+
+def _star_contract(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014): per round, large-star(u) hangs every LARGER neighbor
+    of u onto min(N(u) ∪ {u}); small-star(u) (edges oriented
+    child>parent) merges u and its smaller neighbors onto their min.
+    Both preserve connectivity (paper Lemmas 1-2) and strictly decrease
+    a potential until the edge set is a star forest, in O(log^2 n)
+    rounds independent of graph diameter — the property that makes this
+    the deep-chain path where per-round propagation is bound by
+    diameter. Returns (_cn [child node], _croot [component min]) for
+    every non-root node in ``edges``. Raises on round exhaustion."""
+    edges = reliable_checkpoint(edges.select("u", "v").distinct())
+    for rnd in range(max_iter):
+        if _is_star_forest(edges):
+            LAST_RUN_STATS["contract_rounds"] = rnd
+            return edges.select(
+                F.col("u").alias("_cn"), F.col("v").alias("_croot")
+            )
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        gmin = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        # large-star: for v in N(u) with v > u, emit (v, min(N(u) ∪ {u}))
+        large = (
+            sym.join(gmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("_mn"), F.col("u")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star: large-star output is child>parent oriented, so
+        # N⁻(u) is just N(u); merge u and all its parents onto their min
+        smin = large.groupBy("u").agg(F.min("v").alias("_mn"))
+        e_sib = (
+            large.join(smin, "u")
+            .filter(F.col("v") != F.col("_mn"))
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+        )
+        e_self = smin.select("u", F.col("_mn").alias("v"))
+        edges = reliable_checkpoint(e_sib.unionByName(e_self).distinct())
+    raise RuntimeError(
+        f"_star_contract: no star forest after {max_iter} rounds"
+    )
 
 
 def duplicate_clusters(

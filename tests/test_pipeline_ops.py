@@ -52,6 +52,119 @@ def test_components_no_fixpoint_raises(spark):
     assert {r["cluster_id"] for r in got.collect()} == {0}
 
 
+def test_components_contract_equals_multihop_on_random_graphs(spark):
+    """The star-contraction deep path and the r10 multi-hop path must
+    reach the identical fixpoint (component = transitive key-sharing,
+    cluster_id = component min) on adversarial shapes: a long chain (the
+    contraction trigger), a hot key (star), bridged stars, and
+    singletons — forced through the deep path with ramp_rounds=0."""
+    import random
+
+    rng = random.Random(17)
+    n = 120
+    rows = []
+    # chain segments + hot keys + random extra memberships
+    for i in range(n - 1):
+        if i % 3:
+            rows += [(i, f"c{i}"), (i + 1, f"c{i}")]
+    for i in range(0, n, 17):
+        rows.append((i, "hot"))
+    for _ in range(60):
+        rows.append((rng.randrange(n), f"r{rng.randrange(20)}"))
+    nodes = spark.createDataFrame([(i,) for i in range(n + 5)], "doc_id long")
+    memb = spark.createDataFrame(rows, "doc_id long, bkey string")
+    kw = dict(id_col="doc_id", key_col="bkey", max_iter=40)
+    via_contract = {
+        r["doc_id"]: r["cluster_id"]
+        for r in components_over_keys(
+            nodes, memb, ramp_rounds=0, deep_path="contract", **kw
+        ).collect()
+    }
+    via_multihop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in components_over_keys(
+            nodes, memb, deep_path="multihop", **kw
+        ).collect()
+    }
+    assert via_contract == via_multihop
+    # singletons (n..n+4) map to themselves
+    for i in range(n, n + 5):
+        assert via_contract[i] == i
+
+
+def test_components_contract_string_ids(spark):
+    """The cross-modal graph clusters namespaced STRING node ids — the
+    contraction's min/least comparisons must agree with lexicographic
+    label propagation. Chain d:1 ~ m:1 ~ m:2 ~ d:2 via shared keys,
+    forced through the deep path."""
+    nodes = spark.createDataFrame(
+        [("d:1",), ("d:2",), ("m:1",), ("m:2",), ("m:9",)], "node string"
+    )
+    memb = spark.createDataFrame(
+        [("d:1", "p1"), ("m:1", "p1"), ("m:1", "e1"), ("m:2", "e1"),
+         ("m:2", "p2"), ("d:2", "p2")],
+        "node string, bkey string",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in components_over_keys(
+            nodes, memb, id_col="node", key_col="bkey",
+            ramp_rounds=0, deep_path="contract",
+        ).collect()
+    }
+    assert got == {"d:1": "d:1", "d:2": "d:1", "m:1": "d:1",
+                   "m:2": "d:1", "m:9": "m:9"}
+
+
+def test_components_deep_path_engages_only_past_ramp(spark):
+    """Path-selection regression: a shallow graph must finish inside the
+    single-hop ramp (contraction never engages — its plan is identical
+    to the pre-contraction loop), while a 64-hop chain must hand off to
+    contraction and converge in a handful of star rounds (the
+    diameter-independence that is the whole point)."""
+    from cupertino_nvr_spark.llm import pipeline as P
+
+    shallow_nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    shallow_memb = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], "doc_id long, bkey string"
+    )
+    components_over_keys(shallow_nodes, shallow_memb, key_col="bkey").collect()
+    assert P.LAST_RUN_STATS["deep_path"] is None
+    assert P.LAST_RUN_STATS["propagation_rounds"] <= 6
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    memb = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(n - 1)]
+        + [(i + 1, f"k{i}") for i in range(n - 1)],
+        "doc_id long, bkey string",
+    )
+    got = components_over_keys(nodes, memb, key_col="bkey")
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+    assert P.LAST_RUN_STATS["deep_path"] == "contract"
+    # the ramp's pointer jumping plus the label-contracted star-edge
+    # derivation leave only O(log) residual distance; star contraction
+    # must close it in a handful of rounds (0 = already a star forest)
+    assert P.LAST_RUN_STATS["contract_rounds"] <= 6
+
+
+def test_components_contract_budget_exhaustion_raises(spark):
+    """The contraction path inherits the loud-failure contract: a deep
+    chain with a 1-round contraction budget (ramp_rounds=0, max_iter=1)
+    must raise, not return a partial clustering."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    memb = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(n - 1)]
+        + [(i + 1, f"k{i}") for i in range(n - 1)],
+        "doc_id long, bkey string",
+    )
+    with pytest.raises(RuntimeError, match="no star forest"):
+        components_over_keys(
+            nodes, memb, key_col="bkey", ramp_rounds=0, max_iter=1
+        )
+
+
 def test_dup_clusters_group_planted_copies(spark):
     """The augmented corpus plants exact copies at +1M (doc_id%7) and
     tail-marked near copies at +2M (doc_id%11): each must land in its

@@ -192,17 +192,22 @@ def excise_materialize(
     n_tokens_removed}, ...] — empty when the input was already
     duplicate-free. Each round checkpoints the shrunken corpus so round
     r+1's detection reads a materialized frame instead of replaying the
-    whole excision lineage. Raises RuntimeError if ``max_rounds`` rounds
-    don't reach the fixpoint — a loud failure beats silently shipping a
-    corpus that still contains duplicated spans."""
+    whole excision lineage. ``max_rounds`` counts EXCISION passes, so
+    convergence takes up to ``max_rounds + 1`` detections — the final
+    detection credits a corpus that converged on the last allowed cut
+    (r10 advisor note). Raises RuntimeError if the corpus still holds
+    duplicated windows after ``max_rounds`` cuts — a loud failure beats
+    silently shipping a corpus that still contains duplicated spans."""
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
     corpus = docs
     rounds: list[dict] = []
-    converged = False
-    for rnd in range(1, max_rounds + 1):
+    # max_rounds + 1 detections bracket max_rounds excisions: detect,
+    # cut if dirty, and let the NEXT detection judge the cut — including
+    # the max_rounds-th one
+    for rnd in range(1, max_rounds + 2):
         islands = excision_islands(corpus, id_col, text_col, k)
         agg = islands.agg(
             F.count("*").alias("n_islands"),
@@ -210,7 +215,9 @@ def excise_materialize(
             F.sum("island_len").alias("n_tokens_removed"),
         ).collect()[0]
         if not agg["n_islands"]:
-            converged = True
+            corpus.write.format(fmt).mode("overwrite").save(out_dir)
+            return rounds
+        if rnd > max_rounds:
             break
         rounds.append(
             {
@@ -225,12 +232,9 @@ def excise_materialize(
                 "n_tokens_before", "n_removed", "n_tokens_after"
             )
         )
-    if not converged:
-        raise RuntimeError(
-            f"excise_materialize: no fixpoint after {max_rounds} rounds"
-        )
-    corpus.write.format(fmt).mode("overwrite").save(out_dir)
-    return rounds
+    raise RuntimeError(
+        f"excise_materialize: no fixpoint after {max_rounds} rounds"
+    )
 
 
 __all__ = [

@@ -120,4 +120,83 @@ def curation_materialize(
     return curation_stage_counts(flags), manifest
 
 
-__all__ = ["write_train_shards", "curation_materialize"]
+def dup_clusters_materialize(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    fmt: str = "parquet",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Cluster ONCE, consume three times — how a real corpus build runs
+    the text dedup family at 100 TB: the iterative component computation
+    (the expensive part) materializes to ``out_dir``, and the REPORT
+    (cluster assignments), the DECISION (survivor flags), and the
+    QUALITY row (B-cubed vs the construction gold) all derive from the
+    persisted frame with cheap single-pass shapes — never re-running
+    propagation per consumer. Each derived frame is row-identical to its
+    standalone registry twin (``docs_dup_clusters``,
+    ``docs_dedup_survivors``, ``docs_cluster_bcubed`` — pinned by
+    ``tests/test_export.py``), because all four build through the same
+    shape helpers; the registry entries stay standalone by contract (the
+    driver runs each in isolation), this is the composed operating mode.
+
+    Returns (clusters [read back from ``out_dir``], survivors, bcubed).
+    """
+    from cupertino_nvr_spark.llm.pipeline import dedup_survivors
+    from cupertino_nvr_spark.plans.llm import (
+        _bcubed_from_clusters,
+        _dup_cluster_frames,
+    )
+
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    aug, clusters = _dup_cluster_frames(spark, sf_dir)
+    clusters.write.format(fmt).mode("overwrite").save(out_dir)
+    mat = spark.read.format(fmt).load(out_dir)
+    docs = aug.select("doc_id", F.length("text").alias("text_len"))
+    return mat, dedup_survivors(docs, mat), _bcubed_from_clusters(mat)
+
+
+def media_doc_components_materialize(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    fmt: str = "parquet",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The cross-modal twin of ``dup_clusters_materialize``: compute the
+    shared (node, cluster_id) component frame ONCE (signatures -> bands
+    -> pHash pairs -> provenance links -> propagation — the chain both
+    registry entries rebuild when run standalone), persist it to
+    ``out_dir``, and derive the cluster REPORT and the dedup DECISION
+    from the materialized frame. Row-identical to the standalone
+    ``media_doc_dup_clusters`` / ``media_doc_dedup_survivors`` because
+    all paths share ``_shape_media_doc_clusters`` /
+    ``_shape_media_doc_survivors`` (pinned by ``tests/test_export.py``).
+
+    Returns (components [read back], clusters, survivors).
+    """
+    from cupertino_nvr_spark.plans.llm import (
+        _media_doc_components,
+        _shape_media_doc_clusters,
+        _shape_media_doc_survivors,
+        augmented_docs,
+    )
+
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    comp = _media_doc_components(spark, sf_dir)
+    comp.write.format(fmt).mode("overwrite").save(out_dir)
+    mat = spark.read.format(fmt).load(out_dir)
+    aug = augmented_docs(spark, sf_dir)
+    return (
+        mat,
+        _shape_media_doc_clusters(mat),
+        _shape_media_doc_survivors(mat, aug),
+    )
+
+
+__all__ = [
+    "write_train_shards",
+    "curation_materialize",
+    "dup_clusters_materialize",
+    "media_doc_components_materialize",
+]

@@ -30,57 +30,50 @@ from cupertino_nvr_spark.plans import llm  # noqa: F401,E402
 from cupertino_nvr_spark.plans import relational  # noqa: F401,E402
 from cupertino_nvr_spark.plans import tpch_extra  # noqa: F401,E402
 
-# r10 sampled-window priority. Composition (pinned by
+# r11 sampled-window priority. Composition (pinned by
 # tests/test_registry_order.py, which recomputes last-green rounds from
-# the committed CORRECTNESS_r01..r09 records):
+# the committed CORRECTNESS_r01..r10 records):
 #   1  flagship (always in-window, green every round)
-#   r10 debuts + this round's semantics-modified queries (advisor/judge
-#      policy: new or changed queries ship inside the sampled window in
-#      the round they land; names listed before their modules register
-#      are skipped until registered)
-#   the 10 r5-stale relational/TPC-H rows — the r9 window overflow, the
-#      last queries whose most recent driver-green row is r5 (after r10
-#      no declared query's last green row is older than r6)
-#   fill: the LLM/ANN/media family last driver-green r6, the next-stalest
-#      family; the window takes the first 50 overall, the tail overflows
-#      naturally into the r11 pool
-_R10_WINDOW_PRIORITY = [
+#   r11 debuts (debut-in-window policy: new queries ship inside the
+#      sampled window in the round they are introduced)
+#   the 9 remaining r6-stale LLM/ANN/media rows — the r10 window
+#      overflow, the last queries whose most recent driver-green row is
+#      r6 (after r11 no declared query's last green row is older than r7)
+#   fill: the r7-stale family (temporal/event_domain/scalar/commands +
+#      the LLM ops first sampled in r7), 49 rows in deterministic
+#      (alphabetical) order — the first 39 fit the 50-row window, the
+#      last 10 directly follow it (first in line for r12)
+_R11_WINDOW_PRIORITY = [
     "asof_ttl_overlay",
-    # r10 debuts
-    "docs_substring_excised_stats",
-    "docs_wordpiece_tokenized_len",
-    "events_cusum_changepoints",
-    "events_cusum_segments",
-    "docs_lsh_tuning_profile",
-    "media_doc_dedup_survivors",
-    "media_phash_tau_profile",
-    # modified this round (fertility extended to the three-way BPE /
-    # unigram / WordPiece comparison) — changed semantics re-verify
-    # in-window like a debut
-    "docs_tokenizer_fertility",
-    # the 10 remaining r5-stale relational queries (r9 VERDICT item 1)
-    "product_profit", "nation_yearly_growth", "orders_part_pairs",
-    "min_cost_supplier", "important_parts", "supplier_part_variety",
-    "dominant_promo_suppliers", "parts_copurchase_pagerank",
-    "customer_value_distribution", "supplier_concentration_hhi",
-    # fill: the r6-stale LLM/ANN/media family, 40 entries — the first 35
-    # fit the 50-row window, the last 5 directly follow it
-    "docs_bigram_lm_score", "docs_bm25_search", "docs_cdc_chunk_dedup",
-    "docs_chunked", "docs_contamination", "docs_curation_report",
-    "docs_dedup_survivors", "docs_dsir_weights", "docs_dup_clusters",
-    "docs_hot_ngram_coverage", "docs_lang_balanced_sample",
-    "docs_length_band_filter", "docs_minhash_jaccard_estimate",
-    "docs_mixture_weights", "docs_ngram_novelty",
-    "docs_perplexity_buckets", "docs_pii_scrub",
-    "docs_repetition_quality", "docs_tfidf_topterms",
-    "docs_train_shards", "docs_unigram_lm_score", "docs_vocab_topk",
-    "docs_zipf_slope", "embedding_cosine_neardup", "embedding_dim_stats",
-    "embedding_int8_ann", "embedding_int8_ivf_ann", "embedding_ivf_ann",
-    "embedding_kmeans", "embedding_lsh_ann",
-    "embedding_lsh_ann_multiprobe", "embedding_pq_ann",
-    "embedding_pq_quant", "embedding_prefix_rerank_ann",
-    "embedding_semdedup", "events_stratified_sample", "media_exact_dedup",
-    "media_features", "media_frame_plan", "media_patch_plan",
+    # r11 debuts
+    "docs_curation_inc_report",
+    # the 9 remaining r6-stale rows (r10 VERDICT item 1)
+    "embedding_pq_ann", "embedding_pq_quant",
+    "embedding_prefix_rerank_ann", "embedding_semdedup",
+    "events_stratified_sample", "media_exact_dedup", "media_features",
+    "media_frame_plan", "media_patch_plan",
+    # fill: the r7-stale family, alphabetical
+    "command_target_filter", "command_validation", "conditional_bucketing",
+    "confidence_array_filter", "customers_fuzzy_match",
+    "daily_revenue_gapfill", "datetime_functions", "detection_projection",
+    "docs_exact_dedup", "docs_fingerprint_dedup",
+    "docs_minhash_lsh_candidates", "docs_ngram_jaccard_pairs",
+    "docs_quality_lang", "docs_simhash", "docs_token_stats",
+    "embedding_cosine_topk", "event_type_user_overlap",
+    "event_value_median_udaf", "events_activity_streaks",
+    "events_anomaly_zscore", "events_cdc_apply",
+    "events_conversion_latency", "events_funnel", "events_heavy_hitters",
+    "events_hourly_profile", "events_last_touch_attribution",
+    "events_markov_transitions", "events_path_signatures",
+    "events_retention_cohorts", "events_rfm_segments",
+    "events_sliding_throughput", "events_state_intervals",
+    "events_stickiness_weekly", "events_type_hour_chisq",
+    "events_user_lifecycle", "events_value_mad", "json_props_extract",
+    "math_functions", "orders_seasonality", "per_source_latest_metrics",
+    "rate_limited_events", "sessionize_events", "source_id_remap",
+    "string_functions", "topic_codec", "tumbling_daily_metrics",
+    "uptime_and_latency_metrics", "validation_dead_letter",
+    "wall_grid_plan",
 ]
 
-_registry.WINDOW_PRIORITY[:] = _R10_WINDOW_PRIORITY
+_registry.WINDOW_PRIORITY[:] = _R11_WINDOW_PRIORITY

@@ -1340,6 +1340,13 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_cluster_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug, clusters = _dup_cluster_frames(spark, sf_dir)
+    return _bcubed_from_clusters(clusters)
+
+
+def _bcubed_from_clusters(clusters: DataFrame) -> DataFrame:
+    """B-cubed quality row over any (doc_id, cluster_id) assignment frame
+    (gold class = doc_id % 1e6, the corpus-construction truth) — shared
+    by the registry entry and llm.export's materialize-once path."""
     labeled = clusters.select(
         "doc_id", "cluster_id", (F.col("doc_id") % 1000000).alias("gold_id")
     )
@@ -2818,9 +2825,12 @@ _GRAM5_SQL = (
 )
 
 
-@register(
-    "docs_curation_report",
-    f"""
+# the curation-funnel stage-count oracle — the SINGLE SQL source for
+# docs_curation_report (full recompute) AND docs_curation_inc_report
+# (incremental replay): the funnel is a pure function of the corpus, so
+# both engines' rows must equal this regardless of HOW the Spark side
+# arrived at them
+_CURATION_REPORT_SQL = f"""
     WITH aug AS ({_AUG_SQL}),
     keepers AS (SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
     toked AS (
@@ -2847,7 +2857,12 @@ _GRAM5_SQL = (
            (SELECT COUNT(*) FROM qual) - (SELECT COUNT(*) FROM contam) AS n_clean,
            round(((SELECT COUNT(*) FROM qual) - (SELECT COUNT(*) FROM contam))
                  * 100.0 / (SELECT COUNT(*) FROM aug), 6) AS retention_pct
-    """,
+    """
+
+
+@register(
+    "docs_curation_report",
+    _CURATION_REPORT_SQL,
     doc="end-to-end curation funnel as ONE declarative plan: raw corpus -> "
     "exact-dedup keepers -> benchmark-slice exclusion -> Gopher repetition "
     "gate -> 5-gram decontamination, reported as per-stage survivor counts "
@@ -2868,6 +2883,45 @@ def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.pipeline import curation_flags, curation_stage_counts
 
     return curation_stage_counts(curation_flags(augmented_docs(spark, sf_dir)))
+
+
+@register(
+    "docs_curation_inc_report",
+    _CURATION_REPORT_SQL,
+    doc=(
+        "The curation funnel maintained INCREMENTALLY (the operating "
+        "mode of a growing 100 TB corpus): the corpus arrives as three "
+        "disjoint id-residue batches; the first bootstraps the state "
+        "(llm/curation_inc.py::init_state), each later batch folds in "
+        "through merge_delta — the keeper table as a MIN-monoid digest "
+        "merge, the benchmark gram set grow-only, displaced keepers "
+        "flipping their monotone flag chain, retroactive contamination "
+        "of OLD clean docs resolved through the live-clean posting "
+        "index — and state_counts aggregates the maintained flag view. "
+        "The oracle is docs_curation_report's SQL VERBATIM "
+        "(_CURATION_REPORT_SQL): incremental maintenance must be "
+        "invisible in the result, so the external gate checks the "
+        "incremental path against the full-recompute definition. Per "
+        "merge the compute touching history is O(|delta| + |affected "
+        "state|) — history TEXT is never re-read; only the boolean/"
+        "digest state frames re-checkpoint."
+    ),
+)
+def docs_curation_inc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.curation_inc import (
+        init_state,
+        merge_delta,
+        state_counts,
+    )
+
+    docs = augmented_docs(spark, sf_dir).select("doc_id", "text")
+    batches = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    state = init_state(batches[0])
+    for b in batches[1:]:
+        state = merge_delta(state, b)
+    return state_counts(state)
 
 
 # Product quantization: 4 subspaces x 16 dims, codewords hash-sampled from
@@ -6956,9 +7010,16 @@ def _media_doc_comp_sql() -> str:
     ),
 )
 def media_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shape_media_doc_clusters(_media_doc_components(spark, sf_dir))
+
+
+def _shape_media_doc_clusters(comp: DataFrame) -> DataFrame:
+    """The cluster REPORT shape over a (node, cluster_id) component frame
+    — shared by the registry entry and llm.export's materialize-once
+    path, so a report derived from a persisted component frame is
+    row-identical to the standalone query."""
     from pyspark.sql import Window
 
-    comp = _media_doc_components(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     is_doc = F.col("node").startswith("d:")
     return comp.select(
@@ -7090,8 +7151,15 @@ def _media_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def media_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comp = _media_doc_components(spark, sf_dir)
-    aug = augmented_docs(spark, sf_dir)
+    return _shape_media_doc_survivors(
+        _media_doc_components(spark, sf_dir), augmented_docs(spark, sf_dir)
+    )
+
+
+def _shape_media_doc_survivors(comp: DataFrame, aug: DataFrame) -> DataFrame:
+    """The dedup DECISION shape over a (node, cluster_id) component frame
+    + the doc corpus (for text lengths) — shared by the registry entry
+    and llm.export's materialize-once path."""
     is_doc = F.col("node").startswith("d:")
     base = comp.select(
         "node",

@@ -102,6 +102,26 @@ def test_flank_join_requires_second_round(spark, tmp_path):
     assert got[3] == " ".join(f"v{j}" for j in range(K))
 
 
+def test_last_allowed_cut_is_credited(spark, tmp_path):
+    """max_rounds counts EXCISION passes: a corpus that converges on the
+    max_rounds-th cut must succeed (it takes max_rounds + 1 detections
+    to see that), and only a corpus still dirty AFTER max_rounds cuts
+    raises — the r10 advisor's off-by-one."""
+    w = [f"w{j}" for j in range(K)]
+    d = " ".join(f"d{j}" for j in range(K))
+    doc1 = " ".join(w[:4]) + f" {d} " + " ".join(w[4:])
+    doc2 = " ".join(w) + " " + " ".join(f"u{j}" for j in range(K))
+    doc3 = d + " " + " ".join(f"v{j}" for j in range(K))
+    docs = _mkdocs(spark, [doc1, doc2, doc3])
+
+    # needs exactly 2 cuts: max_rounds=2 must converge...
+    rounds = excise_materialize(docs, str(tmp_path / "exact"), k=K, max_rounds=2)
+    assert [r["round"] for r in rounds] == [1, 2]
+    # ...and max_rounds=1 must raise (still dirty after the only cut)
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        excise_materialize(docs, str(tmp_path / "short"), k=K, max_rounds=1)
+
+
 def test_excised_stats_matches_executor(spark):
     """The declared per-doc stats query and the executor share the chain:
     one excision pass over the augmented corpus must report exactly the

@@ -102,6 +102,53 @@ def test_curation_materialize_pins_report(spark, tmp_path):
     } == disk
 
 
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_dup_clusters_materialize_pins_all_consumers(spark, tmp_path):
+    """Cluster once, consume three times: the REPORT, DECISION, and
+    QUALITY frames derived from the persisted cluster frame must be
+    row-identical to their standalone oracle-checked registry twins —
+    the materialize-once operating mode cannot drift from the queries
+    the driver verifies."""
+    from cupertino_nvr_spark.llm.export import dup_clusters_materialize
+    from cupertino_nvr_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    mat, survivors, bcubed = dup_clusters_materialize(
+        spark, sf, str(tmp_path / "clusters")
+    )
+    assert _rows(mat) == _rows(REGISTRY["docs_dup_clusters"].spark(spark, sf))
+    assert _rows(survivors) == _rows(
+        REGISTRY["docs_dedup_survivors"].spark(spark, sf)
+    )
+    assert _rows(bcubed) == _rows(
+        REGISTRY["docs_cluster_bcubed"].spark(spark, sf)
+    )
+
+
+def test_media_doc_components_materialize_pins_both_consumers(spark, tmp_path):
+    """The cross-modal component frame persisted once must feed a cluster
+    report and a dedup decision row-identical to the standalone
+    media_doc_dup_clusters / media_doc_dedup_survivors queries."""
+    from cupertino_nvr_spark.llm.export import media_doc_components_materialize
+    from cupertino_nvr_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    comp, clusters, survivors = media_doc_components_materialize(
+        spark, sf, str(tmp_path / "components")
+    )
+    assert comp.count() > 0
+    assert _rows(clusters) == _rows(
+        REGISTRY["media_doc_dup_clusters"].spark(spark, sf)
+    )
+    assert _rows(survivors) == _rows(
+        REGISTRY["media_doc_dedup_survivors"].spark(spark, sf)
+    )
+
+
 def test_curation_materialize_demo_roundtrip(spark, tmp_path):
     import sys
     from pathlib import Path

@@ -90,6 +90,47 @@ def test_synthetic_takeover_and_retro_contamination(spark):
     _assert_state_matches_full(spark, state1, full)
 
 
+def test_postings_pruned_to_live_clean_docs(spark):
+    """Posting-index lifecycle: is_clean is one-way, so the index must
+    hold exactly the CURRENTLY-CLEAN docs after every merge — displaced
+    keepers and retroactively-contaminated docs lose their postings the
+    round they flip, and a long delta sequence accumulates no dead
+    postings (the index stays O(live clean docs), never O(history))."""
+    dup_text = _txt("dup")
+    victim_text = _txt("vic")
+    state = init_state(
+        _mk(spark, [(7, dup_text), (9, victim_text), (11, _txt("a"))])
+    )
+    # displacement (3 takes dup digest from 7) + retro contamination
+    # (115 benchmarks victim_text, flipping 9)
+    state = merge_delta(
+        state, _mk(spark, [(3, dup_text), (115, victim_text)])
+    )
+    state = merge_delta(state, _mk(spark, [(200, _txt("b"))]))
+    posted = {r["doc_id"] for r in state.postings.select("doc_id").distinct().collect()}
+    clean = {r["doc_id"] for r in state.flags.filter("is_clean").collect()}
+    assert posted == clean  # every clean doc indexed, nothing else
+    assert 7 not in posted and 9 not in posted  # flipped docs pruned
+    # exact bound: index rows == sum of distinct grams over clean docs
+    n_grams = (
+        _mk(spark, [(3, dup_text), (11, _txt("a")), (200, _txt("b"))])
+        .select(F.explode(F.array_distinct(F.split(F.lower("text"), " "))))
+        .count()
+    )  # 8-token texts -> 4 distinct 5-grams each; sanity via direct count
+    assert state.postings.count() == 3 * 4
+    assert n_grams == 3 * 8
+
+
+def test_reseen_delta_ids_raise(spark):
+    """merge_delta maintains a grow-only corpus: a delta re-using an id
+    already in the state must raise loudly (a silent union would
+    duplicate the flag row and skew every count), and check_new_ids=False
+    documents the pre-validated opt-out."""
+    state = init_state(_mk(spark, [(1, _txt("a")), (2, _txt("b"))]))
+    with pytest.raises(ValueError, match="re-uses doc_ids"):
+        merge_delta(state, _mk(spark, [(2, _txt("c")), (3, _txt("d"))]))
+
+
 def test_three_way_split_matches_full(spark):
     rows = [(i, _txt(f"s{i % 11}m")) for i in range(1, 61)] + [
         (200 + i, _txt(f"x{i}")) for i in range(10)

@@ -203,6 +203,7 @@ EXTRAS = [
     "media_phash_tau_profile",
     # r11 debuts
     "docs_curation_inc_report",
+    "embedding_margin_pairs",
 ]
 
 

@@ -780,3 +780,86 @@ def kmeans_refine(
             )
         )
     return _assign(cents), cents
+
+
+def margin_scored_pairs(
+    pairs: DataFrame, k: int = 4, threshold_ppm: int = 1_050_000
+) -> DataFrame:
+    """Ratio-margin scoring over a candidate-pair stream (Artetxe &
+    Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
+    Sentence Embeddings"): raw cosine over-selects pairs involving HUB
+    vectors (dense-neighborhood points similar to everything), so each
+    pair's similarity is normalized by the mean of its endpoints'
+    top-``k`` candidate similarities —
+    ``margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)``.
+
+    ``pairs`` is (id_a, id_b, sim) with id_a < id_b and sim rounded to 6
+    decimals (the contract of ``llm.dedup.embedding_neardup_pairs``);
+    avg_k runs over each endpoint's candidate list (both directions of
+    the pair stream), using however many candidates exist below ``k``.
+    The margin rides EXACT INTEGER arithmetic so the score hash-matches
+    any engine: sims become ppm integers (sim6 = round(sim * 1e6) —
+    exact, sim is already 6-decimal), per-endpoint stats are integer
+    sums/counts, and with S = sum of top-k sim6 and c = their count,
+    ``margin_ppm = (2 * sim6 * c_a * c_b * 1e6) DIV (S_a*c_b + S_b*c_a)``
+    — truncating integer division of positive operands in both engines.
+    Pairs with non-positive sim or denominator are not mining candidates
+    and are dropped.
+
+    Output: (id_a, id_b, sim, margin_ppm, is_confident
+    [margin_ppm >= threshold_ppm]) for every surviving candidate pair.
+    Scale: one symmetric union of the pair stream, one per-endpoint
+    window bounded by candidate-list length (blocking caps it), two
+    equi-joins back — all linear in candidate pairs; no new pair
+    materialization beyond the input stream.
+    """
+    sim6 = F.round(F.col("sim") * 1000000).cast("long")
+    p6 = pairs.select("id_a", "id_b", "sim", sim6.alias("sim6"))
+    sym = p6.select(
+        F.col("id_a").alias("x"), F.col("id_b").alias("n"), "sim6"
+    ).unionByName(
+        p6.select(F.col("id_b").alias("x"), F.col("id_a").alias("n"), "sim6")
+    )
+    w = Window.partitionBy("x").orderBy(F.col("sim6").desc(), F.col("n"))
+    stats = (
+        sym.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .groupBy("x")
+        .agg(F.sum("sim6").alias("s"), F.count("*").alias("c"))
+    )
+    scored = p6.join(
+        stats.select(
+            F.col("x").alias("id_a"), F.col("s").alias("s_a"), F.col("c").alias("c_a")
+        ),
+        "id_a",
+    ).join(
+        stats.select(
+            F.col("x").alias("id_b"), F.col("s").alias("s_b"), F.col("c").alias("c_b")
+        ),
+        "id_b",
+    )
+    den = F.col("s_a") * F.col("c_b") + F.col("s_b") * F.col("c_a")
+    num = F.lit(2) * F.col("sim6") * F.col("c_a") * F.col("c_b") * F.lit(1000000)
+    return (
+        scored.filter((F.col("sim6") > 0) & (den > 0))
+        .select(
+            "id_a",
+            "id_b",
+            "sim",
+            num.alias("_n"),
+            den.alias("_d"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sim",
+            F.expr("_n DIV _d").alias("margin_ppm"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sim",
+            "margin_ppm",
+            (F.col("margin_ppm") >= threshold_ppm).alias("is_confident"),
+        )
+    )

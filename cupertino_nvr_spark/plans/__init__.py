@@ -47,6 +47,7 @@ _R11_WINDOW_PRIORITY = [
     "asof_ttl_overlay",
     # r11 debuts
     "docs_curation_inc_report",
+    "embedding_margin_pairs",
     # the 9 remaining r6-stale rows (r10 VERDICT item 1)
     "embedding_pq_ann", "embedding_pq_quant",
     "embedding_prefix_rerank_ann", "embedding_semdedup",

@@ -655,6 +655,71 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_margin_pairs",
+    f"""
+    WITH {_EMB_NEARDUP_CTE_SQL},
+    p6 AS (
+      SELECT id_a, id_b, sim,
+             CAST(round(sim * 1000000) AS BIGINT) AS sim6
+      FROM pairs
+    ),
+    sym AS (
+      SELECT id_a AS x, id_b AS n, sim6 FROM p6
+      UNION ALL
+      SELECT id_b, id_a, sim6 FROM p6
+    ),
+    topk AS (
+      SELECT x, sim6,
+             ROW_NUMBER() OVER (PARTITION BY x ORDER BY sim6 DESC, n) AS r
+      FROM sym
+    ),
+    stats AS (
+      SELECT x, SUM(sim6) AS s, COUNT(*) AS c FROM topk WHERE r <= 4 GROUP BY x
+    ),
+    margins AS (
+      SELECT p.id_a, p.id_b, p.sim,
+             CAST((2 * p.sim6 * sa.c * sb.c * 1000000)
+               // (sa.s * sb.c + sb.s * sa.c) AS BIGINT) AS margin_ppm
+      FROM p6 p JOIN stats sa ON sa.x = p.id_a JOIN stats sb ON sb.x = p.id_b
+      WHERE p.sim6 > 0 AND (sa.s * sb.c + sb.s * sa.c) > 0
+    )
+    SELECT id_a, id_b, sim, margin_ppm,
+           margin_ppm >= 1050000 AS is_confident
+    FROM margins
+    ORDER BY margin_ppm DESC, id_a, id_b
+    LIMIT 100
+    """,
+    doc=(
+        "Margin-based pair mining (Artetxe & Schwenk 2019 ratio margin — "
+        "the CCMatrix/LASER bitext-mining score): raw cosine over-selects "
+        "HUB vectors similar to everything, so each candidate pair's sim "
+        "is normalized by the mean of its endpoints' top-4 candidate "
+        "sims. Candidates come from the SAME multi-probe IVF-cell "
+        "blocking chain embedding_cosine_neardup verifies (shared "
+        "_EMB_NEARDUP_CTE_SQL 'pairs' stage, unthresholded), so mining "
+        "pays blocking costs, never all-pairs; per-endpoint top-k stats "
+        "are one window over the bounded candidate lists; the margin "
+        "rides EXACT integer ppm arithmetic (truncating integer division "
+        "of positive longs — identical in both engines, no cross-engine "
+        "float division in the score). Emits the global top-100 pairs by "
+        "margin (TakeOrdered) with the 1.05-margin confidence flag the "
+        "mining literature uses."
+    ),
+)
+def embedding_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+    from cupertino_nvr_spark.llm.similarity import margin_scored_pairs
+
+    aug = augmented_embeddings(spark, sf_dir)
+    pairs = embedding_neardup_pairs(aug, threshold=-1.0)
+    return (
+        margin_scored_pairs(pairs, k=4, threshold_ppm=1_050_000)
+        .orderBy(F.col("margin_ppm").desc(), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+@register(
     "embedding_cosine_neardup_fast",
     None,  # numpy pairwise summation differs from the HOF sequential sum in
     # the last ulp, so no cross-engine hash oracle; equivalence to the HOF

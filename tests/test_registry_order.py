@@ -30,6 +30,7 @@ REPO = Path(__file__).resolve().parent.parent
 # policy
 R11_DEBUTS = {
     "docs_curation_inc_report",
+    "embedding_margin_pairs",
 }
 
 # the 9 queries whose last driver-green row is r6 — required in the r11

@@ -302,3 +302,37 @@ def test_phash_neardup_exact_copies_never_missed(spark):
     # near-variants actually produce nonzero-distance matches
     assert all(0 <= r.hamming <= 6 for r in rows)
     assert any(r.hamming > 0 for r in rows)
+
+
+def test_margin_scoring_penalizes_hubs(spark):
+    """The ratio margin's reason to exist: two pairs with IDENTICAL raw
+    cosine must rank differently when one endpoint is a hub (similar to
+    everything) — the isolated pair's margin beats the hub pair's.
+    Values are exact integer ppm by construction, so they're asserted
+    exactly; non-positive sims are not mining candidates."""
+    from cupertino_nvr_spark.llm.similarity import margin_scored_pairs
+
+    rows = (
+        # isolated strong pair: both endpoints otherwise weak (0.2 x3)
+        [(10, 11, 0.8)]
+        + [(10, n, 0.2) for n in (20, 21, 22)]
+        + [(11, n, 0.2) for n in (23, 24, 25)]
+        # hub pair: same raw sim, but endpoint 1 is near EVERYTHING
+        + [(1, n, 0.8) for n in (2, 3, 4, 5)]
+        + [(2, n, 0.2) for n in (30, 31, 32)]
+        # negative sim: dropped
+        + [(40, 41, -0.5)]
+    )
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, sim double")
+    got = {
+        (r["id_a"], r["id_b"]): (r["margin_ppm"], r["is_confident"])
+        for r in margin_scored_pairs(pairs, k=4).collect()
+    }
+    # isolated: avg_k = (0.8 + 3*0.2)/4 = 0.35 both sides -> 0.8/0.35
+    assert got[(10, 11)] == (2285714, True)
+    # hub: avg_k(1) = 0.8, avg_k(2) = 0.35 -> 0.8/0.575
+    assert got[(1, 2)] == (1391304, True)
+    assert got[(10, 11)][0] > got[(1, 2)][0]
+    assert (40, 41) not in got
+    # weak pairs fall under the 1.05 confidence bar: 0.2/0.35 < 1
+    assert got[(10, 20)][1] is False

@@ -61,6 +61,7 @@ VARIANTS = [
     "embedding_semdedup_lsh",
     "embedding_cosine_neardup_lsh_fast",
     "embedding_semdedup_lsh_fast",
+    "embedding_margin_pairs_fast",
 ]
 
 # also timed outside the headline total: queries added after round 1

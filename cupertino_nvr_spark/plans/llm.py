@@ -742,6 +742,33 @@ def embedding_cosine_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "embedding_margin_pairs_fast",
+    None,  # same kernel-ulp caveat as embedding_cosine_neardup_fast: the
+    # Arrow cosine's pairwise summation differs from the HOF sequential
+    # sum in the last ulp, so no cross-engine hash oracle; equivalence to
+    # the declared margin query is pinned in tests/test_similarity_kernels.py
+    doc="margin-based pair mining, Arrow/numpy cosine kernel: identical "
+    "candidate blocking and EXACT-integer margin arithmetic as "
+    "embedding_margin_pairs (the margin stage operates on ppm integers, "
+    "so the twins can only diverge where a raw cosine sits on a 6-decimal "
+    "rounding boundary) — the production form for the n^1.5 candidate "
+    "volume the sqrt(n)-cell blocking admits.",
+    bench_only=True,
+)
+def embedding_margin_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+    from cupertino_nvr_spark.llm.similarity import margin_scored_pairs
+
+    aug = augmented_embeddings(spark, sf_dir)
+    pairs = embedding_neardup_pairs(aug, threshold=-1.0, kernel="pandas")
+    return (
+        margin_scored_pairs(pairs, k=4, threshold_ppm=1_050_000)
+        .orderBy(F.col("margin_ppm").desc(), "id_a", "id_b")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Centered sign-bit LSH near-dup chain, exact SQL oracle
 #
@@ -1341,8 +1368,9 @@ def _dup_cluster_frames(spark: SparkSession, sf_dir: str):
     FROM comp
     """,
     doc="near-duplicate clusters: connected components over MinHash band "
-    "membership via pairless alternating min-label propagation (doc->band->doc "
-    "per round, cost linear in membership rows); oracle is the recursive-CTE "
+    "membership via the pairless two-phase loop (single-hop min-label "
+    "ramp, then large-star/small-star contraction for deep chains; cost "
+    "linear in membership rows per round); oracle is the recursive-CTE "
     "transitive closure of the same band graph",
 )
 def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7069,9 +7097,12 @@ def _media_doc_comp_sql() -> str:
         "ONLY transitively: phash pair -> base media -> provenance link "
         "-> page doc -> text bands. Oracle: recursive-CTE transitive "
         "closure of the identical symmetric edge union. Scale: each "
-        "edge source is the already-bounded chain it reuses; "
-        "propagation rounds = graph diameter in key-hops, checkpointed "
-        "per round."
+        "edge source is the already-bounded chain it reuses; the ramp's "
+        "propagation rounds pay graph diameter in key-hops, and a graph "
+        "still deep after the ramp (this one at sf1: >40-hop chains) "
+        "switches to star contraction — O(log^2 n) rounds independent "
+        "of diameter (r11: 2 star rounds vs 19 propagation rounds at "
+        "sf1), checkpointed per round."
     ),
 )
 def media_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

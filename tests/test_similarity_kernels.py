@@ -336,3 +336,21 @@ def test_margin_scoring_penalizes_hubs(spark):
     assert (40, 41) not in got
     # weak pairs fall under the 1.05 confidence bar: 0.2/0.35 < 1
     assert got[(10, 20)][1] is False
+
+
+def test_margin_fast_twin_equivalent_to_declared(spark):
+    """The Arrow-kernel margin twin must emit the same top-100 pair set
+    with the same integer margins as the oracle-checked HOF query: the
+    margin stage runs on ppm integers, so the kernels can only diverge
+    where a raw cosine sits exactly on a 6-decimal rounding boundary
+    (none in this corpus)."""
+    hof = {
+        (r.id_a, r.id_b): (r.margin_ppm, r.is_confident)
+        for r in REGISTRY["embedding_margin_pairs"].spark(spark, SF).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): (r.margin_ppm, r.is_confident)
+        for r in REGISTRY["embedding_margin_pairs_fast"].spark(spark, SF).collect()
+    }
+    assert hof == fast
+    assert len(hof) == 100

@@ -205,6 +205,9 @@ EXTRAS = [
     # r11 debuts
     "docs_curation_inc_report",
     "embedding_margin_pairs",
+    "embedding_ivf_pq_ann",
+    "embedding_ivf_probe_profile",
+    "docs_readability",
 ]
 
 

@@ -640,27 +640,33 @@ def ivf_assign(
     return best
 
 
-def ivf_ann_topk(
+def ivf_route_candidates(
     corpus: DataFrame,
     probes: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_probe: int = 2,
     max_cells: int = IVF_MAX_CELLS,
     sim_decimals: int = 6,
     kernel: str = "hof",
 ) -> DataFrame:
-    """IVF-style ANN: the second scale path next to LSH bucketing.
+    """THE IVF routing stage — (probe_id, pvec, member_id, mvec, crank).
 
-    Deterministic "training": centroids are a hash-sampled
-    ~min(sqrt(n), max_cells) subset of the corpus (``ivf_centroids``; a
-    k-means iteration would drop in here — the index structure: cells,
-    routing, candidate equi-join, is what scales, and it is fully
-    SQL-expressible so the oracle can hash-check it, unlike the LSH
-    variant). Per probe, the ``n_probe`` nearest cells are searched
-    exactly; candidates come from an equi-join on cell_id, so cost is
-    n_probe/n_cells of brute force.
+    Shared by ``ivf_ann_topk`` (full-precision rerank), the IVF+PQ serving
+    path (``embedding_ivf_pq_ann``, which drops ``mvec`` so column pruning
+    never ships member vectors to the ADC scorer), and the nprobe tuning
+    profile (``embedding_ivf_probe_profile``, which keeps ``crank`` so one
+    routed frame serves every candidate-budget configuration at once) —
+    one definition, so index structure cannot drift between the serving
+    paths and the profile that tunes them. ``crank`` is the probe-side
+    routing rank of the cell the candidate was found in (1 = nearest
+    cell); a member reachable through several probed cells appears once
+    per cell, so consumers dedup by pair (``ivf_ann_topk``'s distinct) or
+    aggregate ``MIN(crank)`` (the profile).
+
+    Centroids are hash-sampled and sqrt(n)-capped (``ivf_centroids``), so
+    the routing broadcast is bounded at any corpus size; candidates come
+    from a cell_id equi-join — cost n_probe/n_cells of brute force.
     """
     centroids = ivf_centroids(corpus, id_col, max_cells)
     cells = ivf_assign(corpus, centroids, id_col, vec_col, sim_decimals, kernel)
@@ -691,8 +697,38 @@ def ivf_ann_topk(
     routed = probe_cells.withColumn("crank", F.row_number().over(wc)).filter(
         F.col("crank") <= n_probe
     )
+    return (
+        routed.join(members, "cell_id")
+        .filter(F.col("probe_id") != F.col("member_id"))
+        .select("probe_id", "pvec", "member_id", "mvec", "crank")
+    )
 
-    cand = routed.join(members, "cell_id").filter(F.col("probe_id") != F.col("member_id"))
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    max_cells: int = IVF_MAX_CELLS,
+    sim_decimals: int = 6,
+    kernel: str = "hof",
+) -> DataFrame:
+    """IVF-style ANN: the second scale path next to LSH bucketing.
+
+    Deterministic "training": centroids are a hash-sampled
+    ~min(sqrt(n), max_cells) subset of the corpus (``ivf_centroids``; a
+    k-means iteration would drop in here — the index structure: cells,
+    routing, candidate equi-join, is what scales, and it is fully
+    SQL-expressible so the oracle can hash-check it, unlike the LSH
+    variant). Per probe, the ``n_probe`` nearest cells are searched
+    exactly; candidates come from the shared ``ivf_route_candidates``
+    routing stage, so cost is n_probe/n_cells of brute force.
+    """
+    cand = ivf_route_candidates(
+        corpus, probes, id_col, vec_col, n_probe, max_cells, sim_decimals, kernel
+    )
     scored = cand.select(
         "probe_id",
         F.col("member_id").alias("neighbor_id"),

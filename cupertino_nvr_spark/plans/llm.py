@@ -3296,6 +3296,341 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL replica of the shared IVF routing stage (llm.similarity.
+# ivf_route_candidates): iparams/cent/vecs/assign/probes/routed CTEs —
+# centroid sampling, member assignment, and probe routing in one
+# definition, composed by BOTH embedding_ivf_pq_ann and
+# embedding_ivf_probe_profile so the index the profile tunes is exactly
+# the index the serving path queries. Routing keeps ranks <= {max_probe}
+# (the serving path filters to its n_probe; the profile keeps all ranks).
+_IVF_ROUTE_CTE_SQL = f"""iparams AS ({_ivf_params_sql("embeddings")}),
+    cent AS (
+      SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centvec
+      FROM embeddings, iparams WHERE {_CENT_PRED_SQL}
+    ),
+    vecs AS (SELECT vec_id AS member_id, CAST(embedding AS DOUBLE[]) AS mvec FROM embeddings),
+    assign AS (
+      SELECT member_id, cell_id FROM (
+        SELECT member_id, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY member_id
+                 ORDER BY round(list_cosine_similarity(mvec, centvec), 6) DESC, cell_id
+               ) AS r
+        FROM vecs CROSS JOIN cent) WHERE r = 1
+    ),
+    routed AS (
+      SELECT probe_id, p, cell_id, r AS crank FROM (
+        SELECT probe_id, p, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY probe_id
+                 ORDER BY round(list_cosine_similarity(p, centvec), 6) DESC, cell_id
+               ) AS r
+        FROM probes CROSS JOIN cent) WHERE r <= {{max_probe}}
+    )"""
+
+
+@register(
+    "embedding_ivf_pq_ann",
+    f"""
+    WITH {_PQ_CHAIN_SQL},
+    codesagg AS (
+      SELECT vec_id, list(cw_id ORDER BY sub_idx) AS codes
+      FROM best GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_INT8_PROBE_BOUND}
+    ),
+    {_IVF_ROUTE_CTE_SQL.replace("{max_probe}", "2")},
+    cand AS (
+      SELECT DISTINCT r.probe_id, a.member_id
+      FROM routed r JOIN assign a USING (cell_id)
+      WHERE a.member_id <> r.probe_id
+    ),
+    psub AS (
+      SELECT probe_id, u.s AS sub_idx,
+             list_slice(p, u.s * {_PQ_SUBDIM} + 1, (u.s + 1) * {_PQ_SUBDIM}) AS ps,
+             sqrt(list_inner_product(p, p)) AS pnorm
+      FROM probes, unnest(range(0, {_PQ_NSUB})) AS u(s)
+    ),
+    simtab AS (
+      SELECT probe_id, sub_idx, cw_id,
+             list_inner_product(ps, csub) AS d,
+             list_inner_product(csub, csub) AS cn2, pnorm
+      FROM psub JOIN cwsub USING (sub_idx)
+    ),
+    s0 AS (SELECT probe_id, cw_id, d, cn2, pnorm FROM simtab WHERE sub_idx = 0),
+    s1 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 1),
+    s2 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 2),
+    s3 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 3),
+    scored AS (
+      SELECT cand.probe_id, cand.member_id AS neighbor_id,
+             round((s0.d + s1.d + s2.d + s3.d)
+                   / (sqrt(s0.cn2 + s1.cn2 + s2.cn2 + s3.cn2) * s0.pnorm), 6)
+               AS score
+      FROM cand
+      JOIN codesagg c ON c.vec_id = cand.member_id
+      JOIN s0 ON s0.probe_id = cand.probe_id AND s0.cw_id = c.codes[1]
+      JOIN s1 ON s1.probe_id = cand.probe_id AND s1.cw_id = c.codes[2]
+      JOIN s2 ON s2.probe_id = cand.probe_id AND s2.cw_id = c.codes[3]
+      JOIN s3 ON s3.probe_id = cand.probe_id AND s3.cw_id = c.codes[4]
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="IVF + PQ composed — the FAISS-style 100 TB serving shape the "
+    "embedding_pq_ann docstring points at: IVF cell routing prunes the "
+    "candidate set to n_probe/n_cells of the corpus (shared "
+    "ivf_route_candidates stage, identical index to embedding_ivf_ann), "
+    "then scoring touches ONLY the candidates' 4 PQ code ids via the "
+    "asymmetric-distance lookup table (shared _pq_assignment codebook, "
+    "identical codes to embedding_pq_quant) — full-precision member "
+    "vectors never reach the scorer, so Catalyst prunes the mvec column "
+    "out of the scan side of the scoring stage. Every broadcast bounded "
+    "(<=4096 centroids, probes x 4 x <=16 lookup rows); candidates from "
+    "one cell_id equi-join; no vector math per (probe, candidate) pair",
+)
+def embedding_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import (
+        as_double,
+        dot,
+        ivf_route_candidates,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes_raw = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _INT8_PROBE_BOUND)
+    )
+    cand = (
+        ivf_route_candidates(emb, probes_raw, n_probe=2)
+        .select("probe_id", "member_id")
+        .distinct()
+    )
+    cwsub, best = _pq_assignment(emb)
+    codesagg = best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_idx", "cw_id"))),
+            lambda s: s.cw_id,
+        ).alias("codes")
+    )
+    probes = probes_raw.select(
+        F.col("vec_id").alias("probe_id"), as_double(F.col("embedding")).alias("p")
+    )
+    psub = probes.select(
+        "probe_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_NSUB - 1))).alias("sub_idx"),
+        "p",
+    ).select(
+        "probe_id",
+        "sub_idx",
+        F.slice(F.col("p"), F.col("sub_idx") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("ps"),
+        F.sqrt(dot(F.col("p"), F.col("p"))).alias("pnorm"),
+    )
+    simtab = psub.join(cwsub, "sub_idx").select(
+        "probe_id",
+        "sub_idx",
+        "cw_id",
+        dot(F.col("ps"), F.col("csub")).alias("d"),
+        dot(F.col("csub"), F.col("csub")).alias("cn2"),
+        "pnorm",
+    )
+    sl = [
+        simtab.filter(F.col("sub_idx") == s).select(
+            F.col("probe_id").alias(f"p{s}"),
+            F.col("cw_id").alias(f"k{s}"),
+            F.col("d").alias(f"d{s}"),
+            F.col("cn2").alias(f"n{s}"),
+            *([F.col("pnorm")] if s == 0 else []),
+        )
+        for s in range(_PQ_NSUB)
+    ]
+    j = cand.join(codesagg, cand.member_id == codesagg.vec_id)
+    for s in range(_PQ_NSUB):
+        j = j.join(
+            F.broadcast(sl[s]),
+            (F.element_at("codes", s + 1) == F.col(f"k{s}"))
+            & (F.col(f"p{s}") == F.col("probe_id")),
+        )
+    score = F.round(
+        (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"))
+        / (
+            F.sqrt(F.col("n0") + F.col("n1") + F.col("n2") + F.col("n3"))
+            * F.col("pnorm")
+        ),
+        6,
+    )
+    scored = j.select(
+        "probe_id",
+        F.col("member_id").alias("neighbor_id"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "score", "rank")
+    )
+
+
+_IVF_PROFILE_MAX_PROBE = 4
+
+
+@register(
+    "embedding_ivf_probe_profile",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    {_IVF_ROUTE_CTE_SQL.replace("{max_probe}", str(_IVF_PROFILE_MAX_PROBE))},
+    pairs AS (
+      SELECT r.probe_id, a.member_id, MIN(r.crank) AS min_crank,
+             MAX(round(list_cosine_similarity(r.p, v.mvec), 6)) AS sim
+      FROM routed r JOIN assign a USING (cell_id)
+      JOIN vecs v ON v.member_id = a.member_id
+      WHERE a.member_id <> r.probe_id
+      GROUP BY r.probe_id, a.member_id
+    ),
+    spine AS (SELECT unnest(range(1, {_IVF_PROFILE_MAX_PROBE} + 1)) AS n_probe),
+    cfg AS (
+      SELECT s.n_probe, p.probe_id, p.member_id, p.sim
+      FROM spine s JOIN pairs p ON p.min_crank <= s.n_probe
+    ),
+    ann AS (
+      SELECT n_probe, probe_id, member_id FROM (
+        SELECT n_probe, probe_id, member_id,
+               ROW_NUMBER() OVER (PARTITION BY n_probe, probe_id
+                                  ORDER BY sim DESC, member_id) AS rk
+        FROM cfg) WHERE rk <= 5
+    ),
+    exact_scored AS (
+      SELECT p.probe_id, v.member_id AS neighbor_id,
+             round(list_cosine_similarity(p.p, v.mvec), 6) AS sim
+      FROM probes p JOIN vecs v ON v.member_id <> p.probe_id
+    ),
+    truth AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM exact_scored) WHERE rk <= 5
+    ),
+    probe_n AS (SELECT COUNT(*) AS n_probes FROM probes),
+    truth_n AS (SELECT COUNT(*) AS n_truth FROM truth),
+    cand_counts AS (SELECT n_probe, COUNT(*) AS total_candidates FROM cfg GROUP BY n_probe),
+    hits AS (
+      SELECT a.n_probe, COUNT(*) AS n_hits
+      FROM ann a JOIN truth t
+        ON a.probe_id = t.probe_id AND a.member_id = t.neighbor_id
+      GROUP BY a.n_probe
+    )
+    SELECT s.n_probe,
+           pn.n_probes,
+           COALESCE(cc.total_candidates, 0) AS total_candidates,
+           ROUND(CAST(COALESCE(cc.total_candidates, 0) AS DOUBLE) / pn.n_probes, 6)
+             AS avg_candidates,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / tn.n_truth, 6)
+             AS recall_at_5
+    FROM spine s
+    LEFT JOIN cand_counts cc USING (n_probe)
+    LEFT JOIN hits h USING (n_probe)
+    CROSS JOIN probe_n pn CROSS JOIN truth_n tn
+    """,
+    doc="IVF n_probe tuning profile — recall@5 vs candidate cost for every "
+    "probe budget 1..4, completing the blocking-parameter tuning family "
+    "(LSH banding: docs_lsh_tuning_profile; pHash tau: "
+    "media_phash_tau_profile). One routing pass at the MAX budget (shared "
+    "ivf_route_candidates stage — exactly the index embedding_ivf_ann and "
+    "embedding_ivf_pq_ann serve from) keeps each candidate's best routing "
+    "rank; since the n_probe=k candidate set is by construction the "
+    "min_crank<=k slice, all four configurations re-rank from ONE "
+    "pair frame — the sweep never re-routes or re-scores. Ground truth "
+    "pays the bounded probes x corpus exact scoring (1% probe side, the "
+    "embedding_ann_recall_eval cost class); output is 4 rows: per budget, "
+    "avg candidates per probe (the cost axis) and corpus-level recall@5 "
+    "(the quality axis) — the curve a user reads the knee off before "
+    "fixing n_probe for a 100 TB index",
+)
+def embedding_ivf_probe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import cosine, ivf_route_candidates
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    routed = ivf_route_candidates(emb, probes, n_probe=_IVF_PROFILE_MAX_PROBE)
+    pairs = (
+        routed.select(
+            "probe_id",
+            "member_id",
+            "crank",
+            F.round(cosine(F.col("pvec"), F.col("mvec")), 6).alias("sim"),
+        )
+        .groupBy("probe_id", "member_id")
+        .agg(F.min("crank").alias("min_crank"), F.max("sim").alias("sim"))
+    )
+    spine = spark.range(1, _IVF_PROFILE_MAX_PROBE + 1).select(
+        F.col("id").alias("n_probe")
+    )
+    cfg = F.broadcast(spine).join(pairs, pairs.min_crank <= spine.n_probe).select(
+        "n_probe", "probe_id", "member_id", "sim"
+    )
+    wa = Window.partitionBy("n_probe", "probe_id").orderBy(
+        F.col("sim").desc(), F.col("member_id")
+    )
+    ann = (
+        cfg.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= 5)
+        .select("n_probe", "probe_id", "member_id")
+    )
+    truth = brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    probe_n = probes.agg(F.count("*").alias("n_probes"))
+    truth_n = truth.agg(F.count("*").alias("n_truth"))
+    cand_counts = cfg.groupBy("n_probe").agg(
+        F.count("*").alias("total_candidates")
+    )
+    hits = (
+        ann.join(
+            truth,
+            (ann.probe_id == truth.probe_id)
+            & (ann.member_id == truth.neighbor_id),
+        )
+        .groupBy("n_probe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        spine.join(cand_counts, "n_probe", "left")
+        .join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(probe_n))
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            "n_probe",
+            "n_probes",
+            F.coalesce(F.col("total_candidates"), F.lit(0).cast("bigint")).alias(
+                "total_candidates"
+            ),
+            F.round(
+                F.coalesce(F.col("total_candidates"), F.lit(0)).cast("double")
+                / F.col("n_probes"),
+                6,
+            ).alias("avg_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_truth"),
+                6,
+            ).alias("recall_at_5"),
+        )
+    )
+
+
 @register(
     "docs_minhash_jaccard_estimate",
     f"""
@@ -5730,6 +6065,91 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_word_ratio.alias("alpha_word_ratio"),
         n_stopwords.alias("n_stopwords"),
         passes.cast("int").alias("passes_gopher"),
+    )
+
+
+@register(
+    "docs_readability",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             CAST(list_sum(list_transform(toks,
+               w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+               AS BIGINT) AS n_syllables
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+             206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS fl
+      FROM m
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+           ROUND(fl, 4) AS flesch_score,
+           CASE WHEN fl >= 90 THEN 'very_easy'
+                WHEN fl >= 70 THEN 'easy'
+                WHEN fl >= 50 THEN 'medium'
+                WHEN fl >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM f
+    """,
+    doc=(
+        "Flesch reading-ease per document (Flesch 1948, public): 206.835 "
+        "- 1.015*(words/sentences) - 84.6*(syllables/word), with the "
+        "standard dictionary-free syllable heuristic (vowel-group count "
+        "per word, floor 1 — the approximation every at-scale readability "
+        "pass uses, since a hyphenation dictionary can't ride a 100 TB "
+        "scan) and sentences = punctuation-run count floored at 1. The "
+        "quality family's graded-score member next to the hard filters "
+        "(docs_gopher_quality, docs_c4_filters): one projection over one "
+        "scan, zero shuffles, whole-stage codegen. Banding compares the "
+        "UNROUNDED score in both engines (identical IEEE doubles from "
+        "identical integer counts), so band boundaries cannot straddle "
+        "the rounding"
+    ),
+)
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.lower(F.col("text")))
+    n_words = F.size(toks).cast("bigint")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("bigint")
+    n_syllables = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda a, w: a
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+        ),
+    )
+    fl = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences)
+        - F.lit(84.6) * (n_syllables.cast("double") / n_words)
+    )
+    band = (
+        F.when(fl >= 90, "very_easy")
+        .when(fl >= 70, "easy")
+        .when(fl >= 50, "medium")
+        .when(fl >= 30, "difficult")
+        .otherwise("very_difficult")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.round(fl, 4).alias("flesch_score"),
+        band.alias("band"),
     )
 
 

@@ -50,6 +50,18 @@ ALLOWED_BNLJ = {
     "embedding_ann_recall_eval",
     "embedding_ivf_ann",
     "embedding_ivf_ann_fast",
+    # shares embedding_ivf_ann's routing stage verbatim
+    # (ivf_route_candidates: corpus x broadcast(<=4096 centroids)); the
+    # ADC scoring itself is four broadcast lookup-table equi-joins over
+    # the cell_id-equi-joined candidate set — no vector math per pair
+    "embedding_ivf_pq_ann",
+    # same shared routing stage at the max probe budget, plus the
+    # ground-truth side of embedding_ann_recall_eval (bounded 1% probe
+    # panel x corpus exact scoring) and a 4-row n_probe spine
+    # range-joined against the bounded candidate-pair frame (the
+    # media_phash_tau_profile spine pattern) — the sweep re-ranks one
+    # pair frame, it never re-routes
+    "embedding_ivf_probe_profile",
     "embedding_cosine_neardup",
     # shares embedding_cosine_neardup's exact routing stage (corpus x
     # broadcast(centroids)); its own additions are a pair groupBy + keyed

@@ -1,0 +1,181 @@
+"""Semantic invariants of the r11 debut operators — properties the DuckDB
+hash oracle can't state (it would accept two engines being wrong the same
+way), pinned directly against the definitions.
+
+The curation-increment debut (docs_curation_inc_report) is pinned in
+tests/test_incremental_curation.py and the margin-mining debut in
+tests/test_similarity_kernels.py; this file covers the IVF+PQ serving
+path, the n_probe tuning profile, and the readability score.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+from pyspark.sql import functions as F
+
+from cupertino_nvr_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _dot(a, b):
+    # sequential left-fold sum, mirroring the HOF / list_inner_product
+    # evaluation order (numpy's pairwise summation can differ in the
+    # last ulp)
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def test_ivf_pq_scores_are_true_adc_lookups(spark):
+    """Every emitted (probe, neighbor, score) must equal the asymmetric
+    distance recomputed from first principles: cosine between the FULL
+    probe vector and the neighbor's PQ reconstruction (sum of the four
+    per-subspace codeword dots over the norm product) — proving the
+    serving path really scores codes, with the exact arithmetic shape
+    both engines hash-matched."""
+    from cupertino_nvr_spark.plans.llm import (
+        _PQ_NSUB,
+        _PQ_SUBDIM,
+        _pq_assignment,
+    )
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    rows = REGISTRY["embedding_ivf_pq_ann"].spark(spark, SF).collect()
+    assert rows, "no IVF+PQ results at sf0.001"
+
+    emb = load_table(spark, "embeddings", SF)
+    cwsub, best = _pq_assignment(emb)
+    book = {
+        (r["sub_idx"], r["cw_id"]): list(r["csub"]) for r in cwsub.collect()
+    }
+    codes = {}
+    for r in best.collect():
+        codes.setdefault(r["vec_id"], {})[r["sub_idx"]] = r["cw_id"]
+    probes = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
+    }
+
+    for r in rows:
+        p = probes[r["probe_id"]]
+        pnorm = math.sqrt(_dot(p, p))
+        d = cn2 = 0.0
+        for s in range(_PQ_NSUB):
+            cs = book[(s, codes[r["neighbor_id"]][s])]
+            ps = p[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            d += _dot(ps, cs)
+            cn2 += _dot(cs, cs)
+        want = d / (math.sqrt(cn2) * pnorm)
+        assert abs(r["score"] - want) <= 5e-7, (
+            r["probe_id"],
+            r["neighbor_id"],
+            r["score"],
+            want,
+        )
+
+
+def test_ivf_pq_candidates_come_from_the_shared_routing(spark):
+    """The IVF+PQ top-k may only contain neighbors reachable through the
+    shared n_probe=2 routing stage — the pruning really is the
+    embedding_ivf_ann index, not a silent widening."""
+    from cupertino_nvr_spark.llm.similarity import ivf_route_candidates
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    allowed = {
+        (r["probe_id"], r["member_id"])
+        for r in ivf_route_candidates(emb, probes, n_probe=2)
+        .select("probe_id", "member_id")
+        .collect()
+    }
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in REGISTRY["embedding_ivf_pq_ann"].spark(spark, SF).collect()
+    }
+    assert got and got <= allowed
+
+
+def test_ivf_probe_profile_monotone_and_consistent_with_serving_path(spark):
+    """The tuning curve's defining properties: candidate cost and recall
+    are non-decreasing in n_probe (the n_probe=k candidate set is a
+    subset of k+1's by the min_crank slice), and the n_probe=2 point
+    must equal the recall of the ACTUAL serving path (ivf_ann_topk at
+    n_probe=2) against the same brute-force truth — the profile measures
+    the index users query, not a parallel reimplementation."""
+    from cupertino_nvr_spark.llm.similarity import brute_force_topk, ivf_ann_topk
+    from cupertino_nvr_spark.sources.tables import load_table
+
+    rows = sorted(
+        REGISTRY["embedding_ivf_probe_profile"].spark(spark, SF).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert a["total_candidates"] <= b["total_candidates"]
+        assert a["recall_at_5"] <= b["recall_at_5"]
+    for r in rows:
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        assert r["n_hits"] <= r["n_probes"] * 5
+        assert abs(
+            r["avg_candidates"] - round(r["total_candidates"] / r["n_probes"], 6)
+        ) <= 1e-9
+
+    emb = load_table(spark, "embeddings", SF)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    served = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, probes, k=5, n_probe=2).collect()
+    }
+    want = round(len(truth & served) / len(truth), 6)
+    got = next(r for r in rows if r["n_probe"] == 2)
+    assert got["recall_at_5"] == want
+    assert got["n_hits"] == len(truth & served)
+
+
+def test_readability_matches_python_recompute(spark):
+    """Full per-doc recompute of the Flesch pipeline in plain Python
+    (independent regex engine, identical IEEE arithmetic): word count,
+    vowel-group syllables floored at 1 per word, punctuation-run
+    sentences floored at 1, the 206.835/1.015/84.6 formula, and the band
+    from the UNROUNDED score."""
+    texts = dict(
+        duckdb.sql(
+            f"select doc_id, text from '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    rows = {
+        r["doc_id"]: r for r in REGISTRY["docs_readability"].spark(spark, SF).collect()
+    }
+    assert set(rows) == set(texts)
+    for doc_id, text in texts.items():
+        toks = re.split(r"\s+", text.strip().lower())
+        n_words = len(toks)
+        n_sent = max(len(re.findall(r"[.!?]+", text)), 1)
+        n_syl = sum(max(len(re.findall(r"[aeiouy]+", w)), 1) for w in toks)
+        fl = 206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syl / n_words)
+        band = (
+            "very_easy"
+            if fl >= 90
+            else "easy"
+            if fl >= 70
+            else "medium"
+            if fl >= 50
+            else "difficult"
+            if fl >= 30
+            else "very_difficult"
+        )
+        r = rows[doc_id]
+        assert r["n_words"] == n_words and r["n_sentences"] == n_sent
+        assert r["n_syllables"] == n_syl
+        assert abs(r["flesch_score"] - fl) <= 5e-5, (doc_id, r["flesch_score"], fl)
+        assert r["band"] == band, (doc_id, fl)

@@ -31,6 +31,9 @@ REPO = Path(__file__).resolve().parent.parent
 R11_DEBUTS = {
     "docs_curation_inc_report",
     "embedding_margin_pairs",
+    "embedding_ivf_pq_ann",
+    "embedding_ivf_probe_profile",
+    "docs_readability",
 }
 
 # the 9 queries whose last driver-green row is r6 — required in the r11

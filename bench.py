@@ -208,6 +208,7 @@ EXTRAS = [
     "embedding_ivf_pq_ann",
     "embedding_ivf_probe_profile",
     "docs_readability",
+    "parts_copurchase_lift",
 ]
 
 

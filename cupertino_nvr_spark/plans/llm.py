@@ -3486,7 +3486,7 @@ _IVF_PROFILE_MAX_PROBE = 4
     f"""
     WITH probes AS (
       SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
-      FROM embeddings WHERE vec_id % 100 = 0
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_INT8_PROBE_BOUND}
     ),
     {_IVF_ROUTE_CTE_SQL.replace("{max_probe}", str(_IVF_PROFILE_MAX_PROBE))},
     pairs AS (
@@ -3552,8 +3552,11 @@ _IVF_PROFILE_MAX_PROBE = 4
     "rank; since the n_probe=k candidate set is by construction the "
     "min_crank<=k slice, all four configurations re-rank from ONE "
     "pair frame — the sweep never re-routes or re-scores. Ground truth "
-    "pays the bounded probes x corpus exact scoring (1% probe side, the "
-    "embedding_ann_recall_eval cost class); output is 4 rows: per budget, "
+    "pays the bounded probes x corpus exact scoring (the "
+    "embedding_ann_recall_eval cost class, with the probe panel "
+    "hard-capped by the int8 family's _INT8_PROBE_BOUND so the truth "
+    "term stays linear-in-corpus at 100 TB, never quadratic); output is "
+    "4 rows: per budget, "
     "avg candidates per probe (the cost axis) and corpus-level recall@5 "
     "(the quality axis) — the curve a user reads the knee off before "
     "fixing n_probe for a 100 TB index",
@@ -3564,7 +3567,13 @@ def embedding_ivf_probe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.similarity import cosine, ivf_route_candidates
 
     emb = load_table(spark, "embeddings", sf_dir)
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    # the profile's ground-truth term is probes x corpus by definition
+    # (the embedding_ann_recall_eval cost class); the probe panel carries
+    # the same hard bound as the int8 family so it stays a FIXED sample
+    # at 100 TB (a percentage panel would make the truth side quadratic)
+    probes = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _INT8_PROBE_BOUND)
+    )
     routed = ivf_route_candidates(emb, probes, n_probe=_IVF_PROFILE_MAX_PROBE)
     pairs = (
         routed.select(

@@ -1429,3 +1429,116 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(contrib).over(wt), 6).alias("chisq_total"),
     )
     return scored
+
+
+@register(
+    "parts_copurchase_lift",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    norders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT part_a, part_b, n_both,
+             ia.n_item AS n_a, ib.n_item AS n_b,
+             CAST(n_both AS DOUBLE) / n_orders AS support,
+             CAST(n_both AS DOUBLE) / ia.n_item AS confidence,
+             (CAST(n_both AS DOUBLE) * n_orders) / (ia.n_item * ib.n_item) AS lift
+      FROM pairs
+      JOIN item ia ON ia.l_partkey = part_a
+      JOIN item ib ON ib.l_partkey = part_b
+      CROSS JOIN norders
+    )
+    SELECT part_a, part_b, n_both, n_a, n_b,
+           ROUND(support, 6) AS support,
+           ROUND(confidence, 6) AS confidence,
+           ROUND(lift, 6) AS lift,
+           rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, part_a, part_b) AS rank
+      FROM scored) WHERE rank <= 20
+    """,
+    doc=(
+        "market-basket association rules over the part co-purchase graph "
+        "(the classic Agrawal-Srikant support/confidence/lift statistics), "
+        "top-20 unordered pairs by lift at min co-occurrence 2 — the "
+        "mining companion to parts_copurchase_pagerank, sharing its "
+        "distinct-(order, part) basket derivation. Pair counts come from "
+        "the order-keyed self-join (bounded by items-per-order squared "
+        "per order, the orders_part_pairs rule — never parts squared), "
+        "one (part_a, part_b)-keyed aggregate with the support floor "
+        "applied BEFORE the stats joins prune the pair stream; item "
+        "supports attach by part-keyed equi-joins and the basket total "
+        "is a 1-row broadcast. All ratios are single divisions of exact "
+        "integer counts, so both engines produce identical doubles; the "
+        "global top-20 is TakeOrderedAndProject. Lift ties break on the "
+        "pair ids"
+    ),
+)
+def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    norders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("_ka"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("_kb"), F.col("n_item").alias("n_b")
+    )
+    scored = (
+        pairs.join(ia, F.col("part_a") == F.col("_ka"))
+        .join(ib, F.col("part_b") == F.col("_kb"))
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_both").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_both").cast("double") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(20)
+    w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round("support", 6).alias("support"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+            "rank",
+        )
+    )

@@ -151,6 +151,10 @@ ALLOWED_BNLJ = {
     "events_rfm_segments",
     # 1-row corpus-revenue-total attach (the Q11 HAVING scalar subquery)
     "important_parts",
+    # 1-row basket-total (n_orders) attach onto the support-floored pair
+    # table; the pair derivation itself is the order-keyed equi-join and
+    # the stats attaches are part-keyed equi-joins
+    "parts_copurchase_lift",
     # 1-row (nr, nt) totals attach onto the FIXED 1024-row bucket table —
     # the corpus-sized sides (token stream, per-doc rollup) are equi-joins
     "docs_dsir_weights",

@@ -179,3 +179,51 @@ def test_readability_matches_python_recompute(spark):
         assert r["n_syllables"] == n_syl
         assert abs(r["flesch_score"] - fl) <= 5e-5, (doc_id, r["flesch_score"], fl)
         assert r["band"] == band, (doc_id, fl)
+
+
+def test_copurchase_lift_matches_python_recompute(spark):
+    """Full independent recompute of the association-rule mining from the
+    raw baskets with collections.Counter: pair/item supports, the >=2
+    co-occurrence floor, lift/confidence/support ratios, and the exact
+    top-20 ordering (lift desc, then pair ids)."""
+    from collections import Counter
+    from itertools import combinations
+
+    rows = duckdb.sql(
+        f"select distinct l_orderkey, l_partkey from '{SF}/lineitem.parquet'"
+    ).fetchall()
+    baskets: dict[int, set[int]] = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    n_orders = len(baskets)
+    item = Counter()
+    both = Counter()
+    for parts in baskets.values():
+        item.update(parts)
+        both.update(combinations(sorted(parts), 2))
+    scored = [
+        (
+            both[p] * n_orders / (item[p[0]] * item[p[1]]),
+            p[0],
+            p[1],
+            both[p],
+            item[p[0]],
+            item[p[1]],
+        )
+        for p in both
+        if both[p] >= 2
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = scored[:20]
+
+    got = sorted(
+        REGISTRY["parts_copurchase_lift"].spark(spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(got) == len(want) == 20
+    for r, (lift, pa, pb, nb, na2, nb2) in zip(got, want):
+        assert (r["part_a"], r["part_b"], r["n_both"]) == (pa, pb, nb)
+        assert (r["n_a"], r["n_b"]) == (na2, nb2)
+        assert abs(r["lift"] - lift) <= 5e-7
+        assert abs(r["support"] - nb / n_orders) <= 5e-7
+        assert abs(r["confidence"] - nb / na2) <= 5e-7

@@ -34,6 +34,7 @@ R11_DEBUTS = {
     "embedding_ivf_pq_ann",
     "embedding_ivf_probe_profile",
     "docs_readability",
+    "parts_copurchase_lift",
 }
 
 # the 9 queries whose last driver-green row is r6 — required in the r11

@@ -209,6 +209,7 @@ EXTRAS = [
     "embedding_ivf_probe_profile",
     "docs_readability",
     "parts_copurchase_lift",
+    "docs_source_quality_report",
 ]
 
 

@@ -6009,30 +6009,74 @@ _GOPHER_STOPWORDS = sorted(
 )
 
 
-@register(
-    "docs_gopher_quality",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
-             length(regexp_replace(text, '[^#.]', '', 'g')) AS n_symbols
-      FROM documents
-    ),
-    m AS (
+def _gopher_m_sql(rel: str) -> str:
+    """Per-doc Gopher rule statistics over ``rel`` — THE rule definition,
+    shared by docs_gopher_quality and docs_source_quality_report so the
+    per-source pass rate can never drift from the per-doc gate."""
+    stop = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return f"""
       SELECT doc_id,
              len(toks) AS n_words,
              list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks) AS mean_word_len,
              n_symbols * 1.0 / len(toks) AS symbol_ratio,
              len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_ratio,
-             len(list_filter(toks, w -> lower(w) IN ({", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)}))) AS n_stopwords
-      FROM t
+             len(list_filter(toks, w -> lower(w) IN ({stop}))) AS n_stopwords
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+               length(regexp_replace(text, '[^#.]', '', 'g')) AS n_symbols
+        FROM {rel})
+    """
+
+
+def _gopher_pass_pred(prefix: str = "") -> str:
+    p = prefix
+    return (
+        f"{p}n_words BETWEEN 50 AND 100000 AND {p}mean_word_len BETWEEN 3 AND 10 "
+        f"AND {p}symbol_ratio <= 0.1 AND {p}alpha_word_ratio >= 0.8 "
+        f"AND {p}n_stopwords >= 2"
     )
+
+
+def _gopher_metrics(text):
+    """Per-doc Gopher rule-statistic Columns (mirrors ``_gopher_m_sql``)."""
+    toks = ws_tokens(text)
+    n_words = F.size(toks).cast("bigint")
+    total_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    n_symbols = F.length(F.regexp_replace(text, r"[^#.]", ""))
+    return {
+        "n_words": n_words,
+        "mean_word_len": total_chars * F.lit(1.0) / n_words,
+        "symbol_ratio": n_symbols * F.lit(1.0) / n_words,
+        "alpha_word_ratio": (
+            F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+            * F.lit(1.0)
+            / n_words
+        ),
+        "n_stopwords": F.size(
+            F.filter(toks, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS))
+        ).cast("bigint"),
+    }
+
+
+def _gopher_passes(m):
+    """The conjunction gate over ``_gopher_metrics`` (mirrors
+    ``_gopher_pass_pred``)."""
+    return (
+        m["n_words"].between(50, 100000)
+        & m["mean_word_len"].between(3, 10)
+        & (m["symbol_ratio"] <= 0.1)
+        & (m["alpha_word_ratio"] >= 0.8)
+        & (m["n_stopwords"] >= 2)
+    )
+
+
+@register(
+    "docs_gopher_quality",
+    f"""
+    WITH m AS ({_gopher_m_sql("documents")})
     SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
            n_stopwords,
-           CAST(n_words BETWEEN 50 AND 100000
-                AND mean_word_len BETWEEN 3 AND 10
-                AND symbol_ratio <= 0.1
-                AND alpha_word_ratio >= 0.8
-                AND n_stopwords >= 2 AS INT) AS passes_gopher
+           CAST({_gopher_pass_pred()} AS INT) AS passes_gopher
     FROM m
     """,
     doc=(
@@ -6046,60 +6090,69 @@ _GOPHER_STOPWORDS = sorted(
 )
 def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    text = F.col("text")
-    toks = ws_tokens(text)
-    n_words = F.size(toks).cast("bigint")
-    total_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-    mean_word_len = total_chars * F.lit(1.0) / n_words
-    n_symbols = F.length(F.regexp_replace(text, r"[^#.]", ""))
-    symbol_ratio = n_symbols * F.lit(1.0) / n_words
-    alpha_word_ratio = (
-        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) * F.lit(1.0) / n_words
-    )
-    n_stopwords = F.size(
-        F.filter(toks, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS))
-    ).cast("bigint")
-    passes = (
-        n_words.between(50, 100000)
-        & mean_word_len.between(3, 10)
-        & (symbol_ratio <= 0.1)
-        & (alpha_word_ratio >= 0.8)
-        & (n_stopwords >= 2)
-    )
+    m = _gopher_metrics(F.col("text"))
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_word_ratio.alias("alpha_word_ratio"),
-        n_stopwords.alias("n_stopwords"),
-        passes.cast("int").alias("passes_gopher"),
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["alpha_word_ratio"].alias("alpha_word_ratio"),
+        m["n_stopwords"].alias("n_stopwords"),
+        _gopher_passes(m).cast("int").alias("passes_gopher"),
     )
+
+
+def _flesch_f_sql(rel: str, extra_cols: str = "") -> str:
+    """Per-doc Flesch components + UNROUNDED score over ``rel`` — THE
+    readability definition, shared by docs_readability and
+    docs_source_quality_report. ``extra_cols`` (e.g. ``"lang, "``) is
+    carried through the chain for callers that group on it."""
+    return f"""
+      SELECT doc_id, {extra_cols} n_words, n_sentences, n_syllables,
+             206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS fl
+      FROM (
+        SELECT doc_id, {extra_cols}
+               len(toks) AS n_words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+               CAST(list_sum(list_transform(toks,
+                 w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+                 AS BIGINT) AS n_syllables
+        FROM (
+          SELECT doc_id, {extra_cols} text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM {rel}))
+    """
+
+
+def _flesch_metrics(text):
+    """(n_words, n_sentences, n_syllables, unrounded fl) Columns (mirrors
+    ``_flesch_f_sql``)."""
+    toks = ws_tokens(F.lower(text))
+    n_words = F.size(toks).cast("bigint")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("bigint")
+    n_syllables = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda a, w: a
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+        ),
+    )
+    fl = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences)
+        - F.lit(84.6) * (n_syllables.cast("double") / n_words)
+    )
+    return n_words, n_sentences, n_syllables, fl
 
 
 @register(
     "docs_readability",
-    r"""
-    WITH t AS (
-      SELECT doc_id, lang, text,
-             string_split_regex(trim(lower(text)), '\s+') AS toks
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id, lang,
-             len(toks) AS n_words,
-             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
-             CAST(list_sum(list_transform(toks,
-               w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
-               AS BIGINT) AS n_syllables
-      FROM t
-    ),
-    f AS (
-      SELECT doc_id, lang, n_words, n_sentences, n_syllables,
-             206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS fl
-      FROM m
-    )
+    f"""
+    WITH f AS ({_flesch_f_sql("documents", "lang,")})
     SELECT doc_id, lang, n_words, n_sentences, n_syllables,
            ROUND(fl, 4) AS flesch_score,
            CASE WHEN fl >= 90 THEN 'very_easy'
@@ -6126,24 +6179,7 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    toks = ws_tokens(F.lower(F.col("text")))
-    n_words = F.size(toks).cast("bigint")
-    n_sentences = F.greatest(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
-    ).cast("bigint")
-    n_syllables = F.aggregate(
-        toks,
-        F.lit(0).cast("bigint"),
-        lambda a, w: a
-        + F.greatest(
-            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
-        ),
-    )
-    fl = (
-        F.lit(206.835)
-        - F.lit(1.015) * (n_words.cast("double") / n_sentences)
-        - F.lit(84.6) * (n_syllables.cast("double") / n_words)
-    )
+    n_words, n_sentences, n_syllables, fl = _flesch_metrics(F.col("text"))
     band = (
         F.when(fl >= 90, "very_easy")
         .when(fl >= 70, "easy")
@@ -6159,6 +6195,89 @@ def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_syllables.alias("n_syllables"),
         F.round(fl, 4).alias("flesch_score"),
         band.alias("band"),
+    )
+
+
+@register(
+    "docs_source_quality_report",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sj AS (
+      SELECT a.doc_id, a.text, a.lang, d.source
+      FROM aug a JOIN documents d ON d.doc_id = a.doc_id % 1000000
+    ),
+    f AS ({_flesch_f_sql("sj")}),
+    g AS ({_gopher_m_sql("sj")}),
+    per_doc AS (
+      SELECT s.source, s.lang,
+             CASE WHEN s.doc_id <> MIN(s.doc_id) OVER (PARTITION BY md5(s.text))
+                  THEN 1 ELSE 0 END AS is_dup,
+             f.n_words AS n_words,
+             CAST(ROUND(f.fl * 10000, 0) AS BIGINT) AS fl_e4,
+             CASE WHEN {_gopher_pass_pred("g.")} THEN 1 ELSE 0 END AS passes
+      FROM sj s JOIN f USING (doc_id) JOIN g USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+           ROUND(CAST(SUM(passes) AS DOUBLE) / COUNT(*), 6) AS gopher_pass_rate,
+           ROUND(CAST(SUM(fl_e4) AS DOUBLE) / 10000 / COUNT(*), 4) AS avg_flesch,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM per_doc GROUP BY source
+    """,
+    doc="per-source curation rollup — the 'which crawls do I keep' "
+    "operating report a 100 TB ingest runs before mixing sources: doc/"
+    "token volume, exact-dup share (non-keeper copies by md5 digest, the "
+    "docs_exact_dedup rule), Gopher pass rate, mean Flesch readability, "
+    "and language spread, one row per source. Runs over the augmented "
+    "corpus (the dedup-family fixture) with re-crawl variants attributed "
+    "to their base document's source via a base-id equi-join. The rule "
+    "statistics come from the SAME factored chains the per-doc gates use "
+    "(_gopher_m_sql/_gopher_metrics, _flesch_f_sql/_flesch_metrics), so "
+    "the rollup cannot drift from the gates it summarizes. Mean Flesch "
+    "rides exact integer sums (per-doc score fixed-pointed to 1e-4 "
+    "BEFORE summing — float SUM order is engine-dependent, integer SUM "
+    "is not). Cost: one projection + a digest-partitioned window + one "
+    "source-keyed agg — two shuffles, both map-side combinable",
+)
+def docs_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = augmented_docs(spark, sf_dir)
+    sj = aug.join(
+        docs.select(F.col("doc_id").alias("_bid"), "source"),
+        (F.col("doc_id") % 1000000) == F.col("_bid"),
+    ).select("doc_id", "text", "lang", "source")
+    gm = _gopher_metrics(F.col("text"))
+    n_words, _, _, fl = _flesch_metrics(F.col("text"))
+    w = Window.partitionBy(F.md5(F.col("text")))
+    per_doc = sj.select(
+        "source",
+        "lang",
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        F.round(fl * 10000, 0).cast("bigint").alias("fl_e4"),
+        F.when(_gopher_passes(gm), 1).otherwise(0).alias("passes"),
+    ).withColumn(
+        "is_dup",
+        F.when(F.col("doc_id") != F.min("doc_id").over(w), 1).otherwise(0),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+        F.round(F.sum("is_dup").cast("double") / F.count("*"), 6).alias("dup_rate"),
+        F.round(F.sum("passes").cast("double") / F.count("*"), 6).alias(
+            "gopher_pass_rate"
+        ),
+        F.round(
+            F.sum("fl_e4").cast("double") / 10000 / F.count("*"), 4
+        ).alias("avg_flesch"),
+        F.countDistinct("lang").alias("n_langs"),
     )
 
 

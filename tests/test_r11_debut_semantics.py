@@ -227,3 +227,80 @@ def test_copurchase_lift_matches_python_recompute(spark):
         assert abs(r["lift"] - lift) <= 5e-7
         assert abs(r["support"] - nb / n_orders) <= 5e-7
         assert abs(r["confidence"] - nb / na2) <= 5e-7
+
+
+def test_source_quality_report_matches_python_recompute(spark):
+    """Full independent recompute of the per-source rollup in plain
+    Python: the augmented corpus rebuilt from the base parquet (exact
+    %7, tail %11, upper %13, truncated %17 — the shared dedup fixture),
+    re-crawl variants attributed to their base source, exact-dup =
+    non-minimal doc_id per text digest (hashlib, not SQL md5), Gopher
+    gate and Flesch score re-derived per doc, fixed-point mean."""
+    import hashlib
+    from collections import defaultdict
+
+    from cupertino_nvr_spark.plans.llm import _GOPHER_STOPWORDS, TAIL
+
+    base = duckdb.sql(
+        f"select doc_id, text, lang, source from '{SF}/documents.parquet'"
+    ).fetchall()
+    aug = []
+    for did, text, lang, srcname in base:
+        aug.append((did, text, srcname))
+        if did % 7 == 0:
+            aug.append((did + 1000000, text, srcname))
+        if did % 11 == 0:
+            aug.append((did + 2000000, text + TAIL, srcname))
+        if did % 13 == 0:
+            aug.append((did + 3000000, text.upper(), srcname))
+        if did % 17 == 0:
+            toks = re.split(r"\s+", text.strip())
+            aug.append((did + 4000000, " ".join(toks[:2]), srcname))
+    langs = {did: lang for did, _, lang, _ in base}
+
+    keeper: dict[str, int] = {}
+    for did, text, _ in aug:
+        h = hashlib.md5(text.encode()).hexdigest()
+        keeper[h] = min(keeper.get(h, did), did)
+
+    stops = set(_GOPHER_STOPWORDS)
+    per_source = defaultdict(lambda: [0, 0, 0, 0, 0, set()])
+    for did, text, srcname in aug:
+        toks = re.split(r"\s+", text.strip())
+        n_words = len(toks)
+        mean_wl = sum(len(w) for w in toks) / n_words
+        sym = sum(text.count(c) for c in "#.") / n_words
+        alpha = sum(1 for w in toks if re.search(r"[A-Za-z]", w)) / n_words
+        n_stop = sum(1 for w in toks if w.lower() in stops)
+        passes = (
+            50 <= n_words <= 100000
+            and 3 <= mean_wl <= 10
+            and sym <= 0.1
+            and alpha >= 0.8
+            and n_stop >= 2
+        )
+        lt = re.split(r"\s+", text.strip().lower())
+        n_sent = max(len(re.findall(r"[.!?]+", text)), 1)
+        n_syl = sum(max(len(re.findall(r"[aeiouy]+", w)), 1) for w in lt)
+        fl = 206.835 - 1.015 * (len(lt) / n_sent) - 84.6 * (n_syl / len(lt))
+        is_dup = keeper[hashlib.md5(text.encode()).hexdigest()] != did
+        s = per_source[srcname]
+        s[0] += 1
+        s[1] += n_words
+        s[2] += 1 if is_dup else 0
+        s[3] += 1 if passes else 0
+        s[4] += round(fl * 10000)
+        s[5].add(langs[did % 1000000])
+
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["docs_source_quality_report"].spark(spark, SF).collect()
+    }
+    assert set(rows) == set(per_source)
+    for srcname, (nd, nt, ndup, npass, fl_sum, ls) in per_source.items():
+        r = rows[srcname]
+        assert (r["n_docs"], r["n_tokens"], r["n_dups"]) == (nd, nt, ndup)
+        assert r["n_langs"] == len(ls)
+        assert abs(r["dup_rate"] - ndup / nd) <= 5e-7
+        assert abs(r["gopher_pass_rate"] - npass / nd) <= 5e-7
+        assert abs(r["avg_flesch"] - fl_sum / 10000 / nd) <= 5e-5, srcname

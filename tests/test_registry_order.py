@@ -35,6 +35,7 @@ R11_DEBUTS = {
     "embedding_ivf_probe_profile",
     "docs_readability",
     "parts_copurchase_lift",
+    "docs_source_quality_report",
 }
 
 # the 9 queries whose last driver-green row is r6 — required in the r11

@@ -210,6 +210,7 @@ EXTRAS = [
     "docs_readability",
     "parts_copurchase_lift",
     "docs_source_quality_report",
+    "docs_simhash_neardup",
 ]
 
 

@@ -41,8 +41,8 @@ from cupertino_nvr_spark.plans import tpch_extra  # noqa: F401,E402
 #      r6 (after r11 no declared query's last green row is older than r7)
 #   fill: the r7-stale family (temporal/event_domain/scalar/commands +
 #      the LLM ops first sampled in r7), 49 rows in deterministic
-#      (alphabetical) order — the first 33 fit the 50-row window, the
-#      last 16 directly follow it (first in line for r12)
+#      (alphabetical) order — the first 32 fit the 50-row window, the
+#      last 17 directly follow it (first in line for r12)
 _R11_WINDOW_PRIORITY = [
     "asof_ttl_overlay",
     # r11 debuts
@@ -53,6 +53,7 @@ _R11_WINDOW_PRIORITY = [
     "docs_readability",
     "parts_copurchase_lift",
     "docs_source_quality_report",
+    "docs_simhash_neardup",
     # the 9 remaining r6-stale rows (r10 VERDICT item 1)
     "embedding_pq_ann", "embedding_pq_quant",
     "embedding_prefix_rerank_ann", "embedding_semdedup",

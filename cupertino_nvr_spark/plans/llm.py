@@ -328,28 +328,139 @@ def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(sigs, num_hashes=8, band_size=2, band_cap=64)
 
 
-@register(
-    "docs_simhash",
-    f"""
-    WITH toks AS (
+def _simhash_chain_sql(rel: str, bits: int) -> str:
+    """toks→hashed→votes→sig: THE SimHash signature definition over
+    ``rel`` (distinct whitespace tokens, md5-seed-0 bit votes), shared by
+    docs_simhash (16-bit signatures) and docs_simhash_neardup (32-bit
+    banded candidate generation) so the pairing consumer can never drift
+    from the published fingerprint."""
+    return f"""toks AS (
       SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-      FROM documents
+      FROM {rel}
     ),
     hashed AS (SELECT doc_id, {_md5_int_sql('tok', 0)} AS th FROM toks),
     votes AS (
       SELECT doc_id,
-             {", ".join(f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+             {", ".join(f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits))}
       FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id,
-           CAST({" + ".join(f"(CASE WHEN v{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
-    FROM votes
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST({" + ".join(f"(CASE WHEN v{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(bits))} AS BIGINT) AS simhash
+      FROM votes
+    )"""
+
+
+@register(
+    "docs_simhash",
+    f"""
+    WITH {_simhash_chain_sql("documents", 16)}
+    SELECT doc_id, simhash FROM sig
     """,
     doc="SimHash(16-bit) signatures: explode distinct tokens, one groupBy of bit votes",
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return simhash(docs, bits=16, hash_fn="md5")
+
+
+# simhash near-dup banding parameters: 32-bit signatures, 4 bands x 8
+# bits, Hamming cap 3 — by pigeonhole a pair within Hamming 3 differs in
+# at most 3 bands, so it SHARES at least one band and is guaranteed a
+# candidate (unless that band bucket is hot-capped, the documented
+# recall/scale trade-off shared with the MinHash band cap).
+_SIMHASH_ND_BITS = 32
+_SIMHASH_ND_BANDS = 4
+_SIMHASH_ND_BAND_BITS = 8
+_SIMHASH_ND_TAU = 3
+_SIMHASH_ND_BAND_CAP = 64
+
+
+@register(
+    "docs_simhash_neardup",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    {_simhash_chain_sql("aug", _SIMHASH_ND_BITS)},
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, (simhash >> {b * _SIMHASH_ND_BAND_BITS}) & {2 ** _SIMHASH_ND_BAND_BITS - 1} AS band_key FROM sig" for b in range(_SIMHASH_ND_BANDS))}
+    ),
+    hot AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) > {_SIMHASH_ND_BAND_CAP}),
+    kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band_idx, band_key)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND b.doc_id > a.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, hamming, CAST(hamming = 0 AS INT) AS is_exact
+    FROM scored WHERE hamming <= {_SIMHASH_ND_TAU}
+    """,
+    doc="SimHash near-dup candidate pairs (Charikar 2002 / Manku et al. "
+    "2007, the text-side sibling of media_phash_neardup): 32-bit "
+    "signatures from the SHARED _simhash_chain_sql definition, banded "
+    "into 4 x 8-bit keys — by pigeonhole any pair within Hamming 3 "
+    "shares at least one band, so candidate generation is a band "
+    "equi-join, never all-pairs; exact Hamming verification on "
+    "candidates only. The hot-band cap (64, the MinHash band-cap rule) "
+    "bounds every bucket's pair blowup at any corpus size — the "
+    "documented recall/scale trade-off on clumpy corpora (this synthetic "
+    "vocabulary concentrates signatures far more than web text). Runs "
+    "over the augmented corpus so the planted exact/tail variants give "
+    "the pairing real positives",
+)
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    sig = simhash(aug, bits=_SIMHASH_ND_BITS, hash_fn="md5")
+    bands = None
+    for b in range(_SIMHASH_ND_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), b * _SIMHASH_ND_BAND_BITS)
+            .bitwiseAND(F.lit(2 ** _SIMHASH_ND_BAND_BITS - 1))
+            .alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    hot = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > _SIMHASH_ND_BAND_CAP)
+        .select("band_idx", "band_key")
+    )
+    kept = bands.join(hot, ["band_idx", "band_key"], "left_anti")
+    a = kept.select(
+        F.col("doc_id").alias("id_a"), "band_idx", "band_key"
+    )
+    b_ = kept.select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b_, ["band_idx", "band_key"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming.alias("hamming"),
+            (hamming == 0).cast("int").alias("is_exact"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_ND_TAU)
+    )
 
 
 @register(

@@ -304,3 +304,76 @@ def test_source_quality_report_matches_python_recompute(spark):
         assert abs(r["dup_rate"] - ndup / nd) <= 5e-7
         assert abs(r["gopher_pass_rate"] - npass / nd) <= 5e-7
         assert abs(r["avg_flesch"] - fl_sum / 10000 / nd) <= 5e-5, srcname
+
+
+def test_simhash_neardup_matches_python_recompute(spark):
+    """Full independent recompute of the banded simhash pairing: 32-bit
+    signatures from hashlib-md5 bit votes over distinct tokens of the
+    rebuilt augmented corpus, 4x8-bit banding with the hot cap, pigeonhole
+    candidate generation, exact Hamming verification — asserted as SET
+    EQUALITY with the query output (the capped definition, so the
+    recall/scale trade-off is pinned too, not just the survivors)."""
+    import hashlib
+    from collections import defaultdict
+    from itertools import combinations
+
+    from cupertino_nvr_spark.plans.llm import (
+        _SIMHASH_ND_BAND_BITS,
+        _SIMHASH_ND_BAND_CAP,
+        _SIMHASH_ND_BANDS,
+        _SIMHASH_ND_BITS,
+        _SIMHASH_ND_TAU,
+        TAIL,
+    )
+
+    base = duckdb.sql(
+        f"select doc_id, text from '{SF}/documents.parquet'"
+    ).fetchall()
+    aug = []
+    for did, text in base:
+        aug.append((did, text))
+        if did % 7 == 0:
+            aug.append((did + 1000000, text))
+        if did % 11 == 0:
+            aug.append((did + 2000000, text + TAIL))
+        if did % 13 == 0:
+            aug.append((did + 3000000, text.upper()))
+        if did % 17 == 0:
+            toks = re.split(r"\s+", text.strip())
+            aug.append((did + 4000000, " ".join(toks[:2])))
+
+    def tok_hash(tok: str) -> int:
+        return int(hashlib.md5(f"0:{tok}".encode()).hexdigest()[:15], 16)
+
+    sigs = {}
+    for did, text in aug:
+        votes = [0] * _SIMHASH_ND_BITS
+        for tok in set(re.split(r"\s+", text.strip())):
+            th = tok_hash(tok)
+            for b in range(_SIMHASH_ND_BITS):
+                votes[b] += 1 if (th >> b) & 1 else -1
+        sigs[did] = sum(1 << b for b in range(_SIMHASH_ND_BITS) if votes[b] >= 0)
+
+    mask = (1 << _SIMHASH_ND_BAND_BITS) - 1
+    buckets = defaultdict(list)
+    for did, s in sigs.items():
+        for b in range(_SIMHASH_ND_BANDS):
+            buckets[(b, (s >> (b * _SIMHASH_ND_BAND_BITS)) & mask)].append(did)
+    want = {}
+    for members in buckets.values():
+        if len(members) > _SIMHASH_ND_BAND_CAP:
+            continue  # hot band dropped before the self-join
+        for x, y in combinations(sorted(members), 2):
+            h = bin(sigs[x] ^ sigs[y]).count("1")
+            if h <= _SIMHASH_ND_TAU:
+                want[(x, y)] = h
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["hamming"], r["is_exact"])
+        for r in REGISTRY["docs_simhash_neardup"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    assert want, "degenerate fixture: no pairs at all"
+    for pair, h in want.items():
+        assert got[pair] == (h, int(h == 0)), pair
+    assert any(h == 0 for h in want.values()), "no exact pairs surfaced"

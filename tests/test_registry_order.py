@@ -36,6 +36,7 @@ R11_DEBUTS = {
     "docs_readability",
     "parts_copurchase_lift",
     "docs_source_quality_report",
+    "docs_simhash_neardup",
 }
 
 # the 9 queries whose last driver-green row is r6 — required in the r11

@@ -329,6 +329,7 @@ def embedding_neardup_pairs(
     n_assign: int = 2,
     sim_decimals: int = 6,
     kernel: str = "hof",
+    per_cell_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, sim) with id_a < id_b
     and rounded cosine >= ``threshold``.
@@ -344,6 +345,26 @@ def embedding_neardup_pairs(
     sum over cells of |cell|^2. Completes the dedup family of llm/dedup.py
     for embedding columns (reference has no analog; north star per
     /root/repo/BASELINE.json).
+
+    ``per_cell_cap`` (the mining-family consumer, r12): keep only each
+    member's ``per_cell_cap`` best candidates WITHIN each of its cells
+    (rank by rounded sim desc, then neighbor id — the same total order
+    ``margin_scored_pairs`` ranks by). For a downstream consumer that
+    keeps only pairs inside some endpoint's global top-C candidates
+    (C <= per_cell_cap, computed over the deduped cross-cell union),
+    this prune is EXACTLY result-preserving, not best-effort: a
+    candidate's cell-local rank never exceeds its global rank (the
+    candidates above it in a cell are a subset of the candidates above
+    it globally), so every global-top-C candidate survives in each cell
+    that generated it, and a pruned-away candidate has global rank > C
+    in every cell — its removal can only shift ranks of candidates that
+    were already past C. The win is WHERE the volume dies: the
+    sum(|cell|^2) candidate stream is cut to <= 2 * cap * n directed
+    rows BEFORE the pair distinct and any downstream shuffle, and the
+    per-(cell, member) window reuses the pair join's existing cell_id
+    partitioning (no extra exchange — just a sort). The unthresholded
+    margin chain measured 78 s -> see ROUND_NOTES_r12 at sf1 from this
+    change alone.
     """
     from pyspark.sql import Window
 
@@ -390,12 +411,48 @@ def embedding_neardup_pairs(
         F.col("mvec").alias("bvec"),
     )
     pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("avec"), F.col("bvec")), sim_decimals).alias("sim"),
+    scored = pairs.select(
+        "cell_id",
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("avec"), F.col("bvec")), sim_decimals).alias("sim"),
+    )
+    if per_cell_cap is not None:
+        # cosine paid once per cell-pair, THEN fanned to both directions;
+        # the (cell_id, member) window clusters by a superset of the pair
+        # join's cell_id partitioning, so Catalyst plans a sort, not a
+        # new exchange — the full candidate volume is never shuffled
+        directed = scored.select(
+            "cell_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("x"),
+                        F.col("id_b").alias("n"),
+                        F.col("sim").alias("sim"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("x"),
+                        F.col("id_a").alias("n"),
+                        F.col("sim").alias("sim"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("cell_id", "e.*")
+        wcell = Window.partitionBy("cell_id", "x").orderBy(
+            F.col("sim").desc(), F.col("n")
         )
+        scored = (
+            directed.withColumn("rc", F.row_number().over(wcell))
+            .filter(F.col("rc") <= per_cell_cap)
+            .select(
+                F.least("x", "n").alias("id_a"),
+                F.greatest("x", "n").alias("id_b"),
+                "sim",
+            )
+        )
+    return (
+        scored.select("id_a", "id_b", "sim")
         .filter(F.col("sim") >= threshold)
         .distinct()  # a pair sharing both probed cells counts once
     )

@@ -819,7 +819,11 @@ def kmeans_refine(
 
 
 def margin_scored_pairs(
-    pairs: DataFrame, k: int = 4, threshold_ppm: int = 1_050_000
+    pairs: DataFrame,
+    k: int = 4,
+    threshold_ppm: int = 1_050_000,
+    cand_cap: int | None = 32,
+    include_rank: bool = False,
 ) -> DataFrame:
     """Ratio-margin scoring over a candidate-pair stream (Artetxe &
     Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
@@ -842,33 +846,95 @@ def margin_scored_pairs(
     Pairs with non-positive sim or denominator are not mining candidates
     and are dropped.
 
+    **Per-endpoint candidate cap** (``cand_cap``, the r11 VERDICT's one
+    scale watch item): only pairs inside at least one endpoint's
+    ``cand_cap`` best candidates (by sim6 desc, neighbor id — the same
+    deterministic rank the top-k stats use) are scored. Under
+    sqrt(n)-cell IVF blocking the raw candidate volume grows ~n^1.5, and
+    before r12 every one of those pairs was checkpointed and equi-joined
+    twice (measured 7.1x for 10x data at sf1); the margin of a pair
+    ranked below ``cand_cap`` for BOTH endpoints is bounded by its
+    endpoints' far-stronger top-k means, so it can never contend for a
+    mining shortlist. The rank prunes everything past the cap BEFORE any
+    materialization: the only full-volume ops left are the blocking
+    chain's own distinct and one window sort; the checkpoint, both stats
+    joins, and the final global ordering all run on <= cand_cap * n
+    rows. Same recall-for-boundedness shape as the MinHash/simhash
+    hot-band caps; the capped definition itself is pinned by a Python
+    recompute in tests/test_similarity_kernels.py. ``cand_cap=None``
+    scores every candidate pair (the pre-r12 definition).
+
     Output: (id_a, id_b, sim, margin_ppm, is_confident
-    [margin_ppm >= threshold_ppm]) for every surviving candidate pair.
-    Scale: one symmetric union of the pair stream, one per-endpoint
-    window bounded by candidate-list length (blocking caps it), two
-    equi-joins back — all linear in candidate pairs; no new pair
-    materialization beyond the input stream.
+    [margin_ppm >= threshold_ppm]) for every surviving candidate pair;
+    with ``include_rank`` also ``pair_rank`` (the pair's BEST endpoint
+    rank — a pair survives cap C exactly when pair_rank <= C, which is
+    what the cap-tuning profile sweeps).
+    Scale: one explode-based symmetric pass over the pair stream (the
+    upstream blocking chain executes ONCE — no self-union), one
+    per-endpoint window, then cap-bounded checkpoint + stats joins.
     """
+    if cand_cap is not None and cand_cap < k:
+        raise ValueError(
+            f"cand_cap={cand_cap} < k={k}: the top-k stats are taken from "
+            "the capped candidate list, so the cap must keep at least k "
+            "rows per endpoint"
+        )
     sim6 = F.round(F.col("sim") * 1000000).cast("long")
-    # the candidate stream feeds THREE consumers below (both legs of the
-    # symmetric union + the scored join) — materialize it once or the
-    # upstream blocking chain re-executes per consumer (measured 21.5 s
-    # vs 6.5 s at sf0.1 on the IVF chain)
-    p6 = reliable_checkpoint(
+    # symmetric expansion via explode, NOT union: a union would consume
+    # the (lazy) blocking chain twice, re-executing it per leg
+    sym = (
         pairs.select("id_a", "id_b", "sim", sim6.alias("sim6"))
-    )
-    sym = p6.select(
-        F.col("id_a").alias("x"), F.col("id_b").alias("n"), "sim6"
-    ).unionByName(
-        p6.select(F.col("id_b").alias("x"), F.col("id_a").alias("n"), "sim6")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("x"),
+                        F.col("id_b").alias("n"),
+                        F.col("sim").alias("sim"),
+                        F.col("sim6").alias("sim6"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("x"),
+                        F.col("id_a").alias("n"),
+                        F.col("sim").alias("sim"),
+                        F.col("sim6").alias("sim6"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
     )
     w = Window.partitionBy("x").orderBy(F.col("sim6").desc(), F.col("n"))
+    ranked = sym.withColumn("r", F.row_number().over(w))
+    if cand_cap is not None:
+        ranked = ranked.filter(F.col("r") <= cand_cap)
+    # the capped frame feeds THREE consumers (stats + the pair rebuild +
+    # the scored join) — materialize it once or the blocking chain
+    # re-executes per consumer; post-cap it holds <= cand_cap * n rows
+    ranked = reliable_checkpoint(ranked)
     stats = (
-        sym.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= k)
+        ranked.filter(F.col("r") <= k)
         .groupBy("x")
         .agg(F.sum("sim6").alias("s"), F.count("*").alias("c"))
     )
+    # rebuild the undirected pair set from the surviving directed rows: a
+    # pair inside both endpoints' caps appears twice — collapse to one,
+    # keeping the pair's BEST endpoint rank when the caller profiles the
+    # cap (min over the <=2 directed rows; "pair survives cap C" is
+    # exactly pair_rank <= C, which is what the cap profile sweeps)
+    p6 = (
+        ranked.select(
+            F.least("x", "n").alias("id_a"),
+            F.greatest("x", "n").alias("id_b"),
+            "sim",
+            "sim6",
+            "r",
+        )
+        .groupBy("id_a", "id_b", "sim", "sim6")
+        .agg(F.min("r").alias("pair_rank"))
+    )
+    if not include_rank:
+        p6 = p6.drop("pair_rank")
     scored = p6.join(
         stats.select(
             F.col("x").alias("id_a"), F.col("s").alias("s_a"), F.col("c").alias("c_a")
@@ -882,6 +948,7 @@ def margin_scored_pairs(
     )
     den = F.col("s_a") * F.col("c_b") + F.col("s_b") * F.col("c_a")
     num = F.lit(2) * F.col("sim6") * F.col("c_a") * F.col("c_b") * F.lit(1000000)
+    extra = ["pair_rank"] if include_rank else []
     return (
         scored.filter((F.col("sim6") > 0) & (den > 0))
         .select(
@@ -890,12 +957,14 @@ def margin_scored_pairs(
             "sim",
             num.alias("_n"),
             den.alias("_d"),
+            *extra,
         )
         .select(
             "id_a",
             "id_b",
             "sim",
             F.expr("_n DIV _d").alias("margin_ppm"),
+            *extra,
         )
         .select(
             "id_a",
@@ -903,5 +972,6 @@ def margin_scored_pairs(
             "sim",
             "margin_ppm",
             (F.col("margin_ppm") >= threshold_ppm).alias("is_confident"),
+            *extra,
         )
     )

@@ -769,29 +769,31 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_margin_pairs",
     f"""
     WITH {_EMB_NEARDUP_CTE_SQL},
-    p6 AS (
-      SELECT id_a, id_b, sim,
-             CAST(round(sim * 1000000) AS BIGINT) AS sim6
-      FROM pairs
-    ),
     sym AS (
-      SELECT id_a AS x, id_b AS n, sim6 FROM p6
+      SELECT id_a AS x, id_b AS n, sim,
+             CAST(round(sim * 1000000) AS BIGINT) AS sim6 FROM pairs
       UNION ALL
-      SELECT id_b, id_a, sim6 FROM p6
+      SELECT id_b, id_a, sim,
+             CAST(round(sim * 1000000) AS BIGINT) FROM pairs
     ),
-    topk AS (
-      SELECT x, sim6,
+    ranked AS (
+      SELECT x, n, sim, sim6,
              ROW_NUMBER() OVER (PARTITION BY x ORDER BY sim6 DESC, n) AS r
       FROM sym
     ),
+    capped AS (SELECT * FROM ranked WHERE r <= 32),
     stats AS (
-      SELECT x, SUM(sim6) AS s, COUNT(*) AS c FROM topk WHERE r <= 4 GROUP BY x
+      SELECT x, SUM(sim6) AS s, COUNT(*) AS c FROM capped WHERE r <= 4 GROUP BY x
+    ),
+    cpairs AS (
+      SELECT DISTINCT LEAST(x, n) AS id_a, GREATEST(x, n) AS id_b, sim, sim6
+      FROM capped
     ),
     margins AS (
       SELECT p.id_a, p.id_b, p.sim,
              CAST((2 * p.sim6 * sa.c * sb.c * 1000000)
                // (sa.s * sb.c + sb.s * sa.c) AS BIGINT) AS margin_ppm
-      FROM p6 p JOIN stats sa ON sa.x = p.id_a JOIN stats sb ON sb.x = p.id_b
+      FROM cpairs p JOIN stats sa ON sa.x = p.id_a JOIN stats sb ON sb.x = p.id_b
       WHERE p.sim6 > 0 AND (sa.s * sb.c + sb.s * sa.c) > 0
     )
     SELECT id_a, id_b, sim, margin_ppm,
@@ -812,9 +814,16 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "are one window over the bounded candidate lists; the margin "
         "rides EXACT integer ppm arithmetic (truncating integer division "
         "of positive longs — identical in both engines, no cross-engine "
-        "float division in the score). Emits the global top-100 pairs by "
-        "margin (TakeOrdered) with the 1.05-margin confidence flag the "
-        "mining literature uses."
+        "float division in the score). Only pairs inside at least one "
+        "endpoint's 32 best candidates are scored (r12: the per-endpoint "
+        "cand_cap, applied identically in both engines BEFORE any pair "
+        "materialization — the sqrt(n)-cell blocking admits an ~n^1.5 "
+        "candidate stream, and a pair outside both endpoints' top-32 "
+        "cannot contend for a top-100 mining shortlist; same bounded-"
+        "recall shape as the MinHash/simhash hot-band caps, pinned by a "
+        "Python recompute). Emits the global top-100 pairs by margin "
+        "(TakeOrdered) with the 1.05-margin confidence flag the mining "
+        "literature uses."
     ),
 )
 def embedding_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,9 +831,9 @@ def embedding_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.similarity import margin_scored_pairs
 
     aug = augmented_embeddings(spark, sf_dir)
-    pairs = embedding_neardup_pairs(aug, threshold=-1.0)
+    pairs = embedding_neardup_pairs(aug, threshold=-1.0, per_cell_cap=32)
     return (
-        margin_scored_pairs(pairs, k=4, threshold_ppm=1_050_000)
+        margin_scored_pairs(pairs, k=4, threshold_ppm=1_050_000, cand_cap=32)
         .orderBy(F.col("margin_ppm").desc(), "id_a", "id_b")
         .limit(100)
     )
@@ -864,7 +873,8 @@ def embedding_cosine_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame
     "embedding_margin_pairs (the margin stage operates on ppm integers, "
     "so the twins can only diverge where a raw cosine sits on a 6-decimal "
     "rounding boundary) — the production form for the n^1.5 candidate "
-    "volume the sqrt(n)-cell blocking admits.",
+    "volume the sqrt(n)-cell blocking admits (same per-endpoint "
+    "cand_cap=32 as the declared query).",
     bench_only=True,
 )
 def embedding_margin_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,11 +882,139 @@ def embedding_margin_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cupertino_nvr_spark.llm.similarity import margin_scored_pairs
 
     aug = augmented_embeddings(spark, sf_dir)
-    pairs = embedding_neardup_pairs(aug, threshold=-1.0, kernel="pandas")
+    pairs = embedding_neardup_pairs(
+        aug, threshold=-1.0, kernel="pandas", per_cell_cap=32
+    )
     return (
-        margin_scored_pairs(pairs, k=4, threshold_ppm=1_050_000)
+        margin_scored_pairs(pairs, k=4, threshold_ppm=1_050_000, cand_cap=32)
         .orderBy(F.col("margin_ppm").desc(), "id_a", "id_b")
         .limit(100)
+    )
+
+
+@register(
+    "embedding_margin_cap_profile",
+    f"""
+    WITH {_EMB_NEARDUP_CTE_SQL},
+    sym AS (
+      SELECT id_a AS x, id_b AS n, sim,
+             CAST(round(sim * 1000000) AS BIGINT) AS sim6 FROM pairs
+      UNION ALL
+      SELECT id_b, id_a, sim,
+             CAST(round(sim * 1000000) AS BIGINT) FROM pairs
+    ),
+    ranked AS (
+      SELECT x, n, sim, sim6,
+             ROW_NUMBER() OVER (PARTITION BY x ORDER BY sim6 DESC, n) AS r
+      FROM sym
+    ),
+    capped AS (SELECT * FROM ranked WHERE r <= 64),
+    stats AS (
+      SELECT x, SUM(sim6) AS s, COUNT(*) AS c FROM capped WHERE r <= 4 GROUP BY x
+    ),
+    cpairs AS (
+      SELECT LEAST(x, n) AS id_a, GREATEST(x, n) AS id_b, sim, sim6,
+             MIN(r) AS pair_rank
+      FROM capped GROUP BY 1, 2, 3, 4
+    ),
+    margins AS (
+      SELECT p.id_a, p.id_b, p.pair_rank,
+             CAST((2 * p.sim6 * sa.c * sb.c * 1000000)
+               // (sa.s * sb.c + sb.s * sa.c) AS BIGINT) AS margin_ppm
+      FROM cpairs p JOIN stats sa ON sa.x = p.id_a JOIN stats sb ON sb.x = p.id_b
+      WHERE p.sim6 > 0 AND (sa.s * sb.c + sb.s * sa.c) > 0
+    ),
+    spine AS (SELECT unnest([8, 16, 32, 64]) AS cap),
+    kept AS (
+      SELECT s.cap, m.id_a, m.id_b, m.margin_ppm
+      FROM spine s JOIN margins m ON m.pair_rank <= s.cap
+    ),
+    topc AS (
+      SELECT cap, id_a, id_b FROM (
+        SELECT cap, id_a, id_b,
+               ROW_NUMBER() OVER (PARTITION BY cap
+                                  ORDER BY margin_ppm DESC, id_a, id_b) AS rk
+        FROM kept) WHERE rk <= 100
+    ),
+    ref AS (SELECT id_a, id_b FROM topc WHERE cap = 64),
+    kept_counts AS (
+      SELECT cap, COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN margin_ppm >= 1050000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_confident
+      FROM kept GROUP BY cap
+    ),
+    ovl AS (
+      SELECT t.cap, COUNT(*) AS n_overlap
+      FROM topc t JOIN ref USING (id_a, id_b) GROUP BY t.cap
+    )
+    SELECT k.cap, k.n_pairs, k.n_confident,
+           COALESCE(o.n_overlap, 0) AS top100_overlap,
+           ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / 100, 6)
+             AS top100_recall
+    FROM kept_counts k LEFT JOIN ovl o USING (cap)
+    """,
+    doc="Margin-mining cand_cap tuning profile — the tuning-family row "
+    "for the r12 per-endpoint candidate cap (LSH banding: "
+    "docs_lsh_tuning_profile; pHash tau: media_phash_tau_profile; IVF "
+    "n_probe: embedding_ivf_probe_profile): for each cap budget 8/16/32/"
+    "64, the surviving-pair count (the cost axis — the volume every "
+    "downstream margin stage pays is linear in it) and the top-100 "
+    "mining shortlist's overlap with the most permissive profiled cap "
+    "(the quality axis). ONE ranked frame serves every budget: per-"
+    "endpoint top-4 stats — and therefore every pair's margin — are "
+    "cap-invariant (k=4 <= every profiled cap), and a pair survives cap "
+    "C exactly when its best endpoint rank <= C (pair_rank, kept by the "
+    "shared margin_scored_pairs stage), so the sweep re-ranks one frame "
+    "and never re-blocks or re-scores. The cap=32 shortlist here IS the "
+    "declared embedding_margin_pairs result set (equality pinned in "
+    "tests); a full-corpus uncapped reference would pay the ~n^1.5 "
+    "candidate volume the cap exists to avoid, so the profile's "
+    "reference is the largest profiled budget — the same "
+    "bounded-reference convention media_phash_tau_profile uses.",
+)
+def embedding_margin_cap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+    from cupertino_nvr_spark.llm.similarity import margin_scored_pairs
+
+    aug = augmented_embeddings(spark, sf_dir)
+    pairs = embedding_neardup_pairs(aug, threshold=-1.0, per_cell_cap=64)
+    margins = margin_scored_pairs(
+        pairs, k=4, threshold_ppm=1_050_000, cand_cap=64, include_rank=True
+    ).select("id_a", "id_b", "margin_ppm", "is_confident", "pair_rank")
+    spine = spark.createDataFrame([(8,), (16,), (32,), (64,)], "cap int")
+    kept = F.broadcast(spine).join(
+        margins, margins.pair_rank <= spine.cap
+    ).select("cap", "id_a", "id_b", "margin_ppm", "is_confident")
+    wc = Window.partitionBy("cap").orderBy(
+        F.col("margin_ppm").desc(), "id_a", "id_b"
+    )
+    topc = (
+        kept.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= 100)
+        .select("cap", "id_a", "id_b")
+    )
+    ref = topc.filter(F.col("cap") == 64).select("id_a", "id_b")
+    kept_counts = kept.groupBy("cap").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("is_confident"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_confident"),
+    )
+    overlaps = topc.join(F.broadcast(ref), ["id_a", "id_b"]).groupBy("cap").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return kept_counts.join(overlaps, "cap", "left").select(
+        "cap",
+        "n_pairs",
+        "n_confident",
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+            "top100_overlap"
+        ),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / 100, 6
+        ).alias("top100_recall"),
     )
 
 
@@ -3440,10 +3578,14 @@ _IVF_ROUTE_CTE_SQL = f"""iparams AS ({_ivf_params_sql("embeddings")}),
     )"""
 
 
-@register(
-    "embedding_ivf_pq_ann",
-    f"""
-    WITH {_PQ_CHAIN_SQL},
+# The complete IVF+PQ serving chain (PQ codebook + codes, capped probe
+# panel, shared IVF routing at n_probe=2, ADC scoring, top-5) as one CTE
+# block ending in `pqtop` — composed VERBATIM by embedding_ivf_pq_ann
+# (the serving query) and embedding_ivf_pq_recall_eval (its quality row),
+# so the path a user reads recall numbers for is exactly the path that
+# serves. The routing CTEs (vecs/assign/probes/routed) remain visible to
+# composing queries.
+_IVF_PQ_CTES_SQL = f"""{_PQ_CHAIN_SQL},
     codesagg AS (
       SELECT vec_id, list(cw_id ORDER BY sub_idx) AS codes
       FROM best GROUP BY vec_id
@@ -3474,7 +3616,7 @@ _IVF_ROUTE_CTE_SQL = f"""iparams AS ({_ivf_params_sql("embeddings")}),
     s1 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 1),
     s2 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 2),
     s3 AS (SELECT probe_id, cw_id, d, cn2 FROM simtab WHERE sub_idx = 3),
-    scored AS (
+    adc_scored AS (
       SELECT cand.probe_id, cand.member_id AS neighbor_id,
              round((s0.d + s1.d + s2.d + s3.d)
                    / (sqrt(s0.cn2 + s1.cn2 + s2.cn2 + s3.cn2) * s0.pnorm), 6)
@@ -3485,11 +3627,20 @@ _IVF_ROUTE_CTE_SQL = f"""iparams AS ({_ivf_params_sql("embeddings")}),
       JOIN s1 ON s1.probe_id = cand.probe_id AND s1.cw_id = c.codes[2]
       JOIN s2 ON s2.probe_id = cand.probe_id AND s2.cw_id = c.codes[3]
       JOIN s3 ON s3.probe_id = cand.probe_id AND s3.cw_id = c.codes[4]
-    )
-    SELECT probe_id, neighbor_id, score, rank FROM (
-      SELECT *, ROW_NUMBER() OVER (
-               PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
-      FROM scored) WHERE rank <= 5
+    ),
+    pqtop AS (
+      SELECT probe_id, neighbor_id, score, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM adc_scored) WHERE rank <= 5
+    )"""
+
+
+@register(
+    "embedding_ivf_pq_ann",
+    f"""
+    WITH {_IVF_PQ_CTES_SQL}
+    SELECT probe_id, neighbor_id, score, rank FROM pqtop
     """,
     doc="IVF + PQ composed — the FAISS-style 100 TB serving shape the "
     "embedding_pq_ann docstring points at: IVF cell routing prunes the "
@@ -3504,6 +3655,12 @@ _IVF_ROUTE_CTE_SQL = f"""iparams AS ({_ivf_params_sql("embeddings")}),
     "one cell_id equi-join; no vector math per (probe, candidate) pair",
 )
 def embedding_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_pq_topk(spark, sf_dir)
+
+
+def _ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF+PQ serving chain (routing at n_probe=2 + ADC top-5) —
+    shared verbatim by embedding_ivf_pq_ann and its recall eval."""
     from pyspark.sql import Window
 
     from cupertino_nvr_spark.llm.similarity import (
@@ -3748,6 +3905,108 @@ def embedding_ivf_probe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall_at_5"),
         )
+    )
+
+
+@register(
+    "embedding_ivf_pq_recall_eval",
+    f"""
+    WITH {_IVF_PQ_CTES_SQL},
+    exact_pairs AS (
+      SELECT r.probe_id, a.member_id,
+             MAX(round(list_cosine_similarity(r.p, v.mvec), 6)) AS sim
+      FROM routed r JOIN assign a USING (cell_id)
+      JOIN vecs v ON v.member_id = a.member_id
+      WHERE a.member_id <> r.probe_id
+      GROUP BY r.probe_id, a.member_id
+    ),
+    ivftop AS (
+      SELECT probe_id, member_id AS neighbor_id FROM (
+        SELECT probe_id, member_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, member_id) AS rk
+        FROM exact_pairs) WHERE rk <= 5
+    ),
+    exact_scored AS (
+      SELECT p.probe_id, v.member_id AS neighbor_id,
+             round(list_cosine_similarity(p.p, v.mvec), 6) AS sim
+      FROM probes p JOIN vecs v ON v.member_id <> p.probe_id
+    ),
+    truth AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM exact_scored) WHERE rk <= 5
+    )
+    SELECT t.probe_id,
+           COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN q.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS pq_hits,
+           ROUND(CAST(SUM(CASE WHEN q.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS pq_recall,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS ivf_hits,
+           ROUND(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS ivf_recall
+    FROM truth t
+    LEFT JOIN pqtop q
+      ON q.probe_id = t.probe_id AND q.neighbor_id = t.neighbor_id
+    LEFT JOIN ivftop i
+      ON i.probe_id = t.probe_id AND i.neighbor_id = t.neighbor_id
+    GROUP BY t.probe_id
+    """,
+    doc="PQ quality telemetry for the r11 ADC serving path (r11 VERDICT "
+    "punch item 4): per-probe recall@5 of embedding_ivf_pq_ann (shared "
+    "_IVF_PQ_CTES_SQL / _ivf_pq_topk chain VERBATIM — the measured path "
+    "IS the serving path) against brute-force truth over the capped "
+    "probe panel, NEXT TO the full-precision IVF rerank's recall at the "
+    "same n_probe=2 routing (shared ivf_route_candidates index) — one "
+    "row per probe answers the question the serving path's docstring "
+    "left open: what recall does the 16x code compression cost vs "
+    "re-ranking candidates with exact cosines. Truth pays the bounded "
+    "probes x corpus scoring (embedding_ann_recall_eval cost class, "
+    "panel hard-capped by _INT8_PROBE_BOUND so the term stays "
+    "linear-in-corpus); both ANN legs are (probe, neighbor)-keyed left "
+    "joins onto the 5-per-probe truth rows plus one per-probe aggregate.",
+)
+def embedding_ivf_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _INT8_PROBE_BOUND)
+    )
+    truth = brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    pq = _ivf_pq_topk(spark, sf_dir).select(
+        F.col("probe_id").alias("q_probe"), F.col("neighbor_id").alias("q_neighbor")
+    )
+    ivf = ivf_ann_topk(emb, probes, k=5, n_probe=2).select(
+        F.col("probe_id").alias("i_probe"), F.col("neighbor_id").alias("i_neighbor")
+    )
+    joined = (
+        truth.join(
+            pq,
+            (truth.probe_id == pq.q_probe) & (truth.neighbor_id == pq.q_neighbor),
+            "left",
+        )
+        .join(
+            ivf,
+            (truth.probe_id == ivf.i_probe) & (truth.neighbor_id == ivf.i_neighbor),
+            "left",
+        )
+        .select(truth.probe_id, "q_neighbor", "i_neighbor")
+    )
+    pq_hits = F.sum(
+        F.when(F.col("q_neighbor").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    ivf_hits = F.sum(
+        F.when(F.col("i_neighbor").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy("probe_id").agg(
+        F.count("*").alias("n_true"),
+        pq_hits.alias("pq_hits"),
+        F.round(pq_hits.cast("double") / F.count("*"), 6).alias("pq_recall"),
+        ivf_hits.alias("ivf_hits"),
+        F.round(ivf_hits.cast("double") / F.count("*"), 6).alias("ivf_recall"),
     )
 
 

@@ -338,6 +338,108 @@ def test_margin_scoring_penalizes_hubs(spark):
     assert got[(10, 20)][1] is False
 
 
+def test_margin_cand_cap_pinned_by_recompute(spark):
+    """The r12 per-endpoint candidate cap is a definition, not a best-effort
+    prune — pin it with a first-principles Python recompute of the capped
+    rule (rank by sim6 desc then neighbor id; keep a pair iff it sits
+    inside EITHER endpoint's cap; stats from the top-k of the capped
+    list) on a corpus where the cap actually binds."""
+    from cupertino_nvr_spark.llm.similarity import margin_scored_pairs
+
+    # two hubs (1 and 2) with 8 strong spokes each, joined by a weak
+    # bridge: the bridge ranks 9th for BOTH endpoints, so cap=5 drops it;
+    # every hub-spoke pair survives via the spoke's (short) capped list
+    rows = [(1, 10 + i, round(0.9 - 0.05 * i, 6)) for i in range(8)]
+    rows += [(2, 20 + i, round(0.9 - 0.05 * i, 6)) for i in range(8)]
+    rows += [(1, 2, 0.1), (3, 4, 0.7), (5, 6, -0.2)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, sim double")
+    cap, k = 5, 2
+
+    # Python recompute of the capped definition
+    cand: dict[int, list[tuple[int, int]]] = {}
+    for a, b, s in rows:
+        s6 = round(s * 1_000_000)
+        cand.setdefault(a, []).append((b, s6))
+        cand.setdefault(b, []).append((a, s6))
+    capped = {
+        x: sorted(lst, key=lambda t: (-t[1], t[0]))[:cap]
+        for x, lst in cand.items()
+    }
+    stats = {
+        x: (sum(s6 for _, s6 in lst[:k]), len(lst[:k]))
+        for x, lst in capped.items()
+    }
+    keep = {
+        (min(x, n), max(x, n))
+        for x, lst in capped.items()
+        for n, _ in lst
+    }
+    want = {}
+    for a, b, s in rows:
+        s6 = round(s * 1_000_000)
+        if (a, b) not in keep or s6 <= 0:
+            continue
+        sa, ca = stats[a]
+        sb, cb = stats[b]
+        den = sa * cb + sb * ca
+        if den <= 0:
+            continue
+        want[(a, b)] = (2 * s6 * ca * cb * 1_000_000) // den
+
+    got = {
+        (r.id_a, r.id_b): r.margin_ppm
+        for r in margin_scored_pairs(pairs, k=k, cand_cap=cap).collect()
+    }
+    assert got == want
+    # the cap must actually bind on this corpus: the bridge is outside
+    # BOTH hubs' top-5 and has no other sponsor, so it must be gone —
+    # while every hub-spoke pair survives via the spoke's short list
+    assert (1, 2) not in got
+    assert (1, 17) in got and (2, 27) in got
+    assert len(cand[1]) > cap
+    # and a cap below k is a loud error, not silently-wrong stats
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        margin_scored_pairs(pairs, k=4, cand_cap=3)
+
+
+def test_margin_cap_profile_row32_is_the_declared_shortlist(spark):
+    """The profile's cap=32 configuration must be the DECLARED
+    embedding_margin_pairs definition: same survivors feeding the same
+    margin arithmetic, so the cap=32 top-100 set equals the declared
+    query's pair set, and the margins are cap-invariant (top-4 stats
+    come from ranks <= 4 <= every profiled cap)."""
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+    from cupertino_nvr_spark.llm.similarity import margin_scored_pairs
+    from cupertino_nvr_spark.plans.llm import augmented_embeddings
+
+    declared = {
+        (r.id_a, r.id_b): r.margin_ppm
+        for r in REGISTRY["embedding_margin_pairs"].spark(spark, SF).collect()
+    }
+    aug = augmented_embeddings(spark, SF)
+    pairs = embedding_neardup_pairs(aug, threshold=-1.0, per_cell_cap=64)
+    m = margin_scored_pairs(pairs, k=4, cand_cap=64, include_rank=True)
+    prof32 = {
+        (r.id_a, r.id_b): r.margin_ppm
+        for r in m.filter(F.col("pair_rank") <= 32)
+        .orderBy(F.col("margin_ppm").desc(), "id_a", "id_b")
+        .limit(100)
+        .collect()
+    }
+    assert prof32 == declared
+    # and the registered profile's row must agree with the recount
+    prof = {
+        r.cap: (r.n_pairs, r.top100_overlap)
+        for r in REGISTRY["embedding_margin_cap_profile"].spark(spark, SF).collect()
+    }
+    assert prof[64][1] == 100  # the reference overlaps itself fully
+    assert set(prof) == {8, 16, 32, 64}
+    # survivor count is monotone in the cap
+    assert prof[8][0] <= prof[16][0] <= prof[32][0] <= prof[64][0]
+
+
 def test_margin_fast_twin_equivalent_to_declared(spark):
     """The Arrow-kernel margin twin must emit the same top-100 pair set
     with the same integer margins as the oracle-checked HOF query: the

@@ -30,50 +30,28 @@ from cupertino_nvr_spark.plans import llm  # noqa: F401,E402
 from cupertino_nvr_spark.plans import relational  # noqa: F401,E402
 from cupertino_nvr_spark.plans import tpch_extra  # noqa: F401,E402
 
-# r11 sampled-window priority. Composition (pinned by
+# r12 sampled-window priority. Composition (pinned by
 # tests/test_registry_order.py, which recomputes last-green rounds from
-# the committed CORRECTNESS_r01..r10 records):
+# the COMMITTED CORRECTNESS_r01..r11 records — read via `git show` so a
+# driver artifact landing in the working tree mid-round can never fail
+# the suite, the r11 VERDICT's watch item 2):
 #   1  flagship (always in-window, green every round)
-#   r11 debuts (debut-in-window policy: new queries ship inside the
+#   r12 debuts (debut-in-window policy: new queries ship inside the
 #      sampled window in the round they are introduced)
-#   the 9 remaining r6-stale LLM/ANN/media rows — the r10 window
-#      overflow, the last queries whose most recent driver-green row is
-#      r6 (after r11 no declared query's last green row is older than r7)
-#   fill: the r7-stale family (temporal/event_domain/scalar/commands +
-#      the LLM ops first sampled in r7), 49 rows in deterministic
-#      (alphabetical) order — the first 32 fit the 50-row window, the
-#      last 17 directly follow it (first in line for r12)
-_R11_WINDOW_PRIORITY = [
+#   the 17 remaining r7-stale rows — the r11 window overflow, the last
+#      queries whose most recent driver-green row is r7 (after r12 no
+#      declared query's last green row is older than r8)
+#   fill: the r8-stale family (the r8 debut wave: tokenizer trainers,
+#      retrieval/eval harnesses, substring dedup, experiment analysis),
+#      49 rows in deterministic (alphabetical) order — the first 30 fit
+#      the 50-row window, the last 19 directly follow it (first in line
+#      for r13)
+_R12_WINDOW_PRIORITY = [
     "asof_ttl_overlay",
-    # r11 debuts
-    "docs_curation_inc_report",
-    "embedding_margin_pairs",
-    "embedding_ivf_pq_ann",
-    "embedding_ivf_probe_profile",
-    "docs_readability",
-    "parts_copurchase_lift",
-    "docs_source_quality_report",
-    "docs_simhash_neardup",
-    # the 9 remaining r6-stale rows (r10 VERDICT item 1)
-    "embedding_pq_ann", "embedding_pq_quant",
-    "embedding_prefix_rerank_ann", "embedding_semdedup",
-    "events_stratified_sample", "media_exact_dedup", "media_features",
-    "media_frame_plan", "media_patch_plan",
-    # fill: the r7-stale family, alphabetical
-    "command_target_filter", "command_validation", "conditional_bucketing",
-    "confidence_array_filter", "customers_fuzzy_match",
-    "daily_revenue_gapfill", "datetime_functions", "detection_projection",
-    "docs_exact_dedup", "docs_fingerprint_dedup",
-    "docs_minhash_lsh_candidates", "docs_ngram_jaccard_pairs",
-    "docs_quality_lang", "docs_simhash", "docs_token_stats",
-    "embedding_cosine_topk", "event_type_user_overlap",
-    "event_value_median_udaf", "events_activity_streaks",
-    "events_anomaly_zscore", "events_cdc_apply",
-    "events_conversion_latency", "events_funnel", "events_heavy_hitters",
-    "events_hourly_profile", "events_last_touch_attribution",
-    "events_markov_transitions", "events_path_signatures",
-    "events_retention_cohorts", "events_rfm_segments",
-    "events_sliding_throughput", "events_state_intervals",
+    # r12 debuts
+    "embedding_ivf_pq_recall_eval",
+    "embedding_margin_cap_profile",
+    # the 17 remaining r7-stale rows (r11 VERDICT item 1)
     "events_stickiness_weekly", "events_type_hour_chisq",
     "events_user_lifecycle", "events_value_mad", "json_props_extract",
     "math_functions", "orders_seasonality", "per_source_latest_metrics",
@@ -81,6 +59,29 @@ _R11_WINDOW_PRIORITY = [
     "string_functions", "topic_codec", "tumbling_daily_metrics",
     "uptime_and_latency_metrics", "validation_dead_letter",
     "wall_grid_plan",
+    # fill: the r8-stale family, alphabetical
+    "docs_bpe_compression", "docs_bpe_pair_stats",
+    "docs_bpe_tokenized_len", "docs_bpe_train_merges", "docs_c4_filters",
+    "docs_char_ngram_langid", "docs_chunked_udtf",
+    "docs_classifier_score", "docs_dedup_rate_by_lang",
+    "docs_filter_attribution", "docs_gopher_quality",
+    "docs_hybrid_rrf_search", "docs_kneser_ney_score",
+    "docs_langid_confusion", "docs_lsh_quality_eval", "docs_oov_rate",
+    "docs_packing_efficiency", "docs_pmi_collocations",
+    "docs_retrieval_rbo", "docs_sequence_packing",
+    "docs_softdedup_weights", "docs_substring_dup_spans",
+    "docs_token_budget_sample", "docs_token_entropy",
+    "docs_vocab_coverage", "docs_winnowing_fingerprints",
+    "embedding_ann_recall_eval", "embedding_cosine_neardup_lsh",
+    "embedding_hard_negatives", "embedding_int8_quant",
+    "embedding_knn_label_eval", "embedding_mmr_rerank",
+    "embedding_pc1_outliers", "embedding_power_iteration_pc1",
+    "embedding_semdedup_lsh", "embedding_silhouette", "events_ab_test",
+    "events_cuped", "events_daily_acf", "events_ewma_anomaly",
+    "events_k_anonymity", "events_ks_test",
+    "events_markov_removal_effect", "events_psi_drift",
+    "events_session_survival", "media_phash_neardup",
+    "media_resize_plan", "media_text_pairs", "orders_open_backlog",
 ]
 
-_registry.WINDOW_PRIORITY[:] = _R11_WINDOW_PRIORITY
+_registry.WINDOW_PRIORITY[:] = _R12_WINDOW_PRIORITY

@@ -211,6 +211,9 @@ EXTRAS = [
     "parts_copurchase_lift",
     "docs_source_quality_report",
     "docs_simhash_neardup",
+    # r12 debuts
+    "embedding_ivf_pq_recall_eval",
+    "embedding_margin_cap_profile",
 ]
 
 
@@ -429,13 +432,19 @@ def main() -> None:
                     prior[k] = val
 
     # absolute floor on prior-relative anomalies: 2x a 0.3 s prior is
-    # scheduling noise, not a regression worth a fresh-JVM probe
+    # scheduling noise, not a regression worth a fresh-JVM probe.
+    # VARIANTS are in the sweep too (r11 VERDICT item 3: the r11 driver
+    # sweep carried an unexplained 11.2 s embedding_cosine_neardup_lsh_fast
+    # — 2.9-4.2 s clean — that nothing challenged because only extras
+    # were reprobe-eligible); kernel twins get the same prior-relative
+    # anomaly treatment as every other recorded entry.
     reprobe_floor = float(os.environ.get("SPARK_GRAFT_REPROBE_FLOOR", "1.5"))
+    sweep = {n: t for n, t in extras.items() if n not in OPS}
+    sweep.update(variants)
     outliers = [
         n
-        for n, t in extras.items()
-        if n not in OPS
-        and t is not None
+        for n, t in sweep.items()
+        if t is not None
         and (
             t > max(reprobe_floor, 2 * prior[n])
             if n in prior
@@ -470,7 +479,7 @@ def main() -> None:
             if (
                 name in prior
                 and reprobe[name] is not None
-                and extras[name] > 2 * prior[name]
+                and sweep[name] > 2 * prior[name]
                 and reprobe[name] > 2 * prior[name]
             ):
                 suspect.append(name)

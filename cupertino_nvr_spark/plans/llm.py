@@ -984,9 +984,17 @@ def embedding_margin_cap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, k=4, threshold_ppm=1_050_000, cand_cap=64, include_rank=True
     ).select("id_a", "id_b", "margin_ppm", "is_confident", "pair_rank")
     spine = spark.createDataFrame([(8,), (16,), (32,), (64,)], "cap int")
-    kept = F.broadcast(spine).join(
-        margins, margins.pair_rank <= spine.cap
-    ).select("cap", "id_a", "id_b", "margin_ppm", "is_confident")
+    # kept feeds THREE consumers (counts + the per-cap shortlists, which
+    # feed both the reference set and the overlap join) — materialize it
+    # once or the margin joins re-execute per consumer; it holds at most
+    # 4x the cap-64 survivor count
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    kept = reliable_checkpoint(
+        F.broadcast(spine)
+        .join(margins, margins.pair_rank <= spine.cap)
+        .select("cap", "id_a", "id_b", "margin_ppm", "is_confident")
+    )
     wc = Window.partitionBy("cap").orderBy(
         F.col("margin_ppm").desc(), "id_a", "id_b"
     )

@@ -22,11 +22,25 @@ transforms (pure column arithmetic — reproducible run-over-run):
 - dimension tables (``region nation customer supplier part``): copied
   unchanged.
 
-Usage:
+Usage (THE documented sf1 recipe — the exact invocation behind every
+round's sf1 scaling study; defaults reproduce it):
     python tools/make_sfn.py [--src /root/testdata/sf0.1] \
         [--dst /root/repo/.sf1] [--factor 10]
 Then:
     SPARK_GRAFT_SF_DIR=/root/repo/.sf1 python bench.py
+    python tools/stress_tail_sf1.py <query> ...
+    python tools/ab_components.py
+
+Reproducibility pin (r11 VERDICT missing-item 3): every transform above
+is seedless pure column arithmetic, so two generations from the same
+--src are row-identical. After generating (or with --verify-only against
+an existing --dst), the tool computes a per-table manifest (row count +
+order-independent sum of xxhash64 over all non-map columns) and compares
+it to tools/sf1_manifest.json when the invocation matches the documented
+recipe (default src/factor); --write-manifest refreshes the pin after an
+intentional driver-data regeneration. A mismatch exits nonzero — the sf1
+numbers in the round notes are only comparable against a verified
+manifest.
 """
 
 from __future__ import annotations
@@ -139,17 +153,76 @@ def scale_dir(spark, src: str, dst: str, factor: int) -> None:
     ).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
 
 
+MANIFEST = Path(__file__).resolve().parent / "sf1_manifest.json"
+
+
+def table_manifest(spark, dst: str) -> dict[str, dict[str, object]]:
+    """Per-table (rows, order-independent xxhash64 sum over non-map
+    columns) — deterministic for a fixed --src because every generation
+    transform is seedless column arithmetic. Map columns (events.props)
+    are excluded (xxhash64 does not accept MapType); their content is
+    copied verbatim from --src, which the hashed event_id column keys."""
+    import json as _json  # noqa: F401  (kept local: tool-only dependency)
+
+    out: dict[str, dict[str, object]] = {}
+    for p in sorted(Path(dst).glob("*.parquet")):
+        df = spark.read.parquet(str(p))
+        cols = [c for c, t in df.dtypes if not t.startswith("map")]
+        row = df.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        out[p.name.removesuffix(".parquet")] = {
+            "rows": int(row["rows"]),
+            "xxh64_sum": str(row["h"]),
+        }
+    return out
+
+
 def main() -> None:
+    import json
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=str(Path(__file__).resolve().parent.parent / ".sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--verify-only",
+        action="store_true",
+        help="skip generation; manifest-check an existing --dst",
+    )
+    ap.add_argument(
+        "--write-manifest",
+        action="store_true",
+        help="refresh tools/sf1_manifest.json from this generation",
+    )
     args = ap.parse_args()
     spark = get_spark("make-sfn")
-    scale_dir(spark, args.src, args.dst, args.factor)
-    for p in sorted(Path(args.dst).glob("*.parquet")):
-        n = spark.read.parquet(str(p)).count()
-        print(f"{p.name}: {n} rows")
+    if not args.verify_only:
+        scale_dir(spark, args.src, args.dst, args.factor)
+    manifest = table_manifest(spark, args.dst)
+    for name, rec in manifest.items():
+        print(f"{name}: {rec['rows']} rows, xxh64_sum {rec['xxh64_sum']}")
+    is_documented_recipe = (
+        args.src == "/root/testdata/sf0.1" and args.factor == 10
+    )
+    if args.write_manifest:
+        MANIFEST.write_text(json.dumps(manifest, indent=2) + "\n")
+        print(f"wrote {MANIFEST}")
+    elif is_documented_recipe and MANIFEST.exists():
+        pinned = json.loads(MANIFEST.read_text())
+        if manifest != pinned:
+            drift = {
+                k: {"pinned": pinned.get(k), "got": manifest.get(k)}
+                for k in set(pinned) | set(manifest)
+                if pinned.get(k) != manifest.get(k)
+            }
+            raise SystemExit(
+                f"sf1 manifest drift vs {MANIFEST} — the driver's sf0.1 "
+                f"data changed or a generation transform did; re-pin with "
+                f"--write-manifest after confirming which: {drift}"
+            )
+        print(f"manifest matches {MANIFEST}")
 
 
 if __name__ == "__main__":

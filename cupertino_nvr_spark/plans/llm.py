@@ -49,6 +49,20 @@ TAIL = " duplicated tail marker"
 
 
 def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents corpus with injected duplicates both engines build
+    identically: exact copies (+1M), tail-appended near-dups (+2M),
+    upper-cased variants (+3M), 2-token truncations (+4M).
+
+    INVARIANT (r11 ADVICE): base doc_ids must stay < 1,000,000 — the
+    fixed +1M/+2M/+3M/+4M strides both ENCODE the variant kind and let
+    consumers DECODE a variant's base id as ``doc_id % 1000000``
+    (docs_source_quality_report's re-crawl attribution inverts the
+    offset this way). The driver's generator tops out well under the
+    stride at every shipped SF (max 49,999 at sf0.1; the sf1 stress
+    generator shifts by the observed max, reaching ~500k), and
+    tests/test_short_docs.py::test_aug_offsets_encode_variant_kind pins
+    max(base doc_id) < 1e6 on the driver data so a future generator
+    change breaks loudly in CI instead of silently mis-attributing."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
@@ -399,7 +413,7 @@ _SIMHASH_ND_BAND_CAP = 64
       JOIN sig sa ON sa.doc_id = id_a
       JOIN sig sb ON sb.doc_id = id_b
     )
-    SELECT id_a, id_b, hamming, CAST(hamming = 0 AS INT) AS is_exact
+    SELECT id_a, id_b, hamming, CAST(hamming = 0 AS INT) AS is_sig_exact
     FROM scored WHERE hamming <= {_SIMHASH_ND_TAU}
     """,
     doc="SimHash near-dup candidate pairs (Charikar 2002 / Manku et al. "
@@ -413,7 +427,10 @@ _SIMHASH_ND_BAND_CAP = 64
     "documented recall/scale trade-off on clumpy corpora (this synthetic "
     "vocabulary concentrates signatures far more than web text). Runs "
     "over the augmented corpus so the planted exact/tail variants give "
-    "the pairing real positives",
+    "the pairing real positives. is_sig_exact flags SIGNATURE equality "
+    "(hamming = 0), not verified text equality — two distinct texts "
+    "colliding to one 32-bit simhash carry the flag too; byte-exact "
+    "duplication is docs_exact_dedup's md5 rule (r11 ADVICE)",
 )
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = augmented_docs(spark, sf_dir)
@@ -457,7 +474,7 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             hamming.alias("hamming"),
-            (hamming == 0).cast("int").alias("is_exact"),
+            (hamming == 0).cast("int").alias("is_sig_exact"),
         )
         .filter(F.col("hamming") <= _SIMHASH_ND_TAU)
     )

@@ -1448,7 +1448,8 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT part_a, part_b, n_both,
              ia.n_item AS n_a, ib.n_item AS n_b,
              CAST(n_both AS DOUBLE) / n_orders AS support,
-             CAST(n_both AS DOUBLE) / ia.n_item AS confidence,
+             CAST(n_both AS DOUBLE) / ia.n_item AS confidence_a_to_b,
+             CAST(n_both AS DOUBLE) / ib.n_item AS confidence_b_to_a,
              (CAST(n_both AS DOUBLE) * n_orders) / (ia.n_item * ib.n_item) AS lift
       FROM pairs
       JOIN item ia ON ia.l_partkey = part_a
@@ -1457,7 +1458,8 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT part_a, part_b, n_both, n_a, n_b,
            ROUND(support, 6) AS support,
-           ROUND(confidence, 6) AS confidence,
+           ROUND(confidence_a_to_b, 6) AS confidence_a_to_b,
+           ROUND(confidence_b_to_a, 6) AS confidence_b_to_a,
            ROUND(lift, 6) AS lift,
            rank
     FROM (
@@ -1473,7 +1475,11 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the order-keyed self-join (bounded by items-per-order squared "
         "per order, the orders_part_pairs rule — never parts squared), "
         "one (part_a, part_b)-keyed aggregate with the support floor "
-        "applied BEFORE the stats joins prune the pair stream; item "
+        "applied BEFORE the stats joins prune the pair stream; support and "
+        "lift are symmetric but confidence is not, and the pair is "
+        "canonicalized to part_a < part_b, so BOTH rule directions are "
+        "emitted (confidence_a_to_b = n_both/n_a, confidence_b_to_a = "
+        "n_both/n_b — r11 ADVICE); item "
         "supports attach by part-keyed equi-joins and the basket total "
         "is a 1-row broadcast. All ratios are single divisions of exact "
         "integer counts, so both engines produce identical doubles; the "
@@ -1519,7 +1525,12 @@ def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             (F.col("n_both").cast("double") / F.col("n_orders")).alias("support"),
-            (F.col("n_both").cast("double") / F.col("n_a")).alias("confidence"),
+            (F.col("n_both").cast("double") / F.col("n_a")).alias(
+                "confidence_a_to_b"
+            ),
+            (F.col("n_both").cast("double") / F.col("n_b")).alias(
+                "confidence_b_to_a"
+            ),
             (
                 (F.col("n_both").cast("double") * F.col("n_orders"))
                 / (F.col("n_a") * F.col("n_b"))
@@ -1537,7 +1548,8 @@ def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.round("support", 6).alias("support"),
-            F.round("confidence", 6).alias("confidence"),
+            F.round("confidence_a_to_b", 6).alias("confidence_a_to_b"),
+            F.round("confidence_b_to_a", 6).alias("confidence_b_to_a"),
             F.round("lift", 6).alias("lift"),
             "rank",
         )

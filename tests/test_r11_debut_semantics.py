@@ -226,7 +226,8 @@ def test_copurchase_lift_matches_python_recompute(spark):
         assert (r["n_a"], r["n_b"]) == (na2, nb2)
         assert abs(r["lift"] - lift) <= 5e-7
         assert abs(r["support"] - nb / n_orders) <= 5e-7
-        assert abs(r["confidence"] - nb / na2) <= 5e-7
+        assert abs(r["confidence_a_to_b"] - nb / na2) <= 5e-7
+        assert abs(r["confidence_b_to_a"] - nb / nb2) <= 5e-7
 
 
 def test_source_quality_report_matches_python_recompute(spark):
@@ -369,7 +370,7 @@ def test_simhash_neardup_matches_python_recompute(spark):
                 want[(x, y)] = h
 
     got = {
-        (r["id_a"], r["id_b"]): (r["hamming"], r["is_exact"])
+        (r["id_a"], r["id_b"]): (r["hamming"], r["is_sig_exact"])
         for r in REGISTRY["docs_simhash_neardup"].spark(spark, SF).collect()
     }
     assert set(got) == set(want)

@@ -64,3 +64,19 @@ def test_minhash_and_jaccard_skip_short_docs(spark):
     pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.1).collect()
     ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
     assert ids <= {4, 5}
+
+
+def test_aug_offsets_encode_variant_kind():
+    """The +1M/+2M/+3M/+4M augmentation strides both encode the variant
+    kind and are inverted as doc_id % 1e6 (docs_source_quality_report's
+    re-crawl attribution, docs_cluster_bcubed's gold ids): that only
+    works while base doc_ids stay under the stride. Pin the invariant on
+    the driver's data at every shipped SF so a generator change breaks
+    here, loudly, instead of silently mis-joining the attribution."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        (mx,) = duckdb.sql(
+            f"SELECT max(doc_id) FROM '/root/testdata/sf{sf}/documents.parquet'"
+        ).fetchone()
+        assert mx < 1_000_000, f"sf{sf}: max base doc_id {mx} breaks the aug stride"

@@ -256,6 +256,138 @@ def simhash(
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
+def simhash_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-ROW SimHash — the streaming form of ``simhash``.
+
+    ``simhash`` explodes tokens and aggregates per doc (one shuffle);
+    a stream wants the signature as a stateless projection so the only
+    stateful operator is the pairing itself. Same token set
+    (distinct whitespace tokens), same per-token hash, same ±1 votes and
+    >= 0 bit rule, evaluated with array HOFs inside the row — equality
+    with the batch form is pinned in tests/test_streaming.py. Docs with
+    no tokens are dropped, matching the batch explode (which emits no
+    row for an empty token array)."""
+    toks = F.array_distinct(ws_tokens(F.col(text_col)))
+    ths = F.transform(toks, lambda t: hash_int(t, 0, hash_fn))
+    votes = F.aggregate(
+        ths,
+        F.expr(f"array_repeat(cast(0 as long), {bits})"),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    with_votes = df.select(
+        F.col(id_col), F.size(toks).alias("_ntok"), votes.alias("_votes")
+    ).filter(F.col("_ntok") > 0)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.element_at(F.col("_votes"), b + 1) >= 0, F.lit(2**b)).otherwise(
+            F.lit(0)
+        )
+        sig = bit if sig is None else sig + bit
+    return with_votes.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def simhash_band_membership(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_key) membership rows from a SimHash signature
+    table — bits/n_bands consecutive bits per band, so by pigeonhole any
+    pair within Hamming (n_bands - 1) shares a band. The shared banding
+    projection behind the batch pairing (docs_simhash_neardup, which
+    adds its corpus-wide hot-band anti-join) and the streaming twin
+    (capping is stateful there). No hot-cap here: membership is
+    incremental knowledge in a stream."""
+    band_bits = bits // n_bands
+    mask = 2**band_bits - 1
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(arr).alias("band")).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+    tau: int = 3,
+    band_cap: int = 64,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Batch SimHash near-dup pairing (Charikar 2002 / Manku et al. 2007):
+    banded candidates (shared ``simhash_band_membership`` projection, hot
+    bands above ``band_cap`` anti-joined away — the MinHash band-cap
+    rule), exact Hamming verification <= ``tau`` on candidates only.
+    THE definition behind the registered docs_simhash_neardup query and
+    the equality target of the streaming twin
+    (streaming/neardup.py::simhash_neardup_stream)."""
+    sig = simhash(docs, text_col, id_col, bits, hash_fn)
+    bands = simhash_band_membership(sig, id_col, bits, n_bands)
+    hot = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > band_cap)
+        .select("band_idx", "band_key")
+    )
+    kept = bands.join(hot, ["band_idx", "band_key"], "left_anti")
+    a = kept.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = kept.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming.alias("hamming"),
+            (hamming == 0).cast("int").alias("is_sig_exact"),
+        )
+        .filter(F.col("hamming") <= tau)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

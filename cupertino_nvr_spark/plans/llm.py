@@ -433,50 +433,15 @@ _SIMHASH_ND_BAND_CAP = 64
     "duplication is docs_exact_dedup's md5 rule (r11 ADVICE)",
 )
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = augmented_docs(spark, sf_dir)
-    sig = simhash(aug, bits=_SIMHASH_ND_BITS, hash_fn="md5")
-    bands = None
-    for b in range(_SIMHASH_ND_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.shiftright(F.col("simhash"), b * _SIMHASH_ND_BAND_BITS)
-            .bitwiseAND(F.lit(2 ** _SIMHASH_ND_BAND_BITS - 1))
-            .alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    hot = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > _SIMHASH_ND_BAND_CAP)
-        .select("band_idx", "band_key")
-    )
-    kept = bands.join(hot, ["band_idx", "band_key"], "left_anti")
-    a = kept.select(
-        F.col("doc_id").alias("id_a"), "band_idx", "band_key"
-    )
-    b_ = kept.select(
-        F.col("doc_id").alias("id_b"), "band_idx", "band_key"
-    )
-    cand = (
-        a.join(b_, ["band_idx", "band_key"])
-        .filter(F.col("id_b") > F.col("id_a"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            hamming.alias("hamming"),
-            (hamming == 0).cast("int").alias("is_sig_exact"),
-        )
-        .filter(F.col("hamming") <= _SIMHASH_ND_TAU)
+    from cupertino_nvr_spark.llm.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        augmented_docs(spark, sf_dir),
+        bits=_SIMHASH_ND_BITS,
+        n_bands=_SIMHASH_ND_BANDS,
+        tau=_SIMHASH_ND_TAU,
+        band_cap=_SIMHASH_ND_BAND_CAP,
+        hash_fn="md5",
     )
 
 

@@ -140,8 +140,106 @@ def embedding_lsh_candidates_stream(
     return lsh_candidates_stream(m, band_cap=bucket_cap)
 
 
+SIMHASH_ND_OUTPUT_SCHEMA = "id_a bigint, id_b bigint, hamming int, is_sig_exact int"
+SIMHASH_ND_STATE_SCHEMA = "ids array<bigint>, sigs array<bigint>"
+
+
+def simhash_neardup_stream(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    tau: int = 3,
+    band_cap: int = 64,
+) -> DataFrame:
+    """Streaming SimHash near-dup pairing — the streaming twin of
+    ``llm.dedup.simhash_neardup_pairs`` (the registered
+    docs_simhash_neardup definition), r11 VERDICT missing-item 4.
+
+    ``members`` carries one row per (doc, band) WITH the doc's signature:
+    build it by computing the stateless per-row signature
+    (``llm.dedup.simhash_stateless`` — pinned equal to the batch
+    explode+groupBy form) and exploding the shared
+    ``simhash_band_membership`` banding. Keyed state per (band_idx,
+    band_key) stores (id, signature) for the bucket's members; an
+    arriving doc Hamming-verifies against the stored members IN the
+    stateful operator (a 32-bit xor/popcount per stored member — the
+    verification the batch path does with a join happens at emit time
+    here), so a verified pair is emitted exactly at the first micro-batch
+    where its docs co-occupy a band bucket. The distinct union of emitted
+    pairs equals the batch pairing for ANY chopping (a pair sharing
+    several bands surfaces once per band bucket at most), pinned in
+    tests/test_streaming.py with the same uncapped-equality convention as
+    the MinHash twin: the batch hot-cap drops over-full buckets ENTIRELY
+    (membership known up front) while the stream saturates at
+    ``band_cap`` with first-cap-members-still-pair semantics.
+
+    State: O(docs × bands) (id, sig) entries sharded by bucket key, 16
+    bytes each — the same asymptotics as the MinHash twin's band
+    membership plus the 8-byte signature.
+    """
+
+    def update_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), list(sigs)
+        else:
+            ids, sigs = [], []
+        known = set(ids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_h: list[int] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            arrivals = sorted(
+                (int(i), int(s))
+                for i, s in zip(pdf[id_col].values, pdf[sig_col].values)
+            )
+            for i, s in arrivals:
+                if i in known:
+                    continue
+                if len(ids) >= band_cap:
+                    break  # saturated bucket: emit/store nothing more
+                for j, sj in zip(ids, sigs):
+                    h = (sj ^ s).bit_count()
+                    if h <= tau:
+                        a, b = (j, i) if j < i else (i, j)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(h)
+                ids.append(i)
+                sigs.append(s)
+                known.add(i)
+        if not out_a and not state.exists and not ids:
+            return
+        state.update((ids, sigs))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": out_a,
+                    "id_b": out_b,
+                    "hamming": out_h,
+                    "is_sig_exact": [int(h == 0) for h in out_h],
+                }
+            )
+
+    return members.groupBy("band_idx", "band_key").applyInPandasWithState(
+        update_fn,
+        SIMHASH_ND_OUTPUT_SCHEMA,
+        SIMHASH_ND_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 __all__ = [
     "lsh_candidates_stream",
     "embedding_lsh_candidates_stream",
+    "simhash_neardup_stream",
     "NEARDUP_OUTPUT_SCHEMA",
+    "SIMHASH_ND_OUTPUT_SCHEMA",
 ]

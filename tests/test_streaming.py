@@ -1021,6 +1021,110 @@ def test_lsh_candidates_stream_cap_saturates(spark, stream_dir):
 
 
 # ---------------------------------------------------------------------------
+# streaming SimHash near-dup pairing (twin of simhash_neardup_pairs /
+# the registered docs_simhash_neardup definition)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_stateless_matches_batch(spark):
+    """The per-row HOF signature must equal the explode+groupBy batch
+    signature doc-for-doc (same token set, hash, votes, bit rule) — the
+    precondition for the streaming chain computing the same bands."""
+    from cupertino_nvr_spark.llm.dedup import simhash, simhash_stateless
+    from cupertino_nvr_spark.plans.llm import augmented_docs
+
+    docs = augmented_docs(spark, "/root/testdata/sf0.001")
+    batch = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    stream_form = {
+        r.doc_id: r.simhash for r in simhash_stateless(docs, bits=32).collect()
+    }
+    assert stream_form == batch
+    assert len(batch) > 0
+
+
+def test_simhash_neardup_stream_matches_batch(spark, stream_dir):
+    """With an uncapped bucket, the distinct union of streamed VERIFIED
+    pairs (hamming <= tau, checked inside the stateful operator) equals
+    the batch simhash pairing for ANY chopping: banding is stateless per
+    row, so each pair surfaces exactly at the first micro-batch where its
+    docs co-occupy a band bucket."""
+    from cupertino_nvr_spark.llm.dedup import (
+        simhash_band_membership,
+        simhash_neardup_pairs,
+        simhash_stateless,
+    )
+    from cupertino_nvr_spark.plans.llm import augmented_docs
+    from cupertino_nvr_spark.streaming.neardup import simhash_neardup_stream
+
+    sf = "/root/testdata/sf0.001"
+    cap = 1_000_000  # uncapped: batch drops hot buckets, stream saturates
+    docs = augmented_docs(spark, sf)
+    sigs = simhash_stateless(docs, bits=32)
+    members = simhash_band_membership(sigs, bits=32, n_bands=4).join(
+        sigs, "doc_id"
+    )
+    src = f"{stream_dir}/simhashmembers"
+    write_batches(
+        [
+            members.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            for i in range(3)
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, band_idx int, band_key bigint, simhash bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        simhash_neardup_stream(stream, tau=3, band_cap=cap),
+        stream_dir,
+        output_mode="update",
+    ).collect()
+    got = {(r.id_a, r.id_b): (r.hamming, r.is_sig_exact) for r in out}
+    want = {
+        (r.id_a, r.id_b): (r.hamming, r.is_sig_exact)
+        for r in simhash_neardup_pairs(docs, tau=3, band_cap=cap).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    assert any(h > 0 for h, _ in want.values())  # real near (not just exact) pairs
+
+
+def test_simhash_neardup_stream_cap_saturates(spark, stream_dir):
+    """A saturated bucket stops emitting AND storing: with cap=2, three
+    signature-identical members of one band bucket yield exactly the one
+    verified pair among the first two arrivals."""
+    from cupertino_nvr_spark.streaming.neardup import simhash_neardup_stream
+
+    rows = spark.createDataFrame(
+        [(10, 0, 7, 5), (20, 0, 7, 5), (30, 0, 7, 5)],
+        "doc_id bigint, band_idx int, band_key bigint, simhash bigint",
+    )
+    src = f"{stream_dir}/simhashcap"
+    write_batches(
+        [rows.filter(F.col("doc_id") == i) for i in (10, 20, 30)], src
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, band_idx int, band_key bigint, simhash bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream(
+        simhash_neardup_stream(stream, tau=3, band_cap=2),
+        stream_dir,
+        output_mode="update",
+    ).collect()
+    assert {(r.id_a, r.id_b, r.hamming, r.is_sig_exact) for r in out} == {
+        (10, 20, 0, 1)
+    }
+
+
+# ---------------------------------------------------------------------------
 # streaming embedding near-dup candidates (twin of the centered sign-bit
 # LSH blocking, llm/dedup.py::embedding_neardup_pairs_lsh)
 # ---------------------------------------------------------------------------

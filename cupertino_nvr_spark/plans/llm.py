@@ -7576,7 +7576,7 @@ def _phash_pair_tail_sql() -> str:
     """The verify CTEs plus the pair-query final select."""
     return f"""{_phash_pair_ctes_sql()}
     SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
-           CAST(hamming = 0 AS INT) AS is_exact
+           CAST(hamming = 0 AS INT) AS is_sig_exact
     FROM scored WHERE hamming <= {_PHASH_TAU}"""
 
 
@@ -7634,7 +7634,7 @@ def _phash_pairs_from_hashes(hashes: DataFrame) -> DataFrame:
             "id_a",
             "id_b",
             "hamming",
-            (F.col("hamming") == 0).cast("int").alias("is_exact"),
+            (F.col("hamming") == 0).cast("int").alias("is_sig_exact"),
         )
     )
 

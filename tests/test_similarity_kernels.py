@@ -289,7 +289,7 @@ def test_phash_neardup_exact_copies_never_missed(spark):
     sf = "/root/testdata/sf0.001"
     rows = REGISTRY["media_phash_neardup"].spark(spark, sf).collect()
     got_exact = {
-        (r.id_a, r.id_b) for r in rows if r.is_exact == 1 and r.id_b - r.id_a == 1000000
+        (r.id_a, r.id_b) for r in rows if r.is_sig_exact == 1 and r.id_b - r.id_a == 1000000
     }
     want = {
         (int(i), int(i) + 1000000)

@@ -803,7 +803,12 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate stream, and a pair outside both endpoints' top-32 "
         "cannot contend for a top-100 mining shortlist; same bounded-"
         "recall shape as the MinHash/simhash hot-band caps, pinned by a "
-        "Python recompute). Emits the global top-100 pairs by margin "
+        "Python recompute). Past IVF_MAX_CELLS (~16.7M vectors) the shared "
+        "blocking itself needs max_cells scaled with corpus size — cells "
+        "are index configuration shared with the serving paths, so that "
+        "knob lives in ivf_centroids, not here; the cap keeps every "
+        "post-blocking stage linear regardless. Emits the global top-100 "
+        "pairs by margin "
         "(TakeOrdered) with the 1.05-margin confidence flag the mining "
         "literature uses."
     ),

@@ -214,6 +214,7 @@ EXTRAS = [
     # r12 debuts
     "embedding_ivf_pq_recall_eval",
     "embedding_margin_cap_profile",
+    "docs_neardup_method_agreement",
 ]
 
 

@@ -342,26 +342,29 @@ def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(sigs, num_hashes=8, band_size=2, band_cap=64)
 
 
-def _simhash_chain_sql(rel: str, bits: int) -> str:
+def _simhash_chain_sql(rel: str, bits: int, prefix: str = "") -> str:
     """toks→hashed→votes→sig: THE SimHash signature definition over
     ``rel`` (distinct whitespace tokens, md5-seed-0 bit votes), shared by
-    docs_simhash (16-bit signatures) and docs_simhash_neardup (32-bit
-    banded candidate generation) so the pairing consumer can never drift
-    from the published fingerprint."""
-    return f"""toks AS (
+    docs_simhash (16-bit signatures), docs_simhash_neardup (32-bit
+    banded candidate generation), and the method-agreement eval so the
+    pairing consumers can never drift from the published fingerprint.
+    ``prefix`` renames the CTEs for queries hosting this chain next to
+    another chain that also defines a ``sig`` (the MinHash banding)."""
+    p = prefix
+    return f"""{p}toks AS (
       SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
       FROM {rel}
     ),
-    hashed AS (SELECT doc_id, {_md5_int_sql('tok', 0)} AS th FROM toks),
-    votes AS (
+    {p}hashed AS (SELECT doc_id, {_md5_int_sql('tok', 0)} AS th FROM {p}toks),
+    {p}votes AS (
       SELECT doc_id,
              {", ".join(f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits))}
-      FROM hashed GROUP BY doc_id
+      FROM {p}hashed GROUP BY doc_id
     ),
-    sig AS (
+    {p}sig AS (
       SELECT doc_id,
              CAST({" + ".join(f"(CASE WHEN v{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(bits))} AS BIGINT) AS simhash
-      FROM votes
+      FROM {p}votes
     )"""
 
 
@@ -442,6 +445,188 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=_SIMHASH_ND_TAU,
         band_cap=_SIMHASH_ND_BAND_CAP,
         hash_fn="md5",
+    )
+
+
+@register(
+    "docs_neardup_method_agreement",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    {_minhash_band_chain_sql("mh")},
+    mh_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mhkept a JOIN mhkept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND b.doc_id > a.doc_id
+    ),
+    {_simhash_chain_sql("aug", _SIMHASH_ND_BITS, "sx")},
+    sxbands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, (simhash >> {b * _SIMHASH_ND_BAND_BITS}) & {2 ** _SIMHASH_ND_BAND_BITS - 1} AS band_key FROM sxsig" for b in range(_SIMHASH_ND_BANDS))}
+    ),
+    sxhot AS (SELECT band_idx, band_key FROM sxbands GROUP BY 1, 2 HAVING COUNT(*) > {_SIMHASH_ND_BAND_CAP}),
+    sxkept AS (SELECT sxbands.* FROM sxbands ANTI JOIN sxhot USING (band_idx, band_key)),
+    sx_pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+        FROM (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sxkept a JOIN sxkept b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND b.doc_id > a.doc_id
+        ) c
+        JOIN sxsig sa ON sa.doc_id = c.id_a
+        JOIN sxsig sb ON sb.doc_id = c.id_b
+      ) WHERE hamming <= {_SIMHASH_ND_TAU}
+    ),
+    {_jaccard_chain_sql("jc")},
+    jc_pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    digests AS (SELECT doc_id, md5(text) AS dg FROM aug),
+    methods AS (
+      SELECT 'jaccard' AS method, id_a, id_b FROM jc_pairs
+      UNION ALL SELECT 'minhash', id_a, id_b FROM mh_pairs
+      UNION ALL SELECT 'simhash', id_a, id_b FROM sx_pairs
+    ),
+    flagged AS (
+      SELECT m.method, m.id_a, m.id_b,
+             CASE WHEN da.dg = db.dg THEN 1 ELSE 0 END AS ex
+      FROM methods m
+      JOIN digests da ON da.doc_id = m.id_a
+      JOIN digests db ON db.doc_id = m.id_b
+    ),
+    counts AS (
+      SELECT method, COUNT(*) AS n_pairs, CAST(SUM(ex) AS BIGINT) AS n_exact
+      FROM flagged GROUP BY method
+    ),
+    agree AS (
+      SELECT x.method AS method_a, y.method AS method_b,
+             COUNT(*) AS n_common, CAST(SUM(x.ex) AS BIGINT) AS n_exact_common
+      FROM flagged x JOIN flagged y
+        ON x.id_a = y.id_a AND x.id_b = y.id_b AND x.method <= y.method
+      GROUP BY x.method, y.method
+    )
+    SELECT a.method_a, a.method_b,
+           ca.n_pairs AS n_pairs_a, cb.n_pairs AS n_pairs_b, a.n_common,
+           ROUND(a.n_common * 1.0 / (ca.n_pairs + cb.n_pairs - a.n_common), 6)
+             AS overlap_jaccard,
+           a.n_exact_common,
+           ROUND(a.n_exact_common * 1.0 / a.n_common, 6) AS exact_share
+    FROM agree a
+    JOIN counts ca ON ca.method = a.method_a
+    JOIN counts cb ON cb.method = a.method_b
+    """,
+    doc="Near-dup METHOD-AGREEMENT matrix — the row a user reads before "
+    "picking which dedup family to run at 100 TB: for each unordered "
+    "pair of methods (MinHash-LSH candidates, Hamming-verified simhash "
+    "pairs, exact n-gram Jaccard >= 0.5 — each the EXACT registered "
+    "definition, composed from the same shared chains its standalone "
+    "query verifies, with the same caps), the pair-set sizes, their "
+    "intersection, the overlap Jaccard, and the share of agreed pairs "
+    "that are md5-digest-identical (the verified-true-duplicate floor; "
+    "per-pair digest equality, never a per-group pair enumeration, so "
+    "no quadratic term on giant exact-dup groups). Diagonal rows carry "
+    "each method's own pair count and exact share in the same schema. "
+    "Cost is the three chains' own blocking-bounded costs plus one "
+    "(pair)-keyed self-join on the union of their outputs.",
+)
+def docs_neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import (
+        lsh_candidates,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    aug = augmented_docs(spark, sf_dir)
+    mh = lsh_candidates(
+        minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5"),
+        num_hashes=8,
+        band_size=2,
+        band_cap=64,
+    ).select("id_a", "id_b")
+    sx = simhash_neardup_pairs(
+        aug,
+        bits=_SIMHASH_ND_BITS,
+        n_bands=_SIMHASH_ND_BANDS,
+        tau=_SIMHASH_ND_TAU,
+        band_cap=_SIMHASH_ND_BAND_CAP,
+        hash_fn="md5",
+    ).select("id_a", "id_b")
+    jc = ngram_jaccard_pairs(aug, block_col="lang", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    digests = aug.select("doc_id", F.md5("text").alias("dg"))
+    methods = (
+        jc.select(F.lit("jaccard").alias("method"), "id_a", "id_b")
+        .unionByName(mh.select(F.lit("minhash").alias("method"), "id_a", "id_b"))
+        .unionByName(sx.select(F.lit("simhash").alias("method"), "id_a", "id_b"))
+    )
+    da = digests.select(F.col("doc_id").alias("id_a"), F.col("dg").alias("dg_a"))
+    db = digests.select(F.col("doc_id").alias("id_b"), F.col("dg").alias("dg_b"))
+    # the flagged pair stream feeds three consumers (counts + both sides
+    # of the agreement self-join) — materialize once or all three method
+    # chains re-execute per consumer
+    flagged = reliable_checkpoint(
+        methods.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "method",
+            "id_a",
+            "id_b",
+            F.when(F.col("dg_a") == F.col("dg_b"), 1).otherwise(0).alias("ex"),
+        )
+    )
+    counts = flagged.groupBy("method").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("ex").cast("bigint").alias("n_exact"),
+    )
+    x = flagged.select(
+        F.col("method").alias("method_a"), "id_a", "id_b", "ex"
+    )
+    y = flagged.select(F.col("method").alias("method_b"), "id_a", "id_b")
+    agree = (
+        x.join(y, ["id_a", "id_b"])
+        .filter(F.col("method_a") <= F.col("method_b"))
+        .groupBy("method_a", "method_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("ex").cast("bigint").alias("n_exact_common"),
+        )
+    )
+    ca = counts.select(
+        F.col("method").alias("method_a"), F.col("n_pairs").alias("n_pairs_a")
+    )
+    cb = counts.select(
+        F.col("method").alias("method_b"), F.col("n_pairs").alias("n_pairs_b")
+    )
+    return (
+        agree.join(F.broadcast(ca), "method_a")
+        .join(F.broadcast(cb), "method_b")
+        .select(
+            "method_a",
+            "method_b",
+            "n_pairs_a",
+            "n_pairs_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("n_pairs_a") + F.col("n_pairs_b") - F.col("n_common")),
+                6,
+            ).alias("overlap_jaccard"),
+            "n_exact_common",
+            F.round(F.col("n_exact_common") * 1.0 / F.col("n_common"), 6).alias(
+                "exact_share"
+            ),
+        )
     )
 
 

@@ -62,6 +62,13 @@ ALLOWED_BNLJ = {
     # media_phash_tau_profile spine pattern) — the sweep re-ranks one
     # pair frame, it never re-routes
     "embedding_ivf_probe_profile",
+    # composes three already-justified shapes verbatim: the IVF+PQ
+    # serving chain (shared routing + broadcast ADC lookups, above), the
+    # full-precision IVF rerank at the same routing, and the ground-truth
+    # side of embedding_ann_recall_eval (hard-capped probe panel x corpus
+    # exact scoring); its own additions are two (probe, neighbor)-keyed
+    # left joins + one per-probe aggregate
+    "embedding_ivf_pq_recall_eval",
     "embedding_cosine_neardup",
     # shares embedding_cosine_neardup's exact routing stage (corpus x
     # broadcast(centroids)); its own additions are a pair groupBy + keyed

@@ -36,6 +36,7 @@ REPO = Path(__file__).resolve().parent.parent
 R12_DEBUTS = {
     "embedding_ivf_pq_recall_eval",
     "embedding_margin_cap_profile",
+    "docs_neardup_method_agreement",
 }
 
 # the 17 queries whose last driver-green row is r7 — required in the r12

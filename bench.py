@@ -215,6 +215,7 @@ EXTRAS = [
     "embedding_ivf_pq_recall_eval",
     "embedding_margin_cap_profile",
     "docs_neardup_method_agreement",
+    "embedding_eval_decontam",
 ]
 
 

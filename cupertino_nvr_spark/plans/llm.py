@@ -933,6 +933,74 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_eval_decontam",
+    f"""
+    WITH {_EMB_NEARDUP_CTE_SQL},
+    split AS (SELECT vec_id, vec_id % 97 = 1 AS is_eval FROM aug),
+    cross_pairs AS (
+      SELECT CASE WHEN sa.is_eval THEN p.id_b ELSE p.id_a END AS vec_id
+      FROM dup_pairs p
+      JOIN split sa ON sa.vec_id = p.id_a
+      JOIN split sb ON sb.vec_id = p.id_b
+      WHERE sa.is_eval <> sb.is_eval
+    ),
+    hits AS (
+      SELECT vec_id, COUNT(*) AS n_eval_neighbors FROM cross_pairs GROUP BY vec_id
+    )
+    SELECT s.vec_id,
+           COALESCE(h.n_eval_neighbors, 0) AS n_eval_neighbors,
+           (h.vec_id IS NOT NULL) AS is_contaminated
+    FROM split s LEFT JOIN hits h USING (vec_id)
+    WHERE NOT s.is_eval
+    """,
+    doc="Semantic eval-set decontamination — the embedding sibling of the "
+    "gram-based decontam family (docs_contamination / the curation "
+    "funnel's benchmark exclusion): a held-out eval split (deterministic "
+    "vec_id % 97 residue — 97 is chosen so the fixture's +1M/+2M copy "
+    "offsets MOVE residue class, planting true cross-split "
+    "contamination) is checked against the train split for cosine "
+    "near-duplicates, and every TRAIN vector is tagged with its count "
+    "of eval near-neighbors — the leakage a test-set-aware pipeline "
+    "must drop before training (GPT-3 appendix C / FineWeb practice, "
+    "done at vector level so paraphrases and perturbed copies are "
+    "caught, not just n-gram overlaps). Pairs come from the SAME "
+    "dup_pairs CTE embedding_cosine_neardup verifies (shared multi-"
+    "probe IVF blocking + 0.99 rounded-cosine threshold); the "
+    "bipartite restriction is one split-flag join per endpoint, the "
+    "tagging one groupBy + one keyed left join — semdedup's exact cost "
+    "shape, so it scales wherever the neardup family does.",
+)
+def embedding_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import embedding_neardup_pairs
+
+    aug = augmented_embeddings(spark, sf_dir)
+    split = aug.select("vec_id", (F.col("vec_id") % 97 == 1).alias("is_eval"))
+    pairs = embedding_neardup_pairs(aug, threshold=0.99)
+    sa = split.select(F.col("vec_id").alias("id_a"), F.col("is_eval").alias("ev_a"))
+    sb = split.select(F.col("vec_id").alias("id_b"), F.col("is_eval").alias("ev_b"))
+    cross = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("ev_a") != F.col("ev_b"))
+        .select(
+            F.when(F.col("ev_a"), F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "vec_id"
+            )
+        )
+    )
+    hits = cross.groupBy("vec_id").agg(F.count("*").alias("hit_n"))
+    return (
+        split.filter(~F.col("is_eval"))
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("hit_n"), F.lit(0)).alias("n_eval_neighbors"),
+            F.col("hit_n").isNotNull().alias("is_contaminated"),
+        )
+    )
+
+
+@register(
     "embedding_margin_pairs",
     f"""
     WITH {_EMB_NEARDUP_CTE_SQL},

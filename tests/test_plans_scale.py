@@ -74,6 +74,10 @@ ALLOWED_BNLJ = {
     # broadcast(centroids)); its own additions are a pair groupBy + keyed
     # left join
     "embedding_semdedup",
+    # same shared neardup routing stage; its own additions are two
+    # split-flag equi-joins on the pair stream, one groupBy, one keyed
+    # left join — semdedup's exact cost shape, bipartite-restricted
+    "embedding_eval_decontam",
     # the Arrow-kernel twins of the two above: identical routing stage
     # (corpus x broadcast(centroids)), only the cosine kernel differs
     "embedding_cosine_neardup_fast",

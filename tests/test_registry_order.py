@@ -37,6 +37,7 @@ R12_DEBUTS = {
     "embedding_ivf_pq_recall_eval",
     "embedding_margin_cap_profile",
     "docs_neardup_method_agreement",
+    "embedding_eval_decontam",
 }
 
 # the 17 queries whose last driver-green row is r7 — required in the r12

@@ -216,6 +216,7 @@ EXTRAS = [
     "embedding_margin_cap_profile",
     "docs_neardup_method_agreement",
     "embedding_eval_decontam",
+    "docs_classifier_calibration",
 ]
 
 

@@ -36,15 +36,15 @@ from cupertino_nvr_spark.plans import tpch_extra  # noqa: F401,E402
 # driver artifact landing in the working tree mid-round can never fail
 # the suite, the r11 VERDICT's watch item 2):
 #   1  flagship (always in-window, green every round)
-#   the 4 r12 debuts (debut-in-window policy: new queries ship inside the
+#   the 5 r12 debuts (debut-in-window policy: new queries ship inside the
 #      sampled window in the round they are introduced)
 #   the 17 remaining r7-stale rows — the r11 window overflow, the last
 #      queries whose most recent driver-green row is r7 (after r12 no
 #      declared query's last green row is older than r8)
 #   fill: the r8-stale family (the r8 debut wave: tokenizer trainers,
 #      retrieval/eval harnesses, substring dedup, experiment analysis),
-#      49 rows in deterministic (alphabetical) order — the first 28 fit
-#      the 50-row window, the last 21 directly follow it (first in line
+#      49 rows in deterministic (alphabetical) order — the first 27 fit
+#      the 50-row window, the last 22 directly follow it (first in line
 #      for r13)
 _R12_WINDOW_PRIORITY = [
     "asof_ttl_overlay",
@@ -53,6 +53,7 @@ _R12_WINDOW_PRIORITY = [
     "embedding_margin_cap_profile",
     "docs_neardup_method_agreement",
     "embedding_eval_decontam",
+    "docs_classifier_calibration",
     # the 17 remaining r7-stale rows (r11 VERDICT item 1)
     "events_stickiness_weekly", "events_type_hour_chisq",
     "events_user_lifecycle", "events_value_mad", "json_props_extract",
@@ -75,7 +76,6 @@ _R12_WINDOW_PRIORITY = [
     "docs_token_budget_sample", "docs_token_entropy",
     "docs_vocab_coverage", "docs_winnowing_fingerprints",
     "embedding_ann_recall_eval", "embedding_cosine_neardup_lsh",
-    "embedding_hard_negatives",
         "embedding_int8_quant", "embedding_knn_label_eval",
     "embedding_mmr_rerank",
     "embedding_pc1_outliers", "embedding_power_iteration_pc1",

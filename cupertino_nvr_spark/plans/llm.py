@@ -7328,6 +7328,105 @@ def docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_classifier_calibration",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> ({_md5_int_sql("w", 17)} % {_CLF_BUCKETS})
+                                 * 1103515245 + 12345) AS wints,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tok,
+             list_sum(list_transform(wints, x -> x % {_CLF_MOD})) AS sum_wint
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             0.5 + 0.5 * raw_score / (1 + abs(raw_score)) AS keep_prob
+      FROM (
+        SELECT doc_id,
+               (CAST(sum_wint AS DOUBLE) / {_CLF_MOD}.0 - 0.5 * n_tok) / n_tok
+                 AS raw_score
+        FROM s)
+    ),
+    m AS ({_gopher_m_sql("documents")}),
+    g AS (
+      SELECT doc_id, CAST({_gopher_pass_pred()} AS INT) AS passes FROM m
+    ),
+    binned AS (
+      SELECT c.doc_id,
+             LEAST(GREATEST(CAST(FLOOR((c.keep_prob - 0.40e0) / 0.01e0)
+               AS INT), 0), 19) AS bin,
+             CAST(round(c.keep_prob * 1000000) AS BIGINT) AS kp6,
+             g.passes
+      FROM c JOIN g USING (doc_id)
+    )
+    SELECT bin,
+           ROUND(0.40e0 + bin * 0.01e0, 6) AS bin_lo,
+           ROUND(0.40e0 + (bin + 1) * 0.01e0, 6) AS bin_hi,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(kp6) * 1.0 / (COUNT(*) * 1000000.0), 6)
+             AS mean_keep_prob,
+           CAST(SUM(passes) AS BIGINT) AS n_gopher_pass,
+           ROUND(SUM(passes) * 1.0 / COUNT(*), 6) AS gopher_pass_rate
+    FROM binned GROUP BY bin
+    """,
+    doc="Quality-classifier calibration (reliability diagram) against the "
+    "Gopher rule gate — the validation step a pipeline runs before "
+    "trusting a cheap learned filter at 100 TB: docs are binned by the "
+    "classifier's keep_prob into FIXED-WIDTH probability bins (20 x "
+    "0.01 over [0.40, 0.60) — the textbook reliability-diagram binning, "
+    "chosen over rank deciles because fixed bins are a per-row "
+    "projection while an exact global NTILE would funnel every row "
+    "through one partition), and each bin reports its doc count, "
+    "fixed-point mean keep_prob (per-doc prob rounded to 1e-6 and "
+    "summed as exact integers — float SUM order is engine-dependent), "
+    "and the Gopher pass rate. A calibrated classifier shows pass rate "
+    "rising with keep_prob; both statistic chains are the REGISTERED "
+    "definitions (the docs_classifier_score scoring chain and the "
+    "_gopher_m_sql rule chain docs_gopher_quality / "
+    "docs_source_quality_report consume), so the curve cannot drift "
+    "from the gates it calibrates. One doc_id equi-join + one "
+    "<=20-row aggregate — zero unbounded shuffles.",
+)
+def docs_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clf = docs_classifier_score(spark, sf_dir).select("doc_id", "keep_prob")
+    gop = docs_gopher_quality(spark, sf_dir).select("doc_id", "passes_gopher")
+    kp = F.col("keep_prob")
+    binned = clf.join(gop, "doc_id").select(
+        F.least(
+            F.greatest(
+                F.floor((kp - F.lit(0.40)) / F.lit(0.01)).cast("int"), F.lit(0)
+            ),
+            F.lit(19),
+        ).alias("bin"),
+        F.round(kp * 1000000).cast("long").alias("kp6"),
+        F.col("passes_gopher").alias("passes"),
+    )
+    b = F.col("bin")
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kp6").alias("_kp6"),
+        F.sum("passes").cast("bigint").alias("n_gopher_pass"),
+    ).select(
+        "bin",
+        F.round(F.lit(0.40) + b * F.lit(0.01), 6).alias("bin_lo"),
+        F.round(F.lit(0.40) + (b + 1) * F.lit(0.01), 6).alias("bin_hi"),
+        "n_docs",
+        F.round(
+            F.col("_kp6") * 1.0 / (F.col("n_docs") * F.lit(1000000.0)), 6
+        ).alias("mean_keep_prob"),
+        "n_gopher_pass",
+        F.round(
+            F.col("n_gopher_pass") * 1.0 / F.col("n_docs"), 6
+        ).alias("gopher_pass_rate"),
+    )
+
+
 # CLIP-style pair curation: web-scraped multimodal corpora pair each
 # media asset only with captions from the SAME page, then keep the best
 # caption above a similarity gate. The synthetic page key is vec_id//20

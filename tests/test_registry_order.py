@@ -38,6 +38,7 @@ R12_DEBUTS = {
     "embedding_margin_cap_profile",
     "docs_neardup_method_agreement",
     "embedding_eval_decontam",
+    "docs_classifier_calibration",
 }
 
 # the 17 queries whose last driver-green row is r7 — required in the r12

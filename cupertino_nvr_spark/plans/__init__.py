@@ -76,7 +76,8 @@ _R12_WINDOW_PRIORITY = [
     "docs_token_budget_sample", "docs_token_entropy",
     "docs_vocab_coverage", "docs_winnowing_fingerprints",
     "embedding_ann_recall_eval", "embedding_cosine_neardup_lsh",
-        "embedding_int8_quant", "embedding_knn_label_eval",
+    "embedding_hard_negatives", "embedding_int8_quant",
+    "embedding_knn_label_eval",
     "embedding_mmr_rerank",
     "embedding_pc1_outliers", "embedding_power_iteration_pc1",
     "embedding_semdedup_lsh", "embedding_silhouette", "events_ab_test",

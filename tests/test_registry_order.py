@@ -169,6 +169,18 @@ def test_window_fill_is_the_stalest_family():
         f"window fill must come from the stalest (r8) family; offenders: "
         f"{sorted(set(spare) - stale)}"
     )
+    # completeness: EVERY stale-family row must sit inside the priority
+    # prefix (window fill + directly following it), not stranded at its
+    # raw registration-order position — a row the fill list silently
+    # omits would never rotate in (the r12 code-review catch:
+    # embedding_hard_negatives dropped by a debut splice)
+    n_required = len(required & set(order))
+    prefix = set(order[: n_required + len(stale)])
+    stranded = stale - prefix
+    assert not stranded, (
+        f"stale-family rows missing from the rotation priority list "
+        f"(stranded at registration order): {sorted(stranded)}"
+    )
 
 
 def test_flagship_registers_first():

@@ -162,8 +162,6 @@ def table_manifest(spark, dst: str) -> dict[str, dict[str, object]]:
     transform is seedless column arithmetic. Map columns (events.props)
     are excluded (xxhash64 does not accept MapType); their content is
     copied verbatim from --src, which the hashed event_id column keys."""
-    import json as _json  # noqa: F401  (kept local: tool-only dependency)
-
     out: dict[str, dict[str, object]] = {}
     for p in sorted(Path(dst).glob("*.parquet")):
         df = spark.read.parquet(str(p))
@@ -207,6 +205,14 @@ def main() -> None:
         args.src == "/root/testdata/sf0.1" and args.factor == 10
     )
     if args.write_manifest:
+        # the pin means ONE thing — the documented sf1 recipe's bytes; a
+        # scratch-scale run must not silently clobber it (r12 review)
+        if not is_documented_recipe:
+            raise SystemExit(
+                f"--write-manifest refused: {MANIFEST} pins the documented "
+                f"recipe (--src /root/testdata/sf0.1 --factor 10), not "
+                f"src={args.src} factor={args.factor}"
+            )
         MANIFEST.write_text(json.dumps(manifest, indent=2) + "\n")
         print(f"wrote {MANIFEST}")
     elif is_documented_recipe and MANIFEST.exists():

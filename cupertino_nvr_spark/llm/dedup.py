@@ -452,6 +452,60 @@ def ngram_jaccard_pairs(
     return out
 
 
+def embedding_cell_members(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int | None = None,
+    n_assign: int = 2,
+    sim_decimals: int = 6,
+    kernel: str = "hof",
+) -> DataFrame:
+    """Multi-probe IVF cell membership: (member_id, mvec, cell_id), one
+    row per (vector, assigned cell), top-``n_assign`` cells by rounded
+    centroid cosine (ties on cell id). The blocking stage of
+    ``embedding_neardup_pairs``, factored out so the cell-budget profile
+    (plans/llm.py::embedding_ivf_cell_budget_profile) sweeps the EXACT
+    membership the registered near-dup family pays for — candidate volume
+    and base-pair co-location can be measured per ``max_cells`` setting
+    without scoring the candidate stream (the profile's whole point: the
+    Σ|cell|² term is a function of membership alone)."""
+    from pyspark.sql import Window
+
+    from cupertino_nvr_spark.llm.similarity import (
+        IVF_MAX_CELLS,
+        as_double,
+        ensure_min_parallelism,
+        ivf_centroids,
+        make_cosine,
+    )
+
+    cosine = make_cosine(kernel)
+    centroids = ivf_centroids(
+        vectors, id_col, IVF_MAX_CELLS if max_cells is None else max_cells
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
+    )
+    vecs = ensure_min_parallelism(
+        vectors.select(
+            F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
+        )
+    )
+    scored = F.broadcast(cent).join(vecs).select(
+        "member_id",
+        "mvec",
+        "cell_id",
+        F.round(cosine(F.col("mvec"), F.col("centvec")), sim_decimals).alias("csim"),
+    )
+    wc = Window.partitionBy("member_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= n_assign)
+        .select("member_id", "mvec", "cell_id")
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -500,37 +554,11 @@ def embedding_neardup_pairs(
     """
     from pyspark.sql import Window
 
-    from cupertino_nvr_spark.llm.similarity import (
-        IVF_MAX_CELLS,
-        as_double,
-        ensure_min_parallelism,
-        ivf_centroids,
-        make_cosine,
-    )
+    from cupertino_nvr_spark.llm.similarity import make_cosine
 
     cosine = make_cosine(kernel)
-    centroids = ivf_centroids(
-        vectors, id_col, IVF_MAX_CELLS if max_cells is None else max_cells
-    )
-    cent = centroids.select(
-        F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
-    )
-    vecs = ensure_min_parallelism(
-        vectors.select(
-            F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
-        )
-    )
-    scored = F.broadcast(cent).join(vecs).select(
-        "member_id",
-        "mvec",
-        "cell_id",
-        F.round(cosine(F.col("mvec"), F.col("centvec")), sim_decimals).alias("csim"),
-    )
-    wc = Window.partitionBy("member_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
-    members = (
-        scored.withColumn("r", F.row_number().over(wc))
-        .filter(F.col("r") <= n_assign)
-        .select("member_id", "mvec", "cell_id")
+    members = embedding_cell_members(
+        vectors, id_col, vec_col, max_cells, n_assign, sim_decimals, kernel
     )
     a = members.select(
         F.col("cell_id"),

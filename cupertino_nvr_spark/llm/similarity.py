@@ -24,12 +24,22 @@ from pyspark.sql import functions as F
 
 from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
-# Hard ceiling on the IVF centroid count: the centroid table is BROADCAST
-# to every task during assignment/routing, so it must stay bounded no
-# matter the corpus size. 4096 × (64 dims × 8 B) ≈ 2 MiB — comfortably
-# under any broadcast threshold; below the cap, n_cells ~ sqrt(n) balances
+# Ceiling on the IVF centroid count. The centroid table is BROADCAST to
+# every task during assignment/routing, so the one PHYSICAL bound on the
+# cell count is a broadcast byte budget — derive the cap from it instead
+# of pinning a literal (r12 VERDICT item 2: the old fixed 4096 inflected
+# the sqrt(n) cell target into a linear per-cell-membership regime past
+# 4096² ≈ 16.7M vectors, and with it the blocking families' Σ|cell|²
+# candidate term into n²/4096). At 64-dim float64 centroids the 32 MiB
+# comfort budget gives 65536 cells, deferring that inflection to
+# 65536² ≈ 4.3B vectors; below the cap, n_cells ~ sqrt(n) balances
 # assignment cost (n · n_cells) against candidate cost (n²/n_cells).
-IVF_MAX_CELLS = 4096
+# The DuckDB oracle chains interpolate IVF_MAX_CELLS into their stride
+# CTE (plans/llm.py::_ivf_params_sql), so both engines read THIS ONE
+# definition — the _LSH_ND_PLANES fixed-constant treatment.
+IVF_CENT_BUDGET_BYTES = 32 << 20  # conventional broadcast comfort zone
+IVF_CENT_BYTES_PER_CELL = 64 * 8  # shipped embeddings: 64 float64 dims
+IVF_MAX_CELLS = IVF_CENT_BUDGET_BYTES // IVF_CENT_BYTES_PER_CELL  # 65536
 
 # Hard ceiling on the probe side of the blocked (closure-capture) kernels.
 # Probes ride to every executor in the UDF closure, exactly like a broadcast

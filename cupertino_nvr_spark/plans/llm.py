@@ -28,7 +28,12 @@ from cupertino_nvr_spark.llm.dedup import (
     simhash,
 )
 from cupertino_nvr_spark.llm.multimodal import decode_features, frame_sample_plan
-from cupertino_nvr_spark.llm.similarity import brute_force_topk, ivf_ann_topk, lsh_ann_topk
+from cupertino_nvr_spark.llm.similarity import (
+    IVF_MAX_CELLS,
+    brute_force_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from cupertino_nvr_spark.llm.text import (
     avg_token_len,
     chunk_spans,
@@ -152,13 +157,17 @@ def _jaccard_chain_sql(prefix: str = "") -> str:
     )"""
 
 
-def _ivf_params_sql(corpus: str) -> str:
+def _ivf_params_sql(corpus: str, max_cells: int | None = None) -> str:
     """DuckDB replica of llm.similarity.ivf_stride: integer floor-sqrt
-    target capped at 4096, floor-div stride. COUNT(*) and // keep the whole
-    computation in BIGINT, matching Python's isqrt/floor-div exactly."""
+    target capped at ``max_cells`` (default: the budget-derived
+    IVF_MAX_CELLS — imported, not re-stated, so both engines read the one
+    definition in llm/similarity.py), floor-div stride. COUNT(*) and //
+    keep the whole computation in BIGINT, matching Python's
+    isqrt/floor-div exactly."""
+    cap = IVF_MAX_CELLS if max_cells is None else max_cells
     return f"""
       SELECT GREATEST(1, COUNT(*) // GREATEST(
-               LEAST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT), 4096), 1)) AS stride
+               LEAST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT), {cap}), 1)) AS stride
       FROM {corpus}
     """
 
@@ -854,26 +863,38 @@ def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_cosine_neardup and embedding_semdedup so the pair definition
 # (multi-probe top-2 IVF-cell blocking, rounded-cosine >= 0.99) can never
 # drift between the pair query and its keep/drop materialization
-_EMB_NEARDUP_CTE_SQL = f"""aug AS ({_AUG_EMB_SQL}),
-    params AS ({_ivf_params_sql("aug")}),
-    cent AS (SELECT vec_id AS cell_id, e AS centvec FROM aug, params WHERE {_CENT_PRED_SQL}),
-    assign AS (
+def _emb_neardup_chain_sql(p: str = "", max_cells: int | None = None) -> str:
+    """The embedding near-dup blocking chain (stride params → sampled
+    centroids → top-2 multi-probe assignment → same-cell pair scoring →
+    0.99 threshold) as ``p``-prefixed CTEs over an existing ``aug`` CTE,
+    with the centroid cap a parameter. ONE generator emits both the
+    registered definition (p='', default cap — _EMB_NEARDUP_CTE_SQL
+    below) and the forced-cap instances the cell-budget profile sweeps,
+    so the swept chain can never drift from the verified one."""
+    names = {n: f"{p}{n}" for n in ("params", "cent", "assign", "pairs", "dup_pairs")}
+    return f"""{names['params']} AS ({_ivf_params_sql("aug", max_cells)}),
+    {names['cent']} AS (SELECT vec_id AS cell_id, e AS centvec FROM aug, {names['params']} WHERE {_CENT_PRED_SQL}),
+    {names['assign']} AS (
       SELECT member_id, cell_id FROM (
         SELECT member_id, cell_id,
                ROW_NUMBER() OVER (
                  PARTITION BY member_id
                  ORDER BY round(list_cosine_similarity(mvec, centvec), 6) DESC, cell_id
                ) AS r
-        FROM (SELECT vec_id AS member_id, e AS mvec FROM aug) CROSS JOIN cent) WHERE r <= 2
+        FROM (SELECT vec_id AS member_id, e AS mvec FROM aug) CROSS JOIN {names['cent']}) WHERE r <= 2
     ),
-    pairs AS (
+    {names['pairs']} AS (
       SELECT DISTINCT a.member_id AS id_a, b.member_id AS id_b,
              round(list_cosine_similarity(va.e, vb.e), 6) AS sim
-      FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND b.member_id > a.member_id
+      FROM {names['assign']} a JOIN {names['assign']} b ON a.cell_id = b.cell_id AND b.member_id > a.member_id
       JOIN aug va ON va.vec_id = a.member_id
       JOIN aug vb ON vb.vec_id = b.member_id
     ),
-    dup_pairs AS (SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99)"""
+    {names['dup_pairs']} AS (SELECT id_a, id_b, sim FROM {names['pairs']} WHERE sim >= 0.99)"""
+
+
+_EMB_NEARDUP_CTE_SQL = f"""aug AS ({_AUG_EMB_SQL}),
+    {_emb_neardup_chain_sql()}"""
 
 
 @register(
@@ -1056,11 +1077,13 @@ def embedding_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate stream, and a pair outside both endpoints' top-32 "
         "cannot contend for a top-100 mining shortlist; same bounded-"
         "recall shape as the MinHash/simhash hot-band caps, pinned by a "
-        "Python recompute). Past IVF_MAX_CELLS (~16.7M vectors) the shared "
-        "blocking itself needs max_cells scaled with corpus size — cells "
-        "are index configuration shared with the serving paths, so that "
-        "knob lives in ivf_centroids, not here; the cap keeps every "
-        "post-blocking stage linear regardless. Emits the global top-100 "
+        "Python recompute). The shared blocking's cell count is the "
+        "sqrt(n) target capped by the broadcast-budget-derived "
+        "IVF_MAX_CELLS (65536 at 64 dims — the knob lives in "
+        "ivf_centroids, shared with the serving paths, and "
+        "embedding_ivf_cell_budget_profile measures it); the cand_cap "
+        "keeps every post-blocking stage linear regardless. Emits the "
+        "global top-100 "
         "pairs by margin "
         "(TakeOrdered) with the 1.05-margin confidence flag the mining "
         "literature uses."
@@ -3899,7 +3922,7 @@ _IVF_PQ_CTES_SQL = f"""{_PQ_CHAIN_SQL},
     "identical codes to embedding_pq_quant) — full-precision member "
     "vectors never reach the scorer, so Catalyst prunes the mvec column "
     "out of the scan side of the scoring stage. Every broadcast bounded "
-    "(<=4096 centroids, probes x 4 x <=16 lookup rows); candidates from "
+    "(<=IVF_MAX_CELLS centroids, probes x 4 x <=16 lookup rows); candidates from "
     "one cell_id equi-join; no vector math per (probe, candidate) pair",
 )
 def embedding_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

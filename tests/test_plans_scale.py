@@ -51,7 +51,7 @@ ALLOWED_BNLJ = {
     "embedding_ivf_ann",
     "embedding_ivf_ann_fast",
     # shares embedding_ivf_ann's routing stage verbatim
-    # (ivf_route_candidates: corpus x broadcast(<=4096 centroids)); the
+    # (ivf_route_candidates: corpus x broadcast(<=IVF_MAX_CELLS centroids)); the
     # ADC scoring itself is four broadcast lookup-table equi-joins over
     # the cell_id-equi-joined candidate set — no vector math per pair
     "embedding_ivf_pq_ann",

@@ -1289,6 +1289,154 @@ def embedding_margin_cap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_ivf_cell_budget_profile",
+    f"""
+    WITH aug AS ({_AUG_EMB_SQL}),
+    {_emb_neardup_chain_sql()},
+    {_emb_neardup_chain_sql("c8_", 8)},
+    {_emb_neardup_chain_sql("c16_", 16)},
+    {_emb_neardup_chain_sql("c32_", 32)},
+    base AS (SELECT id_a, id_b FROM dup_pairs),
+    nb AS (SELECT COUNT(*) AS n_base FROM base),
+    prof AS (
+      SELECT CAST(8 AS BIGINT) AS max_cells,
+             (SELECT COUNT(*) FROM c8_cent) AS n_cells,
+             (SELECT COUNT(*) FROM c8_pairs) AS n_candidates,
+             (SELECT COUNT(*) FROM c8_pairs c JOIN base b USING (id_a, id_b))
+               AS n_base_hit
+      UNION ALL
+      SELECT CAST(16 AS BIGINT),
+             (SELECT COUNT(*) FROM c16_cent),
+             (SELECT COUNT(*) FROM c16_pairs),
+             (SELECT COUNT(*) FROM c16_pairs c JOIN base b USING (id_a, id_b))
+      UNION ALL
+      SELECT CAST(32 AS BIGINT),
+             (SELECT COUNT(*) FROM c32_cent),
+             (SELECT COUNT(*) FROM c32_pairs),
+             (SELECT COUNT(*) FROM c32_pairs c JOIN base b USING (id_a, id_b))
+      UNION ALL
+      SELECT CAST({IVF_MAX_CELLS} AS BIGINT),
+             (SELECT COUNT(*) FROM cent),
+             (SELECT COUNT(*) FROM pairs),
+             (SELECT COUNT(*) FROM pairs c JOIN base b USING (id_a, id_b))
+    )
+    SELECT max_cells, n_cells, n_candidates, n_base_hit,
+           ROUND(CAST(n_base_hit AS DOUBLE) / NULLIF(n_base, 0), 6)
+             AS recall_vs_default
+    FROM prof, nb
+    ORDER BY max_cells
+    """,
+    doc="IVF cell-budget tuning profile — the measurement row for the "
+    "corpus-scaled centroid cap (r12 VERDICT item 2; the knob itself is "
+    "the broadcast-budget-derived IVF_MAX_CELLS in llm/similarity.py, "
+    "shared by the whole embedding blocking family): for each forced "
+    "cap 8/16/32 plus the production budget, the sampled centroid "
+    "count, the candidate-pair volume (the cost axis — the "
+    "sum(|cell|^2) term every blocking consumer pays grows as the cap "
+    "squeezes members into fewer cells, exactly the regime a "
+    "too-small cap enters past cap^2 vectors), and how many of the "
+    "production near-dup pairs stay co-located under the coarser "
+    "blocking (the quality axis; coarser cells can only merge "
+    "neighborhoods, so recall_vs_default stays ~1 while cost "
+    "explodes — the measured argument for raising the cap with corpus "
+    "size rather than shrinking it). The swept chains are emitted by "
+    "the SAME generator as the registered near-dup definition "
+    "(_emb_neardup_chain_sql / embedding_cell_members), so the profile "
+    "measures the production blocking, not a lookalike; the expensive "
+    "candidate streams are COUNTED from membership joins, never "
+    "cosine-scored (only the production-budget reference chain pays "
+    "scoring), so the profile costs ~4 membership passes + one "
+    "verified chain at any scale.",
+)
+def embedding_ivf_cell_budget_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    from cupertino_nvr_spark.llm.dedup import embedding_cell_members
+    from cupertino_nvr_spark.llm.similarity import (
+        as_double,
+        cosine,
+        ivf_centroids,
+    )
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    aug = augmented_embeddings(spark, sf_dir)
+    cands: dict[int | None, DataFrame] = {}
+    for cap in (8, 16, 32, None):
+        mem = embedding_cell_members(aug, max_cells=cap).select(
+            "member_id", "cell_id"
+        )
+        a = mem.select("cell_id", F.col("member_id").alias("id_a"))
+        b = mem.select("cell_id", F.col("member_id").alias("id_b"))
+        # membership-only candidate set: same distinct pair set as the
+        # chain's scored `pairs` stage (sim is pair-intrinsic), without
+        # paying a cosine per candidate
+        cands[cap] = reliable_checkpoint(
+            a.join(b, "cell_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    # the production-budget reference pair set, scored from the ALREADY
+    # materialized production candidate frame (one cosine per DISTINCT
+    # candidate, not per cell-pair row — same sim by construction) via
+    # two broadcast dim joins; feeds one semi-join per swept cap plus
+    # its own count
+    ea = F.broadcast(
+        aug.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("avec"))
+    )
+    eb = F.broadcast(
+        aug.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("bvec"))
+    )
+    base = reliable_checkpoint(
+        cands[None]
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("avec"), F.col("bvec")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.99)
+        .select("id_a", "id_b")
+    )
+    rows = []
+    for cap, cand in cands.items():
+        label = IVF_MAX_CELLS if cap is None else cap
+        rows.append(
+            spark.range(1)
+            .select(F.lit(label).cast("long").alias("max_cells"))
+            .crossJoin(ivf_centroids(aug, max_cells=label).agg(
+                F.count("*").alias("n_cells")
+            ))
+            .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+            .crossJoin(
+                cand.join(base, ["id_a", "id_b"], "left_semi").agg(
+                    F.count("*").alias("n_base_hit")
+                )
+            )
+        )
+    prof = reduce(DataFrame.unionByName, rows)
+    nb = base.agg(F.count("*").alias("n_base"))
+    return (
+        prof.crossJoin(F.broadcast(nb))
+        .select(
+            "max_cells",
+            "n_cells",
+            "n_candidates",
+            "n_base_hit",
+            F.round(
+                F.col("n_base_hit").cast("double")
+                / F.when(F.col("n_base") > 0, F.col("n_base")),
+                6,
+            ).alias("recall_vs_default"),
+        )
+        .orderBy("max_cells")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Centered sign-bit LSH near-dup chain, exact SQL oracle
 #

@@ -318,6 +318,16 @@ def simhash_band_membership(
     adds its corpus-wide hot-band anti-join) and the streaming twin
     (capping is stateful there). No hot-cap here: membership is
     incremental knowledge in a stream."""
+    if bits % n_bands != 0:
+        # silent remainder bits would never be banded, voiding the
+        # pigeonhole guarantee (a pair within Hamming n_bands-1 whose
+        # differing bits all sit in the uncovered high bits shares no
+        # band) — fail loudly, the margin cand_cap < k convention
+        raise ValueError(
+            f"bits={bits} not divisible by n_bands={n_bands}: the top "
+            f"{bits % n_bands} bits would be excluded from every band, "
+            "breaking the pigeonhole recall guarantee"
+        )
     band_bits = bits // n_bands
     mask = 2**band_bits - 1
     arr = F.array(

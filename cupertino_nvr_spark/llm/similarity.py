@@ -832,7 +832,7 @@ def margin_scored_pairs(
     pairs: DataFrame,
     k: int = 4,
     threshold_ppm: int = 1_050_000,
-    cand_cap: int | None = 32,
+    cand_cap: int | None = None,
     include_rank: bool = False,
 ) -> DataFrame:
     """Ratio-margin scoring over a candidate-pair stream (Artetxe &
@@ -871,8 +871,12 @@ def margin_scored_pairs(
     joins, and the final global ordering all run on <= cand_cap * n
     rows. Same recall-for-boundedness shape as the MinHash/simhash
     hot-band caps; the capped definition itself is pinned by a Python
-    recompute in tests/test_similarity_kernels.py. ``cand_cap=None``
-    scores every candidate pair (the pre-r12 definition).
+    recompute in tests/test_similarity_kernels.py. The DEFAULT is
+    ``cand_cap=None`` — score every candidate pair, the library
+    function's original documented semantics (r12 ADVICE: a silent
+    default cap would change results under callers that relied on the
+    uncapped definition); every registered consumer opts into its cap
+    explicitly (the declared queries pass cand_cap=32/64).
 
     Output: (id_a, id_b, sim, margin_ppm, is_confident
     [margin_ppm >= threshold_ppm]) for every surviving candidate pair;

@@ -78,3 +78,18 @@ def test_band_cap_suppresses_hot_buckets(spark):
     assert all(a >= 1000 for a, _ in got), got
     # the exact-dup pair shares every band; its buckets hold 2 docs < cap
     assert (1000, 1001) in got
+
+
+def test_simhash_banding_rejects_indivisible_bits(spark):
+    """bits % n_bands != 0 would silently leave the top remainder bits
+    out of every band, voiding the pigeonhole recall guarantee — loud
+    ValueError instead (r12 ADVICE), the margin cand_cap < k convention."""
+    import pytest
+
+    from cupertino_nvr_spark.llm.dedup import simhash_band_membership
+
+    sigs = spark.createDataFrame([(1, 7)], "doc_id bigint, simhash bigint")
+    with pytest.raises(ValueError, match="not divisible"):
+        simhash_band_membership(sigs, bits=32, n_bands=5)
+    # the registered configuration still bands cleanly
+    assert simhash_band_membership(sigs, bits=32, n_bands=4).count() == 4

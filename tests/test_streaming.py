@@ -1124,6 +1124,94 @@ def test_simhash_neardup_stream_cap_saturates(spark, stream_dir):
     }
 
 
+def test_simhash_neardup_capped_divergence_contract(spark, stream_dir):
+    """The twins' DOCUMENTED divergence under a binding cap, pinned exactly
+    (r12 ADVICE: the equality test only covers the uncapped case): the
+    batch rule anti-joins a hot bucket away ENTIRELY (membership is known
+    up front), while the stream saturates — the first ``cap`` arrivals of
+    a bucket still pair, later arrivals are neither paired nor stored. So
+    with a deterministic arrival order the stream's pair set is computable
+    first-principles (per bucket: verified pairs among the first-cap
+    arrivals), the batch set is a SUBSET of the stream set (a non-hot
+    bucket never saturates), and the difference comes exactly from hot
+    buckets."""
+    from cupertino_nvr_spark.llm.dedup import (
+        simhash_band_membership,
+        simhash_neardup_pairs,
+        simhash_stateless,
+    )
+    from cupertino_nvr_spark.plans.llm import augmented_docs
+    from cupertino_nvr_spark.streaming.neardup import simhash_neardup_stream
+
+    sf = "/root/testdata/sf0.001"
+    cap, tau = 2, 3
+    docs = augmented_docs(spark, sf)
+    sigs = simhash_stateless(docs, bits=32)
+    members = simhash_band_membership(sigs, bits=32, n_bands=4).join(
+        sigs, "doc_id"
+    )
+    src = f"{stream_dir}/simhashcapdiv"
+    write_batches(
+        [
+            members.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            for i in range(3)
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, band_idx int, band_key bigint, simhash bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in run_stream(
+            simhash_neardup_stream(stream, tau=tau, band_cap=cap),
+            stream_dir,
+            output_mode="update",
+        ).collect()
+    }
+
+    # first-principles expectation: replay each bucket in the stream's
+    # deterministic arrival order (micro-batch index = doc_id % 3, then
+    # sorted doc_id within a batch — the operator sorts arrivals), keep
+    # the first `cap` members, pair within them at hamming <= tau
+    buckets: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for r in members.collect():
+        buckets.setdefault((r.band_idx, r.band_key), []).append(
+            (r.doc_id % 3, r.doc_id, r.simhash)
+        )
+    want_stream: set[tuple[int, int]] = set()
+    hot_bucket_pairs: set[tuple[int, int]] = set()
+    n_hot = 0
+    for arrivals in buckets.values():
+        ordered = sorted(arrivals)
+        first_cap = [(d, s) for _, d, s in ordered[:cap]]
+        hot = len(ordered) > cap
+        n_hot += hot
+        for i in range(len(first_cap)):
+            for j in range(i + 1, len(first_cap)):
+                (da, sa), (db, sb) = first_cap[i], first_cap[j]
+                if (sa ^ sb).bit_count() <= tau:
+                    pair = (min(da, db), max(da, db))
+                    want_stream.add(pair)
+                    if hot:
+                        hot_bucket_pairs.add(pair)
+    assert got == want_stream
+    # the batch rule on the same corpus/cap: hot buckets contribute NOTHING
+    batch = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(docs, tau=tau, band_cap=cap).collect()
+    }
+    assert batch <= got
+    # the divergence must actually be exercised: hot buckets existed and
+    # contributed stream-only pairs the batch definition excludes
+    assert n_hot > 0
+    assert (got - batch) and (got - batch) <= hot_bucket_pairs
+
+
 # ---------------------------------------------------------------------------
 # streaming embedding near-dup candidates (twin of the centered sign-bit
 # LSH blocking, llm/dedup.py::embedding_neardup_pairs_lsh)

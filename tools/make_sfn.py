@@ -201,8 +201,12 @@ def main() -> None:
     manifest = table_manifest(spark, args.dst)
     for name, rec in manifest.items():
         print(f"{name}: {rec['rows']} rows, xxh64_sum {rec['xxh64_sum']}")
+    # resolve() so an equivalent spelling (trailing slash, relative path,
+    # symlink) cannot silently bypass the manifest verification the pin
+    # exists for (r12 ADVICE)
     is_documented_recipe = (
-        args.src == "/root/testdata/sf0.1" and args.factor == 10
+        Path(args.src).resolve() == Path("/root/testdata/sf0.1").resolve()
+        and args.factor == 10
     )
     if args.write_manifest:
         # the pin means ONE thing — the documented sf1 recipe's bytes; a
@@ -229,6 +233,14 @@ def main() -> None:
                 f"--write-manifest after confirming which: {drift}"
             )
         print(f"manifest matches {MANIFEST}")
+    elif not is_documented_recipe:
+        # the per-table hashes above are informational only in this case —
+        # say so instead of printing them as if they were checked
+        print(
+            f"manifest check skipped (non-default recipe: src={args.src} "
+            f"factor={args.factor}; the pin covers --src /root/testdata/sf0.1 "
+            "--factor 10)"
+        )
 
 
 if __name__ == "__main__":

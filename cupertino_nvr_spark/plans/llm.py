@@ -7531,14 +7531,16 @@ def docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned AS (
       SELECT c.doc_id,
              LEAST(GREATEST(CAST(FLOOR((c.keep_prob - 0.40e0) / 0.01e0)
-               AS INT), 0), 19) AS bin,
+               AS INT), -1), 20) AS bin,
              CAST(round(c.keep_prob * 1000000) AS BIGINT) AS kp6,
              g.passes
       FROM c JOIN g USING (doc_id)
     )
     SELECT bin,
-           ROUND(0.40e0 + bin * 0.01e0, 6) AS bin_lo,
-           ROUND(0.40e0 + (bin + 1) * 0.01e0, 6) AS bin_hi,
+           CASE WHEN bin > -1 THEN ROUND(0.40e0 + bin * 0.01e0, 6) END
+             AS bin_lo,
+           CASE WHEN bin < 20 THEN ROUND(0.40e0 + (bin + 1) * 0.01e0, 6) END
+             AS bin_hi,
            COUNT(*) AS n_docs,
            ROUND(SUM(kp6) * 1.0 / (COUNT(*) * 1000000.0), 6)
              AS mean_keep_prob,
@@ -7553,7 +7555,12 @@ def docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "0.01 over [0.40, 0.60) — the textbook reliability-diagram binning, "
     "chosen over rank deciles because fixed bins are a per-row "
     "projection while an exact global NTILE would funnel every row "
-    "through one partition), and each bin reports its doc count, "
+    "through one partition — plus EXPLICIT open-ended underflow (-1: "
+    "keep_prob < 0.40, bin_lo NULL) and overflow (20: keep_prob >= "
+    "0.60, bin_hi NULL) bins, r13: the r12 form clamped out-of-range "
+    "mass into edge bins 0/19 whose labels still claimed 0.01 width, "
+    "so edge-bin mean_keep_prob could fall outside its own bounds), "
+    "and each bin reports its doc count, "
     "fixed-point mean keep_prob (per-doc prob rounded to 1e-6 and "
     "summed as exact integers — float SUM order is engine-dependent), "
     "and the Gopher pass rate. A calibrated classifier shows pass rate "
@@ -7571,9 +7578,10 @@ def docs_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = clf.join(gop, "doc_id").select(
         F.least(
             F.greatest(
-                F.floor((kp - F.lit(0.40)) / F.lit(0.01)).cast("int"), F.lit(0)
+                F.floor((kp - F.lit(0.40)) / F.lit(0.01)).cast("int"),
+                F.lit(-1),
             ),
-            F.lit(19),
+            F.lit(20),
         ).alias("bin"),
         F.round(kp * 1000000).cast("long").alias("kp6"),
         F.col("passes_gopher").alias("passes"),
@@ -7585,8 +7593,12 @@ def docs_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("passes").cast("bigint").alias("n_gopher_pass"),
     ).select(
         "bin",
-        F.round(F.lit(0.40) + b * F.lit(0.01), 6).alias("bin_lo"),
-        F.round(F.lit(0.40) + (b + 1) * F.lit(0.01), 6).alias("bin_hi"),
+        F.when(b > -1, F.round(F.lit(0.40) + b * F.lit(0.01), 6)).alias(
+            "bin_lo"
+        ),
+        F.when(b < 20, F.round(F.lit(0.40) + (b + 1) * F.lit(0.01), 6)).alias(
+            "bin_hi"
+        ),
         "n_docs",
         F.round(
             F.col("_kp6") * 1.0 / (F.col("n_docs") * F.lit(1000000.0)), 6

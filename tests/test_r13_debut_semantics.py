@@ -1,0 +1,73 @@
+"""Semantics pins for the r13 definition changes, beyond the oracle
+hash gate (which proves engine parity, not intent):
+
+- docs_classifier_calibration's explicit underflow/overflow bins (r12
+  ADVICE: the old form clamped out-of-range mass into edge bins 0/19
+  whose labels still claimed 0.01 width, so an edge bin's mean could sit
+  outside its own [bin_lo, bin_hi) bounds).
+- embedding_ivf_cell_budget_profile's axes: candidate volume must GROW
+  as the forced cap squeezes the production blocking into fewer cells,
+  while the production near-dup pairs stay co-located.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from cupertino_nvr_spark.plans import REGISTRY
+
+SF01 = "/root/testdata/sf0.1"
+SF = "/root/testdata/sf0.001"
+
+
+def test_calibration_bins_are_honest(spark):
+    """Every labeled bin's fixed-point mean must sit inside its own
+    declared bounds; out-of-range mass lands in open-ended bins -1/20
+    whose open side is NULL, never folded into a mislabeled edge bin.
+    sf0.1 is the smallest shipped scale where the overflow bin is
+    non-empty (keep_prob >= 0.60 exists), so the contract is exercised,
+    not just vacuously true."""
+    rows = (
+        REGISTRY["docs_classifier_calibration"].spark(spark, SF01).collect()
+    )
+    by_bin = {r.bin: r for r in rows}
+    assert 20 in by_bin, "sf0.1 must exercise the overflow bin"
+    for r in rows:
+        assert -1 <= r.bin <= 20
+        if r.bin == -1:
+            assert r.bin_lo is None and r.bin_hi == pytest.approx(0.40)
+            assert r.mean_keep_prob < 0.40
+        elif r.bin == 20:
+            assert r.bin_hi is None and r.bin_lo == pytest.approx(0.60)
+            assert r.mean_keep_prob >= 0.60
+        else:
+            # the r12 failure mode: an edge bin whose mean escapes its
+            # own labeled width
+            assert r.bin_lo is not None and r.bin_hi is not None
+            assert r.bin_lo <= r.mean_keep_prob < r.bin_hi + 1e-9
+
+
+def test_cell_budget_profile_axes(spark):
+    """The profile's reason to exist: a binding cap must INFLATE the
+    candidate volume (the sum(|cell|^2) term) monotonically as cells
+    shrink, and the production row must sit at recall 1.0 with every
+    production pair co-located under every coarser setting too (bigger
+    cells merge neighborhoods, never split them apart on this corpus)."""
+    rows = {
+        r.max_cells: r
+        for r in REGISTRY["embedding_ivf_cell_budget_profile"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert set(rows) == {8, 16, 32, 65536}
+    prod = rows[65536]
+    assert prod.recall_vs_default == pytest.approx(1.0)
+    assert prod.n_base_hit > 0
+    # cost axis: fewer cells -> more candidates (strict where the cap binds)
+    assert rows[8].n_candidates > rows[16].n_candidates
+    assert rows[16].n_candidates >= rows[32].n_candidates
+    assert rows[8].n_cells < rows[16].n_cells <= rows[32].n_cells
+    # quality axis on this corpus: production pairs survive coarser blocking
+    for cap in (8, 16, 32):
+        assert rows[cap].n_base_hit == prod.n_base_hit

@@ -217,6 +217,8 @@ EXTRAS = [
     "docs_neardup_method_agreement",
     "embedding_eval_decontam",
     "docs_classifier_calibration",
+    # r13 debuts
+    "embedding_ivf_cell_budget_profile",
 ]
 
 
@@ -291,6 +293,54 @@ OPS = {
     "op_incremental_merge": _op_incremental_merge,
     "op_compact_small_files": _op_compact_small_files,
 }
+
+
+def min_merge_record(new: dict, old: dict | None) -> dict:
+    """Fold a fresh sweep into the existing BENCH_LOCAL record by
+    per-query MINIMUM.
+
+    The file's contract is "the cheapest demonstrated cost per query" —
+    it is the prior the reprobe trigger reads — but the old write path
+    dumped the CURRENT sweep verbatim, so one drifted window silently
+    replaced the floor until someone hand-merged (r12: the driver's own
+    drifted sweep left exactly such an overwrite; the judge restored the
+    committed floor). A timing is an upper bound on a query's true cost,
+    so min over records is the only merge that never loses information.
+
+    Sections merged per-key (queries/variants/extras/reprobe); keys only
+    in the old record are KEPT (still valid floors). The headline value
+    is recomputed from the merged headline timings. An old record at a
+    different scale factor is ignored wholesale — timings are only
+    comparable at the same sf. Run-specific annotations (suspect flags,
+    errors, partial) stay those of the CURRENT run: they describe the
+    sweep that just happened, not the floor.
+    """
+    if not old:
+        return new
+    try:
+        if abs(float(old.get("sf", -1)) - float(new.get("sf", -2))) > 1e-9:
+            return new
+    except (TypeError, ValueError):
+        return new
+    out = dict(new)
+    for section in ("queries", "variants", "extras", "reprobe"):
+        merged = dict(old.get(section) or {})
+        for k, v in (new.get(section) or {}).items():
+            ov = merged.get(k)
+            if v is None:
+                merged.setdefault(k, None)
+            elif ov is None:
+                merged[k] = v
+            else:
+                merged[k] = min(ov, v)
+        out[section] = merged
+    q = out.get("queries") or {}
+    out["value"] = (
+        None
+        if not q or any(v is None for v in q.values())
+        else round(sum(q.values()), 3)
+    )
+    return out
 
 
 def main() -> None:
@@ -429,7 +479,7 @@ def main() -> None:
         if abs(float(rec.get("sf", -1)) - float(sf)) > 1e-9:
             continue
         for k, v in pair_re.findall(json.dumps(rec)):
-            if k in REGISTRY:
+            if k in REGISTRY or k in OPS:
                 val = float(v)
                 if val > 0 and (k not in prior or val < prior[k]):
                     prior[k] = val
@@ -442,17 +492,28 @@ def main() -> None:
     # were reprobe-eligible); kernel twins get the same prior-relative
     # anomaly treatment as every other recorded entry.
     reprobe_floor = float(os.environ.get("SPARK_GRAFT_REPROBE_FLOOR", "1.5"))
-    sweep = {n: t for n, t in extras.items() if n not in OPS}
+    # The op_* maintenance entries are challenge-eligible too (r12 VERDICT
+    # item 3: the r12 artifact carried op_zorder_events at 11.9 s vs its
+    # 2.93 s record, unchallenged, because ops were exempt from the
+    # sweep). Trigger rule: ops re-probe at >3x their best recorded cost
+    # instead of the queries' 2x — their wall-clock includes parquet
+    # WRITES (file commit + fsync on a shared disk), which on this box
+    # swings wider than pure-compute queries even in quiet windows; 3x
+    # still catches the r12-class 4x outlier while not re-timing a
+    # write-noisy op every run.
+    OPS_REPROBE_MULT = 3.0
+    sweep = dict(extras)
     sweep.update(variants)
+
+    def _trigger(name: str) -> float:
+        mult = OPS_REPROBE_MULT if name in OPS else 2.0
+        return max(reprobe_floor, mult * prior[name])
+
     outliers = [
         n
         for n, t in sweep.items()
         if t is not None
-        and (
-            t > max(reprobe_floor, 2 * prior[n])
-            if n in prior
-            else t > reprobe_threshold
-        )
+        and (t > _trigger(n) if n in prior else t > reprobe_threshold)
     ]
     if outliers and not headline_only and os.environ.get("SPARK_GRAFT_NO_REPROBE") != "1":
         for name in outliers:
@@ -472,9 +533,18 @@ def main() -> None:
                 errors[f"warm:reprobe:{name}"] = repr(exc)[:200]
             try:
                 t0 = time.perf_counter()
-                REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                if name in OPS:
+                    op_scratch = str(
+                        Path(__file__).resolve().parent / ".bench_tmp_reprobe"
+                    )
+                    try:
+                        OPS[name](spark, sf_dir, op_scratch)
+                    finally:
+                        shutil.rmtree(op_scratch, ignore_errors=True)
+                else:
+                    REGISTRY[name].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
                 reprobe[name] = round(time.perf_counter() - t0, 3)
             except Exception as exc:
                 errors[f"reprobe:{name}"] = repr(exc)[:200]
@@ -482,8 +552,8 @@ def main() -> None:
             if (
                 name in prior
                 and reprobe[name] is not None
-                and sweep[name] > 2 * prior[name]
-                and reprobe[name] > 2 * prior[name]
+                and sweep[name] > _trigger(name)
+                and reprobe[name] > _trigger(name)
             ):
                 suspect.append(name)
 
@@ -524,9 +594,17 @@ def main() -> None:
     record_sf = float(os.environ.get("SPARK_GRAFT_RECORD_SF", "0.1"))
     if not headline_only and abs(float(sf) - record_sf) < 1e-9:
         try:
-            (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
-                json.dumps(result)
-            )
+            local = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+            old = None
+            if local.exists():
+                try:
+                    old = json.loads(local.read_text())
+                except ValueError:
+                    old = None
+            # min-merge, never overwrite: the file is the cheapest
+            # demonstrated cost per query (the reprobe trigger's prior),
+            # and a drifted sweep must not clobber the floor
+            local.write_text(json.dumps(min_merge_record(result, old)))
         except OSError:
             pass
     # BENCH_r05 was parsed:null because the driver's stdout capture kept

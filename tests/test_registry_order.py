@@ -1,16 +1,18 @@
-"""Pins the r12 sampled-window composition.
+"""Pins the r13 sampled-window composition.
 
 The driver's correctness gate samples list(all_queries())[:50] (verified
-r5-r11: the CORRECTNESS key set equals the first-50 slice). The rotation
+r5-r12: the CORRECTNESS key set equals the first-50 slice). The rotation
 policy (plans/__init__.py, applied as an ordered VIEW via
 registry.WINDOW_PRIORITY — REGISTRY itself keeps registration order)
 requires the window to contain, in priority order: the flagship, every
-query never driver-sampled in rounds 1-11, this round's debuts, and the
-17 remaining queries whose most recent driver-green row is r7 (the r11
-VERDICT's top punch-list item — after r12 no declared query's last
-green row is older than r8); the remaining slots are filled by the
-family longest without a driver-green row (last green r8), in
-deterministic alphabetical order.
+query never driver-sampled in rounds 1-12, this round's debuts, every
+CHANGED-DEFINITION query (new r13 policy, the r12 VERDICT's top
+punch-list item: a query whose declared result set or schema changed
+after its last external green row re-enters the window ahead of
+staleness fill, so the gate confirms the definition that actually
+shipped), and the 22 remaining queries whose most recent driver-green
+row is r8; the remaining slots are filled by the family longest without
+a driver-green row (last green r9), in deterministic alphabetical order.
 
 Last-green rounds are recomputed from the CORRECTNESS_r*.json files AS
 COMMITTED AT HEAD (`git show`), not the working tree: the r11 round
@@ -33,38 +35,56 @@ REPO = Path(__file__).resolve().parent.parent
 
 # new queries this round — re-verify in-window per the debut-in-window
 # policy
-R12_DEBUTS = {
-    "embedding_ivf_pq_recall_eval",
-    "embedding_margin_cap_profile",
-    "docs_neardup_method_agreement",
-    "embedding_eval_decontam",
+R13_DEBUTS = {
+    "embedding_ivf_cell_budget_profile",
+}
+
+# queries whose DECLARED output (result set or schema) changed after
+# their most recent driver-green row — the r13 policy extension: history
+# alone cannot see a definition change, so these are hand-pinned per
+# round and required in-window ahead of staleness fill.
+#   docs_classifier_calibration — r13: explicit underflow/overflow bins
+#     (-1/20 with an open NULL side) replaced the edge-bin clamp; last
+#     green r12 on the clamped form.
+#   embedding_margin_pairs — r12: per-endpoint cand_cap=32 prunes the
+#     result set; last green r11 on the uncapped definition.
+#   parts_copurchase_lift — r12: schema gained confidence_b_to_a; last
+#     green r11 on the one-direction schema.
+R13_CHANGED_DEF = {
     "docs_classifier_calibration",
+    "embedding_margin_pairs",
+    "parts_copurchase_lift",
 }
 
-# the 17 queries whose last driver-green row is r7 — required in the r12
-# window so no declared query's confirmation is older than r8 afterwards
-R7_STALE = {
-    "events_stickiness_weekly",
-    "events_type_hour_chisq",
-    "events_user_lifecycle",
-    "events_value_mad",
-    "json_props_extract",
-    "math_functions",
-    "orders_seasonality",
-    "per_source_latest_metrics",
-    "rate_limited_events",
-    "sessionize_events",
-    "source_id_remap",
-    "string_functions",
-    "topic_codec",
-    "tumbling_daily_metrics",
-    "uptime_and_latency_metrics",
-    "validation_dead_letter",
-    "wall_grid_plan",
+# the 22 queries whose last driver-green row is r8 — required in the r13
+# window so no declared query's confirmation is older than r9 afterwards
+R8_STALE = {
+    "embedding_cosine_neardup_lsh",
+    "embedding_hard_negatives",
+    "embedding_int8_quant",
+    "embedding_knn_label_eval",
+    "embedding_mmr_rerank",
+    "embedding_pc1_outliers",
+    "embedding_power_iteration_pc1",
+    "embedding_semdedup_lsh",
+    "embedding_silhouette",
+    "events_ab_test",
+    "events_cuped",
+    "events_daily_acf",
+    "events_ewma_anomaly",
+    "events_k_anonymity",
+    "events_ks_test",
+    "events_markov_removal_effect",
+    "events_psi_drift",
+    "events_session_survival",
+    "media_phash_neardup",
+    "media_resize_plan",
+    "media_text_pairs",
+    "orders_open_backlog",
 }
 
-# fill pool: the family last driver-green r8
-R8_FAMILY_GREEN_ROUND = 8
+# fill pool: the family last driver-green r9
+R9_FAMILY_GREEN_ROUND = 9
 
 
 def _committed_correctness_files() -> list[str]:
@@ -102,46 +122,59 @@ def _green_round_by_query() -> dict[str, int]:
     return last
 
 
-def test_history_has_r11():
-    """The rotation derives from the committed correctness history — r11's
-    record landing in git was the r11 VERDICT's precondition for this
+def test_history_has_r12():
+    """The rotation derives from the committed correctness history — r12's
+    record landing in git was the r12 VERDICT's precondition for this
     round's rotation."""
-    assert "CORRECTNESS_r11.json" in _committed_correctness_files()
+    assert "CORRECTNESS_r12.json" in _committed_correctness_files()
 
 
-def test_r7_stale_set_matches_history():
-    """The hand-pinned R7_STALE set must equal the actual set of queries
-    whose last driver-green row is r7 (per committed history)."""
+def test_r8_stale_set_matches_history():
+    """The hand-pinned R8_STALE set must equal the actual set of queries
+    whose last driver-green row is r8 (per committed history)."""
     green = _green_round_by_query()
-    actual = {q for q, r in green.items() if r <= 7 and q in REGISTRY}
-    assert actual == R7_STALE, (
-        f"r7-stale drift: pinned-but-not-stale "
-        f"{sorted(R7_STALE - actual)}, stale-but-not-pinned "
-        f"{sorted(actual - R7_STALE)}"
+    actual = {q for q, r in green.items() if r <= 8 and q in REGISTRY}
+    assert actual == R8_STALE, (
+        f"r8-stale drift: pinned-but-not-stale "
+        f"{sorted(R8_STALE - actual)}, stale-but-not-pinned "
+        f"{sorted(actual - R8_STALE)}"
     )
+
+
+def test_changed_def_rows_are_really_pending_reconfirmation():
+    """Each changed-definition row must actually have a green row in
+    history (else it is a debut, not a re-window) — and must be declared
+    with an oracle, or the re-confirmation would be the weaker rows-only
+    check."""
+    green = _green_round_by_query()
+    oracles = all_oracles()
+    for q in R13_CHANGED_DEF:
+        assert q in green, f"{q} has no prior green row — that's a debut"
+        assert oracles.get(q), f"{q} lost its oracle"
 
 
 def test_window_contains_required_rows():
     """The 50-row window must contain the flagship, every query never
-    driver-green in r1-r11, every r12 debut, and every r7-stale query;
-    any debut overflow must sit IMMEDIATELY after the window (first in
-    line for r13)."""
+    driver-green in r1-r12, every r13 debut, every changed-definition
+    row, and every r8-stale query; any overflow must sit IMMEDIATELY
+    after the window (first in line for r14)."""
     order = list(all_queries())
     window = order[:50]
     green = _green_round_by_query()
-    never = {q for q in order if q not in green} - R12_DEBUTS
-    registered_debuts = R12_DEBUTS & set(order)
+    never = {q for q in order if q not in green} - R13_DEBUTS
+    registered_debuts = R13_DEBUTS & set(order)
     required_in = (
         never
         | {"asof_ttl_overlay"}
         | registered_debuts
-        | (R7_STALE & set(order))
+        | (R13_CHANGED_DEF & set(order))
+        | (R8_STALE & set(order))
     )
     missing = required_in - set(window)
     assert not missing, (
-        f"r12 window must contain the flagship, every never-driver-green "
-        f"query, every debut, and every r7-stale query; missing: "
-        f"{sorted(missing)}"
+        f"r13 window must contain the flagship, every never-driver-green "
+        f"query, every debut, every changed-definition row, and every "
+        f"r8-stale query; missing: {sorted(missing)}"
     )
     overflow = registered_debuts - set(window)
     assert set(order[50 : 50 + len(overflow)]) == overflow, (
@@ -152,21 +185,26 @@ def test_window_contains_required_rows():
 
 def test_window_fill_is_the_stalest_family():
     """Every non-required window slot is spent on the stalest remaining
-    family (last driver-green r8) — the rotation must not waste slots on
+    family (last driver-green r9) — the rotation must not waste slots on
     recently-confirmed queries."""
     order = list(all_queries())
     window = order[:50]
     green = _green_round_by_query()
     required = (
         {q for q in order if q not in green}
-        | R12_DEBUTS
-        | R7_STALE
+        | R13_DEBUTS
+        | R13_CHANGED_DEF
+        | R8_STALE
         | {"asof_ttl_overlay"}
     )
     spare = [q for q in window if q not in required]
-    stale = {q for q, r in green.items() if r <= R8_FAMILY_GREEN_ROUND}
+    stale = {
+        q
+        for q, r in green.items()
+        if r <= R9_FAMILY_GREEN_ROUND and q not in required
+    }
     assert set(spare) <= stale, (
-        f"window fill must come from the stalest (r8) family; offenders: "
+        f"window fill must come from the stalest (r9) family; offenders: "
         f"{sorted(set(spare) - stale)}"
     )
     # completeness: EVERY stale-family row must sit inside the priority

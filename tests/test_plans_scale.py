@@ -236,6 +236,12 @@ ALLOWED_BNLJ = {
     # fact table contributes one user window pass + one edge aggregate;
     # all 16 propagation rounds run on the scenario x state frame
     "events_markov_removal_effect",
+    # per-cap metric assembly: each swept setting cross-joins three 1-ROW
+    # aggregate frames (cell count, candidate count, base-hit count) plus
+    # the 1-row base-count spine — every BNLJ side is a global aggregate,
+    # bounded by construction at any corpus size; the heavy work
+    # (membership joins, the distinct, the semi-joins) is all equi-keyed
+    "embedding_ivf_cell_budget_profile",
 }
 
 

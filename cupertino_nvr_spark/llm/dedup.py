@@ -542,16 +542,6 @@ def embedding_neardup_pairs(
     for embedding columns (reference has no analog; north star per
     /root/repo/BASELINE.json).
 
-    Two physical shapes, one result (r13): without ``per_cell_cap`` the
-    cell self-join runs on skinny (id, cell) rows, the pair set is
-    distinct-ed FIRST, and vectors rejoin by id for one cosine per
-    distinct pair — the candidate shuffle carries 16-byte pairs instead
-    of two ~512-byte vectors per row, and multi-probe's up-to-2x scoring
-    duplication disappears (A/B measured in ROUND_NOTES_r13, same pair
-    set by construction). With ``per_cell_cap`` the scoring
-    must stay pre-distinct (the per-(cell, member) rank is defined over
-    in-cell sims), so that branch keeps the fat join + post-score cap.
-
     ``per_cell_cap`` (the mining-family consumer, r12): keep only each
     member's ``per_cell_cap`` best candidates WITHIN each of its cells
     (rank by rounded sim desc, then neighbor id — the same total order
@@ -580,51 +570,6 @@ def embedding_neardup_pairs(
     members = embedding_cell_members(
         vectors, id_col, vec_col, max_cells, n_assign, sim_decimals, kernel
     )
-    if per_cell_cap is None:
-        # r13: score AFTER the pair distinct, not per cell-pair row. The
-        # self-join then shuffles 16-byte id pairs instead of carrying two
-        # ~512-byte vectors through every sum(|cell|^2) candidate row, the
-        # cosine is paid once per DISTINCT pair instead of once per shared
-        # cell (top-2 multi-probe duplicates a near-pair's scoring up to
-        # 2x), and the threshold filter runs on identical rounded sims —
-        # same result set by construction (sim is pair-intrinsic).
-        # Vectors rejoin via two id-equi-joins; at test scale they
-        # auto-broadcast, at 100 TB they are shuffle joins on the skinny
-        # candidate stream — strictly fewer bytes than the fat cell join
-        # whenever a vector is wider than ~2 ids, which 64 dims always is.
-        # The per_cell_cap branch below MUST keep pre-distinct scoring:
-        # its per-(cell, member) rank is defined over in-cell sims.
-        from cupertino_nvr_spark.llm.similarity import as_double
-
-        mem = members.select("member_id", "cell_id")
-        cand = (
-            mem.select("cell_id", F.col("member_id").alias("id_a"))
-            .join(
-                mem.select("cell_id", F.col("member_id").alias("id_b")),
-                "cell_id",
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        ea = vectors.select(
-            F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("avec")
-        )
-        eb = vectors.select(
-            F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("bvec")
-        )
-        return (
-            cand.join(ea, "id_a")
-            .join(eb, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.round(
-                    cosine(F.col("avec"), F.col("bvec")), sim_decimals
-                ).alias("sim"),
-            )
-            .filter(F.col("sim") >= threshold)
-        )
     a = members.select(
         F.col("cell_id"),
         F.col("member_id").alias("id_a"),
@@ -642,39 +587,40 @@ def embedding_neardup_pairs(
         "id_b",
         F.round(cosine(F.col("avec"), F.col("bvec")), sim_decimals).alias("sim"),
     )
-    # cosine paid once per cell-pair, THEN fanned to both directions;
-    # the (cell_id, member) window clusters by a superset of the pair
-    # join's cell_id partitioning, so Catalyst plans a sort, not a
-    # new exchange — the full candidate volume is never shuffled
-    directed = scored.select(
-        "cell_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("x"),
-                    F.col("id_b").alias("n"),
-                    F.col("sim").alias("sim"),
-                ),
-                F.struct(
-                    F.col("id_b").alias("x"),
-                    F.col("id_a").alias("n"),
-                    F.col("sim").alias("sim"),
-                ),
-            )
-        ).alias("e"),
-    ).select("cell_id", "e.*")
-    wcell = Window.partitionBy("cell_id", "x").orderBy(
-        F.col("sim").desc(), F.col("n")
-    )
-    scored = (
-        directed.withColumn("rc", F.row_number().over(wcell))
-        .filter(F.col("rc") <= per_cell_cap)
-        .select(
-            F.least("x", "n").alias("id_a"),
-            F.greatest("x", "n").alias("id_b"),
-            "sim",
+    if per_cell_cap is not None:
+        # cosine paid once per cell-pair, THEN fanned to both directions;
+        # the (cell_id, member) window clusters by a superset of the pair
+        # join's cell_id partitioning, so Catalyst plans a sort, not a
+        # new exchange — the full candidate volume is never shuffled
+        directed = scored.select(
+            "cell_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("x"),
+                        F.col("id_b").alias("n"),
+                        F.col("sim").alias("sim"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("x"),
+                        F.col("id_a").alias("n"),
+                        F.col("sim").alias("sim"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("cell_id", "e.*")
+        wcell = Window.partitionBy("cell_id", "x").orderBy(
+            F.col("sim").desc(), F.col("n")
         )
-    )
+        scored = (
+            directed.withColumn("rc", F.row_number().over(wcell))
+            .filter(F.col("rc") <= per_cell_cap)
+            .select(
+                F.least("x", "n").alias("id_a"),
+                F.greatest("x", "n").alias("id_b"),
+                "sim",
+            )
+        )
     return (
         scored.select("id_a", "id_b", "sim")
         .filter(F.col("sim") >= threshold)

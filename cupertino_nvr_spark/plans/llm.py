@@ -1354,12 +1354,11 @@ def embedding_ivf_cell_budget_profile(
 ) -> DataFrame:
     from functools import reduce
 
-    from cupertino_nvr_spark.llm.dedup import embedding_cell_members
-    from cupertino_nvr_spark.llm.similarity import (
-        as_double,
-        cosine,
-        ivf_centroids,
+    from cupertino_nvr_spark.llm.dedup import (
+        embedding_cell_members,
+        embedding_neardup_pairs,
     )
+    from cupertino_nvr_spark.llm.similarity import ivf_centroids
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
     aug = augmented_embeddings(spark, sf_dir)
@@ -1372,35 +1371,24 @@ def embedding_ivf_cell_budget_profile(
         b = mem.select("cell_id", F.col("member_id").alias("id_b"))
         # membership-only candidate set: same distinct pair set as the
         # chain's scored `pairs` stage (sim is pair-intrinsic), without
-        # paying a cosine per candidate
+        # paying a cosine per candidate — an id-only frame, so the
+        # distinct shuffles 16-byte rows
         cands[cap] = reliable_checkpoint(
             a.join(b, "cell_id")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
         )
-    # the production-budget reference pair set, scored from the ALREADY
-    # materialized production candidate frame (one cosine per DISTINCT
-    # candidate, not per cell-pair row — same sim by construction) via
-    # two broadcast dim joins; feeds one semi-join per swept cap plus
-    # its own count
-    ea = F.broadcast(
-        aug.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("avec"))
-    )
-    eb = F.broadcast(
-        aug.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("bvec"))
-    )
+    # the production-budget reference pair set: the registered chain
+    # itself. Deliberately NOT rebuilt by joining vectors onto the
+    # checkpointed candidate frame — the r13 A/B (ROUND_NOTES_r13)
+    # measured that shape 5x SLOWER at sf1 (the full candidate stream
+    # pays a distinct plus two sort-merge joins with growing vector
+    # payloads), while the chain keeps the stream pipelined inside the
+    # cell join's stage and only the post-threshold survivors shuffle.
+    # Feeds one semi-join per swept cap plus its own count.
     base = reliable_checkpoint(
-        cands[None]
-        .join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("avec"), F.col("bvec")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.99)
-        .select("id_a", "id_b")
+        embedding_neardup_pairs(aug, threshold=0.99).select("id_a", "id_b")
     )
     rows = []
     for cap, cand in cands.items():

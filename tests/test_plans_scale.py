@@ -239,8 +239,9 @@ ALLOWED_BNLJ = {
     # per-cap metric assembly: each swept setting cross-joins three 1-ROW
     # aggregate frames (cell count, candidate count, base-hit count) plus
     # the 1-row base-count spine — every BNLJ side is a global aggregate,
-    # bounded by construction at any corpus size; the heavy work
-    # (membership joins, the distinct, the semi-joins) is all equi-keyed
+    # bounded by construction at any corpus size; the reference chain is
+    # embedding_cosine_neardup's justified shape, and the swept candidate
+    # counts ride skinny membership equi-joins
     "embedding_ivf_cell_budget_profile",
 }
 

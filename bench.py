@@ -307,13 +307,18 @@ def min_merge_record(new: dict, old: dict | None) -> dict:
     committed floor). A timing is an upper bound on a query's true cost,
     so min over records is the only merge that never loses information.
 
-    Sections merged per-key (queries/variants/extras/reprobe); keys only
-    in the old record are KEPT (still valid floors). The headline value
-    is recomputed from the merged headline timings. An old record at a
-    different scale factor is ignored wholesale — timings are only
-    comparable at the same sf. Run-specific annotations (suspect flags,
-    errors, partial) stay those of the CURRENT run: they describe the
-    sweep that just happened, not the floor.
+    Sections merged per-key (variants/extras/reprobe); keys only in the
+    old record are KEPT there (still valid floors). The `queries`
+    section is the exception: its keys are restricted to the CURRENT
+    headline set, because its sum IS the recorded headline value — a
+    renamed or retired headline entry left in the floor would inflate
+    every future value and could never be lowered (min only goes down
+    per key). The headline value and the `partial` flag are recomputed
+    from the MERGED headline timings, preserving main()'s
+    value-null-iff-partial invariant on the written record; other
+    run-specific annotations (suspect flags, errors) stay those of the
+    CURRENT run. An old record at a different scale factor is ignored
+    wholesale — timings are only comparable at the same sf.
     """
     if not old:
         return new
@@ -333,13 +338,16 @@ def min_merge_record(new: dict, old: dict | None) -> dict:
                 merged[k] = v
             else:
                 merged[k] = min(ov, v)
+        if section == "queries":
+            merged = {k: merged[k] for k in (new.get(section) or {})}
         out[section] = merged
     q = out.get("queries") or {}
-    out["value"] = (
-        None
-        if not q or any(v is None for v in q.values())
-        else round(sum(q.values()), 3)
-    )
+    partial = not q or any(v is None for v in q.values())
+    out["value"] = None if partial else round(sum(q.values()), 3)
+    if partial:
+        out["partial"] = True
+    else:
+        out.pop("partial", None)
     return out
 
 

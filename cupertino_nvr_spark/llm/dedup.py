@@ -318,15 +318,18 @@ def simhash_band_membership(
     adds its corpus-wide hot-band anti-join) and the streaming twin
     (capping is stateful there). No hot-cap here: membership is
     incremental knowledge in a stream."""
-    if bits % n_bands != 0:
+    if n_bands <= 0 or bits % n_bands != 0:
         # silent remainder bits would never be banded, voiding the
         # pigeonhole guarantee (a pair within Hamming n_bands-1 whose
         # differing bits all sit in the uncovered high bits shares no
-        # band) — fail loudly, the margin cand_cap < k convention
+        # band) — fail loudly, the margin cand_cap < k convention.
+        # n_bands <= 0 is guarded here too: 0 would ZeroDivisionError on
+        # the modulo and a negative count satisfies Python's modulo
+        # (32 % -4 == 0) while producing a nonsensical negative mask.
         raise ValueError(
-            f"bits={bits} not divisible by n_bands={n_bands}: the top "
-            f"{bits % n_bands} bits would be excluded from every band, "
-            "breaking the pigeonhole recall guarantee"
+            f"n_bands={n_bands} must be a positive divisor of bits={bits}: "
+            "uncovered remainder bits would break the pigeonhole recall "
+            "guarantee"
         )
     band_bits = bits // n_bands
     mask = 2**band_bits - 1
@@ -470,6 +473,7 @@ def embedding_cell_members(
     n_assign: int = 2,
     sim_decimals: int = 6,
     kernel: str = "hof",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Multi-probe IVF cell membership: (member_id, mvec, cell_id), one
     row per (vector, assigned cell), top-``n_assign`` cells by rounded
@@ -492,7 +496,10 @@ def embedding_cell_members(
 
     cosine = make_cosine(kernel)
     centroids = ivf_centroids(
-        vectors, id_col, IVF_MAX_CELLS if max_cells is None else max_cells
+        vectors,
+        id_col,
+        IVF_MAX_CELLS if max_cells is None else max_cells,
+        n_rows=n_rows,
     )
     cent = centroids.select(
         F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
@@ -513,6 +520,37 @@ def embedding_cell_members(
         scored.withColumn("r", F.row_number().over(wc))
         .filter(F.col("r") <= n_assign)
         .select("member_id", "mvec", "cell_id")
+    )
+
+
+def embedding_candidate_ids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int | None = None,
+    n_assign: int = 2,
+    sim_decimals: int = 6,
+    kernel: str = "hof",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """The blocking chain's DISTINCT candidate pair SET, id-only:
+    (id_a, id_b) with id_a < id_b, one row per pair co-occupying at
+    least one assigned cell — ``embedding_neardup_pairs``' `pairs` stage
+    without the cosine (sim is pair-intrinsic, so the set is identical).
+    The skinny self-join shuffles 16-byte rows, never vectors. THE
+    shared definition behind the cell-budget profile's swept counts and
+    the sf1 A/B harness — one function, so a measurement can never
+    drift from the registered blocking (the _emb_neardup_chain_sql /
+    embedding_cell_members convention)."""
+    mem = embedding_cell_members(
+        vectors, id_col, vec_col, max_cells, n_assign, sim_decimals, kernel, n_rows
+    ).select("member_id", "cell_id")
+    return (
+        mem.select("cell_id", F.col("member_id").alias("id_a"))
+        .join(mem.select("cell_id", F.col("member_id").alias("id_b")), "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 

@@ -548,7 +548,8 @@ def ivf_ann_topk_blocked(
 ) -> DataFrame:
     """IVF ANN with assignment + scoring fused into one corpus pass.
 
-    Centroids (≤ ``IVF_MAX_CELLS``, ≈2 MiB) and probes both ride in the UDF
+    Centroids (≤ ``IVF_MAX_CELLS``, ≤ the 32 MiB broadcast budget by
+    construction) and probes both ride in the UDF
     closure; probe→cell routing is computed driver-side on those two tiny
     matrices. The single ``mapInPandas`` pass then does per batch: one
     matmul against centroids (argmax = cell assignment; centroid ids sorted

@@ -1355,29 +1355,22 @@ def embedding_ivf_cell_budget_profile(
     from functools import reduce
 
     from cupertino_nvr_spark.llm.dedup import (
-        embedding_cell_members,
+        embedding_candidate_ids,
         embedding_neardup_pairs,
     )
     from cupertino_nvr_spark.llm.similarity import ivf_centroids
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
     aug = augmented_embeddings(spark, sf_dir)
+    # one bounded-scalar corpus count reused by every centroid build
+    # below (each would otherwise re-count the corpus for its stride)
+    n_aug = aug.count()
     cands: dict[int | None, DataFrame] = {}
     for cap in (8, 16, 32, None):
-        mem = embedding_cell_members(aug, max_cells=cap).select(
-            "member_id", "cell_id"
-        )
-        a = mem.select("cell_id", F.col("member_id").alias("id_a"))
-        b = mem.select("cell_id", F.col("member_id").alias("id_b"))
-        # membership-only candidate set: same distinct pair set as the
-        # chain's scored `pairs` stage (sim is pair-intrinsic), without
-        # paying a cosine per candidate — an id-only frame, so the
-        # distinct shuffles 16-byte rows
+        # the shared id-only candidate-set definition (no cosine paid;
+        # the distinct shuffles 16-byte rows)
         cands[cap] = reliable_checkpoint(
-            a.join(b, "cell_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+            embedding_candidate_ids(aug, max_cells=cap, n_rows=n_aug)
         )
     # the production-budget reference pair set: the registered chain
     # itself. Deliberately NOT rebuilt by joining vectors onto the
@@ -1396,7 +1389,7 @@ def embedding_ivf_cell_budget_profile(
         rows.append(
             spark.range(1)
             .select(F.lit(label).cast("long").alias("max_cells"))
-            .crossJoin(ivf_centroids(aug, max_cells=label).agg(
+            .crossJoin(ivf_centroids(aug, max_cells=label, n_rows=n_aug).agg(
                 F.count("*").alias("n_cells")
             ))
             .crossJoin(cand.agg(F.count("*").alias("n_candidates")))

@@ -50,6 +50,33 @@ def test_new_keys_and_dropped_keys_both_survive():
     assert got["value"] == 3.9
 
 
+def test_retired_headline_keys_cannot_inflate_the_value():
+    """The queries section is restricted to the CURRENT headline set: a
+    renamed/retired headline entry must not stay in the floor forever and
+    be summed into every future recorded value."""
+    old = _rec(queries={"renamed_away": 5.0, "a": 1.0}, value=6.0)
+    new = _rec(queries={"a": 1.2}, value=1.2)
+    got = min_merge_record(new, old)
+    assert got["queries"] == {"a": 1.0}
+    assert got["value"] == 1.0
+
+
+def test_partial_flag_tracks_the_merged_record():
+    """value-null-iff-partial must hold on the WRITTEN record: a partial
+    sweep whose failed query is backfilled by an old floor yields a full
+    merged record (partial dropped, value summed); a never-succeeded
+    query keeps the merged record partial with a null value."""
+    old = _rec(queries={"a": 1.0, "b": 2.0}, value=3.0)
+    new = _rec(queries={"a": None, "b": 1.5}, partial=True)
+    got = min_merge_record(new, old)
+    assert got["queries"] == {"a": 1.0, "b": 1.5}
+    assert got["value"] == 2.5 and "partial" not in got
+    got2 = min_merge_record(
+        _rec(queries={"a": None}, partial=True), _rec(queries={"b": 9.9})
+    )
+    assert got2["value"] is None and got2["partial"] is True
+
+
 def test_errored_entries_never_erase_a_floor():
     old = _rec(queries={"a": 1.0}, reprobe={"r": 2.0})
     new = _rec(queries={"a": None}, reprobe={"r": None, "s": 1.1})

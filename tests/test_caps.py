@@ -89,7 +89,13 @@ def test_simhash_banding_rejects_indivisible_bits(spark):
     from cupertino_nvr_spark.llm.dedup import simhash_band_membership
 
     sigs = spark.createDataFrame([(1, 7)], "doc_id bigint, simhash bigint")
-    with pytest.raises(ValueError, match="not divisible"):
+    with pytest.raises(ValueError, match="positive divisor"):
         simhash_band_membership(sigs, bits=32, n_bands=5)
+    # degenerate counts fail the same loud way, not ZeroDivisionError /
+    # a silently-negative mask (32 % -4 == 0 in Python)
+    with pytest.raises(ValueError, match="positive divisor"):
+        simhash_band_membership(sigs, bits=32, n_bands=0)
+    with pytest.raises(ValueError, match="positive divisor"):
+        simhash_band_membership(sigs, bits=32, n_bands=-4)
     # the registered configuration still bands cleanly
     assert simhash_band_membership(sigs, bits=32, n_bands=4).count() == 4

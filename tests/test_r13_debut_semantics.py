@@ -13,7 +13,6 @@ hash gate (which proves engine parity, not intent):
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F  # noqa: F401
 
 from cupertino_nvr_spark.plans import REGISTRY
 

@@ -6,7 +6,7 @@ A. Scoring-shape A/B on the thresholded embedding near-dup chain: the
    inside one stage) vs an inline replica of a score-after-distinct
    shape (skinny id join, distinct first, vectors rejoin by id). The
    replica looked 2x better at sf0.1 (broadcast-join regime) and
-   measured 5x WORSE at sf1 (the full n^1.5 stream pays a distinct plus
+   measured 4.2x WORSE at sf1 (the full n^1.5 stream pays a distinct plus
    two sort-merge joins with growing vector payloads) — kept here as
    the measured reason the shipped shape stays.
 B. Cell-cap knob effect (r12 VERDICT item 6): the same thresholded chain
@@ -30,7 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from cupertino_nvr_spark.llm.dedup import (
-    embedding_cell_members,
+    embedding_candidate_ids,
     embedding_neardup_pairs,
 )
 from cupertino_nvr_spark.llm.similarity import make_cosine
@@ -51,16 +51,7 @@ def post_distinct_pairs(aug, threshold=0.99, max_cells=None):
     from cupertino_nvr_spark.llm.similarity import as_double
 
     cosine = make_cosine("hof")
-    mem = embedding_cell_members(aug, max_cells=max_cells).select(
-        "member_id", "cell_id"
-    )
-    cand = (
-        mem.select("cell_id", F.col("member_id").alias("id_a"))
-        .join(mem.select("cell_id", F.col("member_id").alias("id_b")), "cell_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = embedding_candidate_ids(aug, max_cells=max_cells)
     ea = aug.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("avec"))
     eb = aug.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("bvec"))
     return (
@@ -114,19 +105,11 @@ def main() -> None:
     print("\n== min-of-%d ==" % REPS, flush=True)
     for name, ts in results.items():
         print(f"{name}: min={min(ts)} all={ts}", flush=True)
-    # candidate volumes for the B arms (one pass, volume is deterministic)
+    # candidate volumes for the B arms (one pass, volume is deterministic;
+    # the shared embedding_candidate_ids definition, so the count can never
+    # drift from the registered blocking)
     for cap in (None, 64, 16):
-        mem = embedding_cell_members(aug1, max_cells=cap).select(
-            "member_id", "cell_id"
-        )
-        n = (
-            mem.select("cell_id", F.col("member_id").alias("id_a"))
-            .join(mem.select("cell_id", F.col("member_id").alias("id_b")), "cell_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-            .count()
-        )
+        n = embedding_candidate_ids(aug1, max_cells=cap).count()
         print(f"candidates sf1 cap={cap}: {n}", flush=True)
     # result-set equality of the two shapes (pair-set compare)
     shipped = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(aug1, threshold=0.99).select("id_a", "id_b").collect()}

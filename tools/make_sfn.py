@@ -233,6 +233,14 @@ def main() -> None:
                 f"--write-manifest after confirming which: {drift}"
             )
         print(f"manifest matches {MANIFEST}")
+    elif is_documented_recipe:
+        # documented recipe but no pin on disk: the hashes above are
+        # UNVERIFIED — say so (the silent third branch the r13 review
+        # caught), and point at the flag that creates the pin
+        print(
+            f"manifest check skipped ({MANIFEST} does not exist; run with "
+            "--write-manifest to pin this generation)"
+        )
     elif not is_documented_recipe:
         # the per-table hashes above are informational only in this case —
         # say so instead of printing them as if they were checked

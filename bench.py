@@ -219,6 +219,8 @@ EXTRAS = [
     "docs_classifier_calibration",
     # r13 debuts
     "embedding_ivf_cell_budget_profile",
+    # r14 debuts
+    "docs_simhash_neardup_uncapped",
 ]
 
 
@@ -295,9 +297,13 @@ OPS = {
 }
 
 
-def min_merge_record(new: dict, old: dict | None) -> dict:
-    """Fold a fresh sweep into the existing BENCH_LOCAL record by
-    per-query MINIMUM.
+def min_merge_record(
+    new: dict,
+    old: dict | None,
+    changed_defs: frozenset[str] | set[str] = frozenset(),
+    valid_keys: set[str] | None = None,
+) -> dict:
+    """Fold a fresh sweep into the existing record by per-query MINIMUM.
 
     The file's contract is "the cheapest demonstrated cost per query" —
     it is the prior the reprobe trigger reads — but the old write path
@@ -319,6 +325,21 @@ def min_merge_record(new: dict, old: dict | None) -> dict:
     run-specific annotations (suspect flags, errors) stay those of the
     CURRENT run. An old record at a different scale factor is ignored
     wholesale — timings are only comparable at the same sf.
+
+    ``changed_defs`` (r13 ADVICE item 2): old-record keys named here are
+    DROPPED before merging instead of min-merged across definitions — a
+    floor recorded under a query's OLD definition is an unreachable
+    prior that would trip the reprobe/suspect path on every future run
+    of a changed, legitimately different-cost definition. Pass the
+    CURRENT round's changed-definition set
+    (plans/rotation.py::R14_CHANGED_DEF); the new sweep's own timing
+    (the first floor of the new definition) still enters.
+
+    ``valid_keys`` (same ADVICE item): when given, old-record keys not
+    in it are pruned from every section — retired/renamed entries must
+    not persist as floors forever (the queries section was already
+    restricted to the current headline set because its sum IS the
+    value; this extends the hygiene to variants/extras/reprobe).
     """
     if not old:
         return new
@@ -327,9 +348,15 @@ def min_merge_record(new: dict, old: dict | None) -> dict:
             return new
     except (TypeError, ValueError):
         return new
+
+    def _keep_old(k: str) -> bool:
+        return k not in changed_defs and (valid_keys is None or k in valid_keys)
+
     out = dict(new)
     for section in ("queries", "variants", "extras", "reprobe"):
-        merged = dict(old.get(section) or {})
+        merged = {
+            k: v for k, v in (old.get(section) or {}).items() if _keep_old(k)
+        }
         for k, v in (new.get(section) or {}).items():
             ov = merged.get(k)
             if v is None:
@@ -349,6 +376,81 @@ def min_merge_record(new: dict, old: dict | None) -> dict:
     else:
         out.pop("partial", None)
     return out
+
+
+# Durable per-scale floor records (each holds ONE min-merged record).
+# sf0.1 is the round-record scale the driver sweeps; sf1 is the scale
+# that keeps DECIDING plan shapes (the r13 A/B proved an sf0.1 win can
+# invert 4.2x at sf1) — r13 VERDICT item 4: those deciding numbers get
+# the same min-merge floor record and reprobe-prior treatment as the
+# bench scale, instead of living in round-notes prose where no floor or
+# reprobe prior can challenge them. Timings are only comparable at the
+# same sf, so one file per scale.
+RECORD_FILES = {0.1: "BENCH_LOCAL.json", 1.0: "BENCH_SF1.json"}
+
+
+def record_file_for(sf: float) -> Path | None:
+    for rec_sf, name in RECORD_FILES.items():
+        if abs(rec_sf - sf) < 1e-9:
+            return Path(__file__).resolve().parent / name
+    return None
+
+
+def _write_min_merged(path: Path, new: dict) -> None:
+    # changed-definition floors are dropped at merge time; deriving the
+    # set from CHANGED_DEF_ROUND keeps bench.py round-agnostic (the
+    # per-round pin lives in plans/rotation.py only)
+    from cupertino_nvr_spark.plans.rotation import (
+        CHANGED_DEF_ROUND,
+        CURRENT_ROUND,
+    )
+
+    changed = {q for q, r in CHANGED_DEF_ROUND.items() if r == CURRENT_ROUND}
+    old = None
+    if path.exists():
+        try:
+            old = json.loads(path.read_text())
+        except ValueError:
+            old = None
+    path.write_text(
+        json.dumps(
+            min_merge_record(
+                new,
+                old,
+                changed_defs=changed,
+                valid_keys=set(REGISTRY) | set(OPS),
+            )
+        )
+    )
+
+
+def record_extra_floors(entries: dict[str, float | None], sf: float) -> Path | None:
+    """Min-merge tool-measured floors (e.g. the sf1 A/B arms) into the
+    scale's durable record, under ``extras``.
+
+    Keys must be REGISTRY/OPS names (``valid_keys`` prunes anything
+    else at the next merge). The synthetic record carries
+    ``queries: {headline: None}`` so the merge KEEPS every existing
+    headline floor (a None timing never erases a floor) and the
+    value-null-iff-partial invariant is recomputed from the merged
+    state, not clobbered by the tool write.
+    """
+    path = record_file_for(float(sf))
+    if path is None:
+        return None
+    new = {
+        "metric": "headline_queries_total_sec",
+        "value": None,
+        "unit": "sec",
+        "queries": {name: None for name in HEADLINE},
+        "variants": {},
+        "extras": dict(entries),
+        "reprobe": {},
+        "sf": float(sf),
+        "partial": True,
+    }
+    _write_min_merged(path, new)
+    return path
 
 
 def main() -> None:
@@ -470,12 +572,17 @@ def main() -> None:
     # "is today's number machine noise".
     import re
 
+    from cupertino_nvr_spark.plans.rotation import (
+        CHANGED_DEF_ROUND,
+        CURRENT_ROUND,
+    )
+
     prior: dict[str, float] = {}
     here = Path(__file__).resolve().parent
     # tails are JSON-escaped inside the driver record: \"name\": 1.2
     pair_re = re.compile(r'\\?"([a-z0-9_]+)\\?":\s*([0-9]+(?:\.[0-9]+)?)')
     for rec_path in sorted(here.glob("BENCH_r*.json")) + [
-        here / "BENCH_LOCAL.json"
+        here / name for name in RECORD_FILES.values()
     ]:
         try:
             rec = json.loads(rec_path.read_text())
@@ -486,8 +593,21 @@ def main() -> None:
         # the local full line
         if abs(float(rec.get("sf", -1)) - float(sf)) > 1e-9:
             continue
+        # a floor recorded under a query's OLD definition is unreachable
+        # by the new one (r13 ADVICE item 2): driver records carry their
+        # round in the filename, so entries older than the definition
+        # change are skipped; the round-less local records are treated
+        # conservatively — a query whose definition changed THIS round
+        # gets debut treatment (no prior, one-time absolute-threshold
+        # isolation) until next round's records carry new-definition
+        # floors (the merge-time drop in _write_min_merged removes the
+        # stale keys from the local records on this round's first write)
+        m = re.match(r"BENCH_r(\d+)\.json", rec_path.name)
+        rec_round = int(m.group(1)) if m else CURRENT_ROUND - 1
         for k, v in pair_re.findall(json.dumps(rec)):
-            if k in REGISTRY or k in OPS:
+            if (k in REGISTRY or k in OPS) and CHANGED_DEF_ROUND.get(
+                k, 0
+            ) <= rec_round:
                 val = float(v)
                 if val > 0 and (k not in prior or val < prior[k]):
                     prior[k] = val
@@ -542,18 +662,25 @@ def main() -> None:
             try:
                 t0 = time.perf_counter()
                 if name in OPS:
+                    # time the op call ONLY — the scratch rmtree stays
+                    # outside the timed window, matching the main sweep's
+                    # measurement (which cleans up after the loop), so the
+                    # reprobe number is comparable to the 3x trigger it is
+                    # judged against (r13 ADVICE item 1)
                     op_scratch = str(
                         Path(__file__).resolve().parent / ".bench_tmp_reprobe"
                     )
                     try:
                         OPS[name](spark, sf_dir, op_scratch)
+                        elapsed = time.perf_counter() - t0
                     finally:
                         shutil.rmtree(op_scratch, ignore_errors=True)
                 else:
                     REGISTRY[name].spark(spark, sf_dir).write.format(
                         "noop"
                     ).mode("overwrite").save()
-                reprobe[name] = round(time.perf_counter() - t0, 3)
+                    elapsed = time.perf_counter() - t0
+                reprobe[name] = round(elapsed, 3)
             except Exception as exc:
                 errors[f"reprobe:{name}"] = repr(exc)[:200]
                 reprobe[name] = None
@@ -594,25 +721,19 @@ def main() -> None:
     print(json.dumps(result))
     # full per-query record for the NEXT run's prior-cost baseline (the
     # driver's own record keeps only a stdout tail fragment). Only the
-    # round-record scale persists — a sf0.001 smoke run must not clobber
-    # the round-record priors (the file holds ONE record). The record
-    # scale follows SPARK_GRAFT_RECORD_SF (default 0.1) so a future
-    # round-record scale change (e.g. sf1) keeps refreshing the prior
-    # baseline the prior-relative reprobe trigger depends on.
-    record_sf = float(os.environ.get("SPARK_GRAFT_RECORD_SF", "0.1"))
-    if not headline_only and abs(float(sf) - record_sf) < 1e-9:
+    # recorded scales persist (RECORD_FILES: sf0.1 -> BENCH_LOCAL.json,
+    # sf1 -> BENCH_SF1.json — r13 VERDICT item 4) — a sf0.001 smoke run
+    # must not clobber the round-record priors (each file holds ONE
+    # record). Min-merge, never overwrite: the file is the cheapest
+    # demonstrated cost per query (the reprobe trigger's prior), and a
+    # drifted sweep must not clobber the floor. Headline-only sweeps
+    # record too (safe under min-merge: their empty sections keep every
+    # existing floor — sf1 runs are usually headline-only because the
+    # deliberately-quadratic extras have no business at sf1).
+    record_path = record_file_for(float(sf))
+    if record_path is not None:
         try:
-            local = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
-            old = None
-            if local.exists():
-                try:
-                    old = json.loads(local.read_text())
-                except ValueError:
-                    old = None
-            # min-merge, never overwrite: the file is the cheapest
-            # demonstrated cost per query (the reprobe trigger's prior),
-            # and a drifted sweep must not clobber the floor
-            local.write_text(json.dumps(min_merge_record(result, old)))
+            _write_min_merged(record_path, result)
         except OSError:
             pass
     # BENCH_r05 was parsed:null because the driver's stdout capture kept

@@ -358,7 +358,7 @@ def simhash_neardup_pairs(
     bits: int = 32,
     n_bands: int = 4,
     tau: int = 3,
-    band_cap: int = 64,
+    band_cap: int | None = 64,
     hash_fn: str = "md5",
 ) -> DataFrame:
     """Batch SimHash near-dup pairing (Charikar 2002 / Manku et al. 2007):
@@ -367,16 +367,27 @@ def simhash_neardup_pairs(
     rule), exact Hamming verification <= ``tau`` on candidates only.
     THE definition behind the registered docs_simhash_neardup query and
     the equality target of the streaming twin
-    (streaming/neardup.py::simhash_neardup_stream)."""
+    (streaming/neardup.py::simhash_neardup_stream).
+
+    ``band_cap=None`` skips the hot-band prune entirely — the UNCAPPED
+    semantics the stream=batch equality pin is stated on (with no cap
+    nothing saturates, so the twins agree exactly for any micro-batch
+    chopping; the registered anchor row docs_simhash_neardup_uncapped is
+    exactly this form). The pigeonhole recall guarantee is then
+    unconditional, at the price of the unbounded Σ|bucket|² candidate
+    term on clumpy corpora — production keeps the capped default."""
     sig = simhash(docs, text_col, id_col, bits, hash_fn)
     bands = simhash_band_membership(sig, id_col, bits, n_bands)
-    hot = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > band_cap)
-        .select("band_idx", "band_key")
-    )
-    kept = bands.join(hot, ["band_idx", "band_key"], "left_anti")
+    if band_cap is None:
+        kept = bands
+    else:
+        hot = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > band_cap)
+            .select("band_idx", "band_key")
+        )
+        kept = bands.join(hot, ["band_idx", "band_key"], "left_anti")
     a = kept.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = kept.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     cand = (
@@ -564,9 +575,16 @@ def embedding_neardup_pairs(
     sim_decimals: int = 6,
     kernel: str = "hof",
     per_cell_cap: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, sim) with id_a < id_b
     and rounded cosine >= ``threshold``.
+
+    ``n_rows``: pre-counted corpus size forwarded to the centroid build
+    (``ivf_centroids`` stride derivation), mirroring
+    ``embedding_candidate_ids`` — a caller that already counted the
+    corpus (the cell-budget profile counts it ONCE for every swept
+    chain) must not pay a redundant count job here (r13 ADVICE item 5).
 
     The scale path mirrors IVF ANN: every vector is multi-probe-assigned to
     its ``n_assign`` nearest centroids (a hash-sampled ~sqrt(n) subset,
@@ -606,7 +624,8 @@ def embedding_neardup_pairs(
 
     cosine = make_cosine(kernel)
     members = embedding_cell_members(
-        vectors, id_col, vec_col, max_cells, n_assign, sim_decimals, kernel
+        vectors, id_col, vec_col, max_cells, n_assign, sim_decimals, kernel,
+        n_rows,
     )
     a = members.select(
         F.col("cell_id"),

@@ -458,6 +458,63 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_simhash_neardup_uncapped",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    {_simhash_chain_sql("aug", _SIMHASH_ND_BITS)},
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, (simhash >> {b * _SIMHASH_ND_BAND_BITS}) & {2 ** _SIMHASH_ND_BAND_BITS - 1} AS band_key FROM sig" for b in range(_SIMHASH_ND_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND b.doc_id > a.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, hamming, CAST(hamming = 0 AS INT) AS is_sig_exact
+    FROM scored WHERE hamming <= {_SIMHASH_ND_TAU}
+    """,
+    doc="Streaming-parity ANCHOR row (r13 VERDICT item 3): the UNCAPPED "
+    "SimHash pairing — docs_simhash_neardup with no hot-band prune — "
+    "which is EXACTLY the batch form the streaming twin "
+    "(streaming/neardup.py::simhash_neardup_stream) is pinned equal to "
+    "under arbitrary micro-batch chopping "
+    "(tests/test_streaming.py::test_simhash_neardup_stream_matches_batch "
+    "consumes THIS registry entry as its expectation). With no cap the "
+    "pigeonhole guarantee is unconditional and nothing saturates, so "
+    "stream == batch exactly; a green driver row here is therefore an "
+    "external hash-confirmation of the anchor every streaming-simhash "
+    "unit pin is stated against — the gate reaching semantics the "
+    "batch-only rows cannot. Deliberately a CORRECTNESS anchor, not a "
+    "production default: uncapped banding pays the unbounded Σ|bucket|² "
+    "candidate term on clumpy corpora, so the 100 TB path remains the "
+    "hot-band-capped docs_simhash_neardup (same chain, one extra "
+    "anti-join); this row's cost class is the declared quadratic "
+    "correctness baselines (docs_ngram_jaccard_pairs).",
+)
+def docs_simhash_neardup_uncapped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cupertino_nvr_spark.llm.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        augmented_docs(spark, sf_dir),
+        bits=_SIMHASH_ND_BITS,
+        n_bands=_SIMHASH_ND_BANDS,
+        tau=_SIMHASH_ND_TAU,
+        band_cap=None,
+        hash_fn="md5",
+    )
+
+
+@register(
     "docs_neardup_method_agreement",
     f"""
     WITH aug AS ({_AUG_SQL}),
@@ -1379,9 +1436,14 @@ def embedding_ivf_cell_budget_profile(
     # pays a distinct plus two sort-merge joins with growing vector
     # payloads), while the chain keeps the stream pipelined inside the
     # cell join's stage and only the post-threshold survivors shuffle.
-    # Feeds one semi-join per swept cap plus its own count.
+    # Feeds one semi-join per swept cap plus its own count. n_aug rides
+    # in so the chain's internal centroid build reuses the ONE corpus
+    # count above (r13 ADVICE item 5: without the passthrough this was
+    # the profile's single remaining redundant count job).
     base = reliable_checkpoint(
-        embedding_neardup_pairs(aug, threshold=0.99).select("id_a", "id_b")
+        embedding_neardup_pairs(aug, threshold=0.99, n_rows=n_aug).select(
+            "id_a", "id_b"
+        )
     )
     rows = []
     for cap, cand in cands.items():
@@ -7509,13 +7571,18 @@ def docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT doc_id, CAST({_gopher_pass_pred()} AS INT) AS passes FROM m
     ),
-    binned AS (
+    fixed AS (
       SELECT c.doc_id,
-             LEAST(GREATEST(CAST(FLOOR((c.keep_prob - 0.40e0) / 0.01e0)
-               AS INT), -1), 20) AS bin,
              CAST(round(c.keep_prob * 1000000) AS BIGINT) AS kp6,
              g.passes
       FROM c JOIN g USING (doc_id)
+    ),
+    binned AS (
+      SELECT doc_id,
+             LEAST(GREATEST(CAST(FLOOR((kp6 - 400000) / 10000.0e0)
+               AS INT), -1), 20) AS bin,
+             kp6, passes
+      FROM fixed
     )
     SELECT bin,
            CASE WHEN bin > -1 THEN ROUND(0.40e0 + bin * 0.01e0, 6) END
@@ -7540,8 +7607,16 @@ def docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keep_prob < 0.40, bin_lo NULL) and overflow (20: keep_prob >= "
     "0.60, bin_hi NULL) bins, r13: the r12 form clamped out-of-range "
     "mass into edge bins 0/19 whose labels still claimed 0.01 width, "
-    "so edge-bin mean_keep_prob could fall outside its own bounds), "
-    "and each bin reports its doc count, "
+    "so edge-bin mean_keep_prob could fall outside its own bounds). "
+    "Bin assignment is computed on the FIXED-POINT kp6 integer "
+    "(FLOOR((kp6 - 400000) / 10000), kp6 = round(keep_prob * 1e6)) — "
+    "r14, closing the r13 ADVICE float-boundary gap: the float "
+    "expression put keep_prob exactly 0.60 in bin 19 "
+    "((0.60-0.40)/0.01 = 19.999999999999996 in IEEE doubles) and a doc "
+    "within 5e-7 below an edge in the lower bin while its kp6 counted "
+    "toward the upper, so bin edges are now exact and every labeled "
+    "bin's fixed-point mean is inside its own bounds BY CONSTRUCTION, "
+    "not by luck of the data. Each bin reports its doc count, "
     "fixed-point mean keep_prob (per-doc prob rounded to 1e-6 and "
     "summed as exact integers — float SUM order is engine-dependent), "
     "and the Gopher pass rate. A calibrated classifier shows pass rate "
@@ -7555,16 +7630,21 @@ def docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = docs_classifier_score(spark, sf_dir).select("doc_id", "keep_prob")
     gop = docs_gopher_quality(spark, sf_dir).select("doc_id", "passes_gopher")
-    kp = F.col("keep_prob")
+    kp6 = F.round(F.col("keep_prob") * 1000000).cast("long")
+    # bin on the fixed-point integer, not the float: (kp6 - 400000) is an
+    # exact integer and /10000.0 only hits an integer result when the
+    # numerator is an exact multiple (then the double quotient is exact
+    # too), so FLOOR can never be off-by-one at a bin edge — and the bin
+    # rule agrees with the kp6-based mean by construction
     binned = clf.join(gop, "doc_id").select(
         F.least(
             F.greatest(
-                F.floor((kp - F.lit(0.40)) / F.lit(0.01)).cast("int"),
+                F.floor((kp6 - F.lit(400000)) / F.lit(10000.0)).cast("int"),
                 F.lit(-1),
             ),
             F.lit(20),
         ).alias("bin"),
-        F.round(kp * 1000000).cast("long").alias("kp6"),
+        kp6.alias("kp6"),
         F.col("passes_gopher").alias("passes"),
     )
     b = F.col("bin")

@@ -95,3 +95,93 @@ def test_other_scale_or_missing_record_is_ignored():
     old_sf = _rec(queries={"a": 0.1}, sf=0.001)
     assert min_merge_record(new, old_sf) == new
     assert min_merge_record(new, {"sf": "bogus"}) == new
+
+
+def test_changed_definition_drops_the_old_floor(  # r13 ADVICE item 2
+):
+    """A floor recorded under a query's OLD definition is unreachable by
+    the new one: min-merging across definitions would trip the reprobe/
+    suspect path on every future run. The changed-def key's old entry is
+    dropped in EVERY section; the new sweep's timing becomes the first
+    floor of the new definition, and an old-but-unchanged key still
+    min-merges normally."""
+    old = _rec(
+        queries={"a": 1.0},
+        extras={"calib": 0.4, "other": 2.0},
+        reprobe={"calib": 0.5},
+    )
+    new = _rec(queries={"a": 1.2}, extras={"calib": 3.0, "other": 2.5})
+    got = min_merge_record(new, old, changed_defs={"calib"})
+    assert got["extras"] == {"calib": 3.0, "other": 2.0}
+    assert got["reprobe"] == {}  # old-definition reprobe floor dropped
+    assert got["queries"] == {"a": 1.0}
+    # a changed-def key ABSENT from the new sweep vanishes entirely
+    got2 = min_merge_record(_rec(queries={"a": 1.2}), old, changed_defs={"calib"})
+    assert "calib" not in got2["extras"] and "calib" not in got2["reprobe"]
+
+
+def test_valid_keys_prune_retired_floors():
+    """Old-record keys no longer in REGISTRY/OPS are pruned from every
+    section (previously only the queries section was restricted), so a
+    renamed entry's floor cannot persist forever."""
+    old = _rec(
+        extras={"retired_query": 0.7, "kept": 1.0},
+        variants={"retired_variant": 0.2},
+        reprobe={"retired_query": 0.6},
+    )
+    new = _rec(queries={"a": 1.0}, extras={"kept": 1.5})
+    got = min_merge_record(new, old, valid_keys={"a", "kept"})
+    assert got["extras"] == {"kept": 1.0}
+    assert got["variants"] == {} and got["reprobe"] == {}
+    # new-side keys always enter (the sweep only times live entries)
+    assert got["queries"] == {"a": 1.0}
+
+
+def test_headline_only_record_keeps_existing_floors():
+    """A headline-only sweep (empty variants/extras/reprobe — the sf1
+    mode) must be safe to record: min-merge keeps every existing floor
+    in the untouched sections and refreshes the headline from the run."""
+    old = _rec(
+        queries={"a": 2.0, "b": 2.0},
+        extras={"x": 1.0},
+        variants={"v": 0.5},
+        value=4.0,
+        sf=1.0,
+    )
+    new = _rec(queries={"a": 1.5, "b": 2.5}, sf=1.0)
+    got = min_merge_record(new, old)
+    assert got["queries"] == {"a": 1.5, "b": 2.0}
+    assert got["extras"] == {"x": 1.0} and got["variants"] == {"v": 0.5}
+    assert got["value"] == 3.5
+
+
+def test_record_extra_floors_shape():
+    """The tool-facing sf1 floor write: a synthetic record whose
+    queries are {headline: None} must keep every existing headline floor
+    and min-merge the tool's extras."""
+    from bench import HEADLINE
+
+    new = {
+        "metric": "headline_queries_total_sec",
+        "value": None,
+        "unit": "sec",
+        "queries": {name: None for name in HEADLINE},
+        "variants": {},
+        "extras": {"embedding_margin_pairs": 29.5},
+        "reprobe": {},
+        "sf": 1.0,
+        "partial": True,
+    }
+    old = _rec(
+        queries={name: 9.9 for name in HEADLINE},
+        extras={"embedding_margin_pairs": 31.0, "docs_exact_dedup": 2.4},
+        value=9.9 * len(HEADLINE),
+        sf=1.0,
+    )
+    got = min_merge_record(new, old)
+    assert got["queries"] == {name: 9.9 for name in HEADLINE}
+    assert got["extras"] == {
+        "embedding_margin_pairs": 29.5,
+        "docs_exact_dedup": 2.4,
+    }
+    assert got["value"] is not None and "partial" not in got

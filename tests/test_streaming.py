@@ -1047,17 +1047,22 @@ def test_simhash_neardup_stream_matches_batch(spark, stream_dir):
     pairs (hamming <= tau, checked inside the stateful operator) equals
     the batch simhash pairing for ANY chopping: banding is stateless per
     row, so each pair surfaces exactly at the first micro-batch where its
-    docs co-occupy a band bucket."""
+    docs co-occupy a band bucket.
+
+    The batch expectation is THE REGISTERED ANCHOR ROW
+    docs_simhash_neardup_uncapped (r13 VERDICT item 3), so the driver's
+    oracle gate externally hash-confirms the exact form this pin is
+    stated against — stream == declared row == DuckDB."""
     from cupertino_nvr_spark.llm.dedup import (
         simhash_band_membership,
-        simhash_neardup_pairs,
         simhash_stateless,
     )
+    from cupertino_nvr_spark.plans import REGISTRY
     from cupertino_nvr_spark.plans.llm import augmented_docs
     from cupertino_nvr_spark.streaming.neardup import simhash_neardup_stream
 
     sf = "/root/testdata/sf0.001"
-    cap = 1_000_000  # uncapped: batch drops hot buckets, stream saturates
+    cap = 1_000_000  # stream cap never reached => uncapped semantics
     docs = augmented_docs(spark, sf)
     sigs = simhash_stateless(docs, bits=32)
     members = simhash_band_membership(sigs, bits=32, n_bands=4).join(
@@ -1086,7 +1091,9 @@ def test_simhash_neardup_stream_matches_batch(spark, stream_dir):
     got = {(r.id_a, r.id_b): (r.hamming, r.is_sig_exact) for r in out}
     want = {
         (r.id_a, r.id_b): (r.hamming, r.is_sig_exact)
-        for r in simhash_neardup_pairs(docs, tau=3, band_cap=cap).collect()
+        for r in REGISTRY["docs_simhash_neardup_uncapped"]
+        .spark(spark, sf)
+        .collect()
     }
     assert got == want
     assert len(want) > 0

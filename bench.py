@@ -300,7 +300,7 @@ OPS = {
 def min_merge_record(
     new: dict,
     old: dict | None,
-    changed_defs: frozenset[str] | set[str] = frozenset(),
+    changed_def_rounds: dict[str, int] | None = None,
     valid_keys: set[str] | None = None,
 ) -> dict:
     """Fold a fresh sweep into the existing record by per-query MINIMUM.
@@ -326,14 +326,24 @@ def min_merge_record(
     CURRENT run. An old record at a different scale factor is ignored
     wholesale — timings are only comparable at the same sf.
 
-    ``changed_defs`` (r13 ADVICE item 2): old-record keys named here are
-    DROPPED before merging instead of min-merged across definitions — a
-    floor recorded under a query's OLD definition is an unreachable
-    prior that would trip the reprobe/suspect path on every future run
-    of a changed, legitimately different-cost definition. Pass the
-    CURRENT round's changed-definition set
-    (plans/rotation.py::R14_CHANGED_DEF); the new sweep's own timing
-    (the first floor of the new definition) still enters.
+    ``changed_def_rounds`` (r13 ADVICE item 2): the CUMULATIVE
+    query -> definition-change-round map
+    (plans/rotation.py::CHANGED_DEF_ROUND). A floor recorded under a
+    query's OLD definition is an unreachable prior that would trip the
+    reprobe/suspect path on every future run of a changed, legitimately
+    different-cost definition — so old-record entries for a changed key
+    are DROPPED, not min-merged across definitions, and the new sweep's
+    own timing becomes the first floor of the new definition. Drops are
+    IDEMPOTENT via the record's ``def_rounds`` stamps (per changed key,
+    the definition round this file's floors were recorded under): an
+    old entry is dropped only when its stamp predates the key's change
+    round, so the SECOND sweep of a changed round min-merges against
+    the first sweep's new-definition floor instead of re-dropping it
+    (the r14 review finding: the last run's timing, not the min, used
+    to end the round as the floor whenever ambient drift hit run 2).
+    A record written before stamping existed has stamp 0 for every key
+    — conservatively old-definition (the committed records were seeded
+    with their true stamps when this mechanism shipped).
 
     ``valid_keys`` (same ADVICE item): when given, old-record keys not
     in it are pruned from every section — retired/renamed entries must
@@ -341,16 +351,36 @@ def min_merge_record(
     restricted to the current headline set because its sum IS the
     value; this extends the hygiene to variants/extras/reprobe).
     """
+    cdr = {
+        k: r
+        for k, r in (changed_def_rounds or {}).items()
+        if valid_keys is None or k in valid_keys
+    }
+
+    def _stamped(rec: dict) -> dict:
+        if not cdr:
+            return rec
+        out = dict(rec)
+        out["def_rounds"] = {
+            k: max(r, (rec.get("def_rounds") or {}).get(k, 0))
+            for k, r in cdr.items()
+        }
+        return out
+
     if not old:
-        return new
+        return _stamped(new)
     try:
         if abs(float(old.get("sf", -1)) - float(new.get("sf", -2))) > 1e-9:
-            return new
+            return _stamped(new)
     except (TypeError, ValueError):
-        return new
+        return _stamped(new)
+
+    old_stamps = old.get("def_rounds") or {}
 
     def _keep_old(k: str) -> bool:
-        return k not in changed_defs and (valid_keys is None or k in valid_keys)
+        return cdr.get(k, 0) <= old_stamps.get(k, 0) and (
+            valid_keys is None or k in valid_keys
+        )
 
     out = dict(new)
     for section in ("queries", "variants", "extras", "reprobe"):
@@ -368,6 +398,15 @@ def min_merge_record(
         if section == "queries":
             merged = {k: merged[k] for k in (new.get(section) or {})}
         out[section] = merged
+    stamps = {
+        k: v
+        for k, v in old_stamps.items()
+        if valid_keys is None or k in valid_keys
+    }
+    for k, r in cdr.items():
+        stamps[k] = max(stamps.get(k, 0), r)
+    if stamps:
+        out["def_rounds"] = stamps
     q = out.get("queries") or {}
     partial = not q or any(v is None for v in q.values())
     out["value"] = None if partial else round(sum(q.values()), 3)
@@ -397,15 +436,15 @@ def record_file_for(sf: float) -> Path | None:
 
 
 def _write_min_merged(path: Path, new: dict) -> None:
-    # changed-definition floors are dropped at merge time; deriving the
-    # set from CHANGED_DEF_ROUND keeps bench.py round-agnostic (the
-    # per-round pin lives in plans/rotation.py only)
-    from cupertino_nvr_spark.plans.rotation import (
-        CHANGED_DEF_ROUND,
-        CURRENT_ROUND,
-    )
+    # changed-definition floors are dropped at merge time; the FULL
+    # cumulative map goes in (not just this round's changes) — the
+    # record's per-key def_rounds stamps make the drop idempotent, and
+    # a change round with no bench write still invalidates at the NEXT
+    # write, whichever round that lands in. Deriving the map from
+    # rotation keeps bench.py round-agnostic (the per-round pin lives
+    # in plans/rotation.py only).
+    from cupertino_nvr_spark.plans.rotation import CHANGED_DEF_ROUND
 
-    changed = {q for q, r in CHANGED_DEF_ROUND.items() if r == CURRENT_ROUND}
     old = None
     if path.exists():
         try:
@@ -417,11 +456,72 @@ def _write_min_merged(path: Path, new: dict) -> None:
             min_merge_record(
                 new,
                 old,
-                changed_defs=changed,
+                changed_def_rounds=dict(CHANGED_DEF_ROUND),
                 valid_keys=set(REGISTRY) | set(OPS),
             )
         )
     )
+
+
+def harvest_priors(sf: float, here: Path | None = None) -> dict[str, float]:
+    """Best-known prior cost per query at this scale: min over (a) every
+    driver BENCH_r*.json stdout tail (the driver keeps only a 2000-char
+    fragment of the full per-query line — regex the "name": sec pairs
+    out of it; the filename round covers every entry) and (b) the local
+    floor records this harness writes (RECORD_FILES — full JSON, read
+    section-by-section: regexing the dump would harvest the def_rounds
+    stamps themselves as fake priors). min = the cheapest a correct plan
+    has ever demonstrably run, the right baseline for "is today's number
+    machine noise".
+
+    Definition hygiene (r13 ADVICE item 2): a floor recorded under a
+    query's OLD definition is unreachable by the new one, so an entry
+    counts only when its record's round (driver: filename; local: the
+    per-key def_rounds stamp, 0 when unstamped) is >= the key's
+    definition-change round — a changed key of unknown provenance gets
+    one-time debut treatment, self-healing at the record's next stamped
+    write.
+    """
+    import re
+
+    from cupertino_nvr_spark.plans.rotation import CHANGED_DEF_ROUND
+
+    prior: dict[str, float] = {}
+    here = here or Path(__file__).resolve().parent
+    # tails are JSON-escaped inside the driver record: \"name\": 1.2
+    pair_re = re.compile(r'\\?"([a-z0-9_]+)\\?":\s*([0-9]+(?:\.[0-9]+)?)')
+    for rec_path in sorted(here.glob("BENCH_r*.json")) + [
+        here / name for name in RECORD_FILES.values()
+    ]:
+        try:
+            rec = json.loads(rec_path.read_text())
+        except (OSError, ValueError):
+            continue
+        # timings are only comparable at the SAME scale factor: a
+        # record's sf lives top-level in both the driver wrapper and
+        # the local full line
+        if abs(float(rec.get("sf", -1)) - float(sf)) > 1e-9:
+            continue
+        m = re.match(r"BENCH_r(\d+)\.json", rec_path.name)
+        if m:
+            rec_round = int(m.group(1))
+            pairs = [(k, float(v)) for k, v in pair_re.findall(json.dumps(rec))]
+            key_rounds = dict.fromkeys((k for k, _ in pairs), rec_round)
+        else:
+            key_rounds = dict(rec.get("def_rounds") or {})
+            pairs = [
+                (k, float(v))
+                for section in ("queries", "variants", "extras", "reprobe")
+                for k, v in (rec.get(section) or {}).items()
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
+            ]
+        for k, val in pairs:
+            if (k in REGISTRY or k in OPS) and CHANGED_DEF_ROUND.get(
+                k, 0
+            ) <= key_rounds.get(k, 0):
+                if val > 0 and (k not in prior or val < prior[k]):
+                    prior[k] = val
+    return prior
 
 
 def record_extra_floors(entries: dict[str, float | None], sf: float) -> Path | None:
@@ -563,54 +663,7 @@ def main() -> None:
     suspect: list[str] = []
     reprobe_threshold = float(os.environ.get("SPARK_GRAFT_REPROBE_SEC", "3.0"))
 
-    # Best-known prior cost per query, min over (a) every driver
-    # BENCH_r*.json stdout tail (the driver keeps only a 2000-char
-    # fragment of the full per-query line — regex the "name": sec
-    # pairs out of it) and (b) the last full local record this
-    # harness wrote (BENCH_LOCAL.json below). min = the cheapest a
-    # correct plan has ever demonstrably run, the right baseline for
-    # "is today's number machine noise".
-    import re
-
-    from cupertino_nvr_spark.plans.rotation import (
-        CHANGED_DEF_ROUND,
-        CURRENT_ROUND,
-    )
-
-    prior: dict[str, float] = {}
-    here = Path(__file__).resolve().parent
-    # tails are JSON-escaped inside the driver record: \"name\": 1.2
-    pair_re = re.compile(r'\\?"([a-z0-9_]+)\\?":\s*([0-9]+(?:\.[0-9]+)?)')
-    for rec_path in sorted(here.glob("BENCH_r*.json")) + [
-        here / name for name in RECORD_FILES.values()
-    ]:
-        try:
-            rec = json.loads(rec_path.read_text())
-        except (OSError, ValueError):
-            continue
-        # timings are only comparable at the SAME scale factor: a
-        # record's sf lives top-level in both the driver wrapper and
-        # the local full line
-        if abs(float(rec.get("sf", -1)) - float(sf)) > 1e-9:
-            continue
-        # a floor recorded under a query's OLD definition is unreachable
-        # by the new one (r13 ADVICE item 2): driver records carry their
-        # round in the filename, so entries older than the definition
-        # change are skipped; the round-less local records are treated
-        # conservatively — a query whose definition changed THIS round
-        # gets debut treatment (no prior, one-time absolute-threshold
-        # isolation) until next round's records carry new-definition
-        # floors (the merge-time drop in _write_min_merged removes the
-        # stale keys from the local records on this round's first write)
-        m = re.match(r"BENCH_r(\d+)\.json", rec_path.name)
-        rec_round = int(m.group(1)) if m else CURRENT_ROUND - 1
-        for k, v in pair_re.findall(json.dumps(rec)):
-            if (k in REGISTRY or k in OPS) and CHANGED_DEF_ROUND.get(
-                k, 0
-            ) <= rec_round:
-                val = float(v)
-                if val > 0 and (k not in prior or val < prior[k]):
-                    prior[k] = val
+    prior = harvest_priors(float(sf))
 
     # absolute floor on prior-relative anomalies: 2x a 0.3 s prior is
     # scheduling noise, not a regression worth a fresh-JVM probe.

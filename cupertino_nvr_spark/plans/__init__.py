@@ -48,7 +48,7 @@ from cupertino_nvr_spark.plans import tpch_extra  # noqa: F401,E402
 # The literal covers EVERY declared query, so overflow (entries 51+)
 # follows in priority order — nothing is ever stranded at its raw
 # registration-order position (the r12 review finding).
-_R14_WINDOW_PRIORITY = [
+_WINDOW_PRIORITY = [  # r14 snapshot
     'asof_ttl_overlay', 'docs_simhash_neardup_uncapped',
     'docs_classifier_calibration', 'nation_volume_shipping',
     'order_price_stats', 'order_priority_check', 'orders_above_avg',
@@ -145,4 +145,4 @@ _R14_WINDOW_PRIORITY = [
     'orders_open_backlog', 'parts_copurchase_lift'
 ]
 
-_registry.WINDOW_PRIORITY[:] = _R14_WINDOW_PRIORITY
+_registry.WINDOW_PRIORITY[:] = _WINDOW_PRIORITY

@@ -99,25 +99,80 @@ def test_other_scale_or_missing_record_is_ignored():
 
 def test_changed_definition_drops_the_old_floor(  # r13 ADVICE item 2
 ):
-    """A floor recorded under a query's OLD definition is unreachable by
-    the new one: min-merging across definitions would trip the reprobe/
+    """A floor recorded under a query's OLD definition (its stamp — 0
+    when unstamped — predates the change round) is unreachable by the
+    new one: min-merging across definitions would trip the reprobe/
     suspect path on every future run. The changed-def key's old entry is
     dropped in EVERY section; the new sweep's timing becomes the first
-    floor of the new definition, and an old-but-unchanged key still
-    min-merges normally."""
+    floor of the new definition, an old-but-unchanged key still
+    min-merges normally, and the written record carries the definition
+    stamp."""
     old = _rec(
         queries={"a": 1.0},
         extras={"calib": 0.4, "other": 2.0},
         reprobe={"calib": 0.5},
     )
     new = _rec(queries={"a": 1.2}, extras={"calib": 3.0, "other": 2.5})
-    got = min_merge_record(new, old, changed_defs={"calib"})
+    got = min_merge_record(new, old, changed_def_rounds={"calib": 14})
     assert got["extras"] == {"calib": 3.0, "other": 2.0}
     assert got["reprobe"] == {}  # old-definition reprobe floor dropped
     assert got["queries"] == {"a": 1.0}
+    assert got["def_rounds"] == {"calib": 14}
     # a changed-def key ABSENT from the new sweep vanishes entirely
-    got2 = min_merge_record(_rec(queries={"a": 1.2}), old, changed_defs={"calib"})
+    got2 = min_merge_record(
+        _rec(queries={"a": 1.2}), old, changed_def_rounds={"calib": 14}
+    )
     assert "calib" not in got2["extras"] and "calib" not in got2["reprobe"]
+
+
+def test_changed_definition_drop_is_idempotent():  # r14 review finding
+    """The SECOND sweep of a changed round must min-merge against the
+    first sweep's new-definition floor, not re-drop it — without the
+    def_rounds stamp, the LAST run's timing (not the min) ended the
+    round as the recorded floor whenever ambient drift hit a later run,
+    breaking the file's cheapest-demonstrated-cost contract."""
+    old = _rec(queries={"a": 1.0}, extras={"calib": 0.4})
+    run1 = min_merge_record(
+        _rec(queries={"a": 1.1}, extras={"calib": 1.2}),
+        old,
+        changed_def_rounds={"calib": 14},
+    )
+    assert run1["extras"] == {"calib": 1.2}  # old-definition floor dropped
+    run2 = min_merge_record(
+        _rec(queries={"a": 1.0}, extras={"calib": 3.5}),  # ambient 3x run
+        run1,
+        changed_def_rounds={"calib": 14},
+    )
+    assert run2["extras"] == {"calib": 1.2}  # new-definition floor holds
+    assert run2["def_rounds"] == {"calib": 14}
+    # a LATER change round drops again, exactly once
+    run3 = min_merge_record(
+        _rec(queries={"a": 1.0}, extras={"calib": 2.0}),
+        run2,
+        changed_def_rounds={"calib": 15},
+    )
+    assert run3["extras"] == {"calib": 2.0}
+    assert run3["def_rounds"] == {"calib": 15}
+
+
+def test_def_round_stamps_survive_every_write_path():
+    """Fresh and incomparable-old records are stamped too, so the NEXT
+    merge knows which definitions this file's floors were measured
+    under; retired keys are pruned from the stamp map by valid_keys; no
+    changed defs means no stamp section is invented."""
+    new = _rec(queries={"a": 1.0}, extras={"calib": 2.0})
+    got = min_merge_record(
+        new,
+        None,
+        changed_def_rounds={"calib": 14, "retired": 9},
+        valid_keys={"a", "calib"},
+    )
+    assert got["def_rounds"] == {"calib": 14}
+    got2 = min_merge_record(
+        new, _rec(sf=0.001), changed_def_rounds={"calib": 14}
+    )
+    assert got2["def_rounds"] == {"calib": 14}
+    assert "def_rounds" not in min_merge_record(new, None)
 
 
 def test_valid_keys_prune_retired_floors():
@@ -153,6 +208,46 @@ def test_headline_only_record_keeps_existing_floors():
     assert got["queries"] == {"a": 1.5, "b": 2.0}
     assert got["extras"] == {"x": 1.0} and got["variants"] == {"v": 0.5}
     assert got["value"] == 3.5
+
+
+def test_harvest_priors_respects_stamps_and_skips_them_as_timings(
+    tmp_path, monkeypatch
+):
+    """The reprobe prior harvest over the local floor records must (a)
+    NEVER read the def_rounds stamps as timings (a stamp like 14 would
+    look like a plausible 14-second floor under the old regex-the-dump
+    approach), (b) skip floors whose stamp predates the key's
+    definition-change round, and (c) still min across a driver tail and
+    the local record."""
+    import json as _json
+
+    import bench
+
+    # every key must be a live REGISTRY/OPS name for the harvest filter
+    names = list(bench.REGISTRY)
+    a, calib = names[0], names[1]
+    monkeypatch.setitem(
+        __import__(
+            "cupertino_nvr_spark.plans.rotation", fromlist=["x"]
+        ).CHANGED_DEF_ROUND,
+        calib,
+        14,
+    )
+    local = {
+        "sf": 0.1,
+        "queries": {a: 2.0},
+        "extras": {calib: 0.4},
+        "def_rounds": {calib: 13},  # old-definition floor -> unusable
+    }
+    driver = {"sf": 0.1, "tail": _json.dumps({a: 1.5, calib: 9.0})}
+    (tmp_path / "BENCH_LOCAL.json").write_text(_json.dumps(local))
+    (tmp_path / "BENCH_r14.json").write_text(_json.dumps(driver))
+    got = bench.harvest_priors(0.1, here=tmp_path)
+    assert got[a] == 1.5  # min(local 2.0, driver-tail 1.5)
+    # calib: local floor stamped r13 < change round 14 -> skipped; the
+    # r14 driver tail IS usable -> 9.0, and the def_rounds stamp value
+    # (13) must never appear as a timing
+    assert got[calib] == 9.0
 
 
 def test_record_extra_floors_shape():

@@ -18,9 +18,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from cupertino_nvr_spark.plans.rotation import (  # noqa: E402
+    CHANGED_DEFS,
     CURRENT_ROUND,
-    R14_CHANGED_DEF,
-    R14_DEBUTS,
+    DEBUTS,
     committed_green_history,
     current_window_priority,
 )
@@ -33,12 +33,12 @@ def main() -> None:
     wrapped = textwrap.fill(
         body, width=74, initial_indent="    ", subsequent_indent="    "
     )
-    print(f"_R{CURRENT_ROUND}_WINDOW_PRIORITY = [\n{wrapped}\n]")
+    print(f"_WINDOW_PRIORITY = [  # r{CURRENT_ROUND} snapshot\n{wrapped}\n]")
     window = order[:50]
     print(f"\n# window (first 50): {len(window)} rows", file=sys.stderr)
-    print(f"# debuts in-window: {sorted(R14_DEBUTS & set(window))}", file=sys.stderr)
+    print(f"# debuts in-window: {sorted(DEBUTS & set(window))}", file=sys.stderr)
     print(
-        f"# changed-def in-window: {sorted(R14_CHANGED_DEF & set(window))}",
+        f"# changed-def in-window: {sorted(CHANGED_DEFS & set(window))}",
         file=sys.stderr,
     )
     by_round: dict[int, int] = {}

@@ -59,7 +59,9 @@ def main() -> None:
     ap.add_argument(
         "--skip-verify",
         action="store_true",
-        help="skip the .sf1 manifest verification (NOT for recorded runs)",
+        help="skip the .sf1 manifest verification — PRINT-ONLY: floors "
+        "measured against an unverified corpus are not comparable, so "
+        "nothing is min-merged into the durable record",
     )
     args = ap.parse_args()
 
@@ -96,6 +98,12 @@ def main() -> None:
 
     floors = {name: min(ts) for name, ts in results.items()}
     print("min-of-%d floors: %s" % (args.reps, floors), flush=True)
+    if args.skip_verify:
+        # a floor against an unverified corpus could enter the record
+        # too LOW and, under min-merge, never be raised again — the
+        # unreachable-prior pathology the def-round drops exist to fix
+        print("--skip-verify: corpus unverified, NOT recording", flush=True)
+        return
     path = record_extra_floors(floors, sf=1.0)
     print(f"min-merged into {path}", flush=True)
 

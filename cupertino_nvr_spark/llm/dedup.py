@@ -499,13 +499,15 @@ def embedding_cell_members(
 
     from cupertino_nvr_spark.llm.similarity import (
         IVF_MAX_CELLS,
+        _rounded_negsim,
         as_double,
+        centroid_struct_array,
         ensure_min_parallelism,
         ivf_centroids,
         make_cosine,
+        norm,
     )
 
-    cosine = make_cosine(kernel)
     centroids = ivf_centroids(
         vectors,
         id_col,
@@ -520,17 +522,56 @@ def embedding_cell_members(
             F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
         )
     )
-    scored = F.broadcast(cent).join(vecs).select(
-        "member_id",
-        "mvec",
-        "cell_id",
-        F.round(cosine(F.col("mvec"), F.col("centvec")), sim_decimals).alias("csim"),
+    if kernel != "hof":
+        # pandas UDFs cannot run inside higher-order-function lambdas —
+        # the Arrow-kernel twins keep the legacy cross-join+window shape
+        cosine = make_cosine(kernel)
+        scored = F.broadcast(cent).join(vecs).select(
+            "member_id",
+            "mvec",
+            "cell_id",
+            F.round(cosine(F.col("mvec"), F.col("centvec")), sim_decimals).alias(
+                "csim"
+            ),
+        )
+        wc = Window.partitionBy("member_id").orderBy(
+            F.col("csim").desc(), F.col("cell_id")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(wc))
+            .filter(F.col("r") <= n_assign)
+            .select("member_id", "mvec", "cell_id")
+        )
+    # per-row multi-probe assignment (guide §2.4/§8): the centroids ride
+    # as ONE broadcast row and every vector picks its top-n_assign cells
+    # inside its own projection — array_sort over (negated rounded sim,
+    # cell_id) structs is the legacy window's exact total order, with no
+    # n x |C| row materialization and no member_id exchange (which used
+    # to carry the full member VECTOR per scored row — the dominant
+    # shuffle of every blocking consumer at scale)
+    mnorm = norm(F.col("mvec"))
+    top = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    _rounded_negsim(F.col("mvec"), mnorm, c, sim_decimals).alias(
+                        "negsim"
+                    ),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        ),
+        1,
+        n_assign,
     )
-    wc = Window.partitionBy("member_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
     return (
-        scored.withColumn("r", F.row_number().over(wc))
-        .filter(F.col("r") <= n_assign)
-        .select("member_id", "mvec", "cell_id")
+        vecs.join(F.broadcast(centroid_struct_array(cent)))
+        .select(
+            "member_id",
+            "mvec",
+            F.explode(F.transform(top, lambda s: s["cell_id"])).alias("cell_id"),
+        )
     )
 
 

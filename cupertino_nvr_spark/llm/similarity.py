@@ -612,6 +612,46 @@ def ivf_ann_topk_blocked(
     return _finish_topk(c.mapInPandas(score, _TOPK_LOCAL_SCHEMA), k)
 
 
+def centroid_struct_array(cent: DataFrame) -> DataFrame:
+    """Collapse a (cell_id, centvec) centroid frame into ONE row holding
+    every centroid as an array<struct<cell_id, centvec, cnorm>> — the
+    broadcast-friendly shape of the per-row assignment kernels.
+
+    Same bytes the old broadcast-hash side shipped (bounded by
+    ``IVF_MAX_CELLS`` x 512 B = the 32 MiB broadcast budget when the
+    centroids come from ``ivf_centroids``), but as a single-row
+    cross-join side: each corpus row scores every centroid INSIDE one
+    projection, so cell assignment needs no n x |C| row materialization,
+    no exchange, and no window/aggregate — the decision never leaves the
+    scan stage (guide §2.4/§8: decide with small rows, zero shuffles).
+    ``cnorm`` is hoisted once per centroid; the per-row kernels divide by
+    ``norm(mvec) * cnorm`` — the same doubles ``cosine`` computes, since
+    hoisting a subexpression does not change its IEEE value."""
+    return cent.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cell_id"),
+                F.col("centvec"),
+                norm(F.col("centvec")).alias("cnorm"),
+            )
+        ).alias("_cents")
+    )
+
+
+def _rounded_negsim(mvec, mnorm, c, sim_decimals: int):
+    """-(rounded cosine) against centroid struct ``c``, NULL-safe.
+
+    The legacy window ranked by rounded cosine DESC NULLS LAST with
+    cell_id ASC ties; ascending (negsim, cell_id) struct order is the
+    identical total order once a NULL cosine (zero-norm vector — absent
+    from the shipped corpora, possible on a sparse real one) is mapped
+    below the cosine range: coalesce to -2.0 < -1 <= any real cosine."""
+    csim = F.round(
+        F.try_divide(dot(mvec, c["centvec"]), mnorm * c["cnorm"]), sim_decimals
+    )
+    return -F.coalesce(csim, F.lit(-2.0))
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -619,14 +659,24 @@ def ivf_assign(
     vec_col: str = "embedding",
     sim_decimals: int = 6,
     kernel: str = "hof",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (IVF cell).
 
-    Centroids broadcast — bounded by construction when they come from
-    ``ivf_centroids`` (|C| ≈ min(sqrt(n), IVF_MAX_CELLS)); assignment is a
-    linear scan — each vector scores n_cells rounded cosines and keeps the
-    argmax via max_by, tie-broken by centroid id so Spark and the SQL
-    oracle agree. One projection, no shuffle beyond the broadcast.
+    Centroids ride as ONE broadcast row (``centroid_struct_array`` —
+    bounded by construction when they come from ``ivf_centroids``,
+    |C| ≈ min(sqrt(n), IVF_MAX_CELLS)); assignment is a linear scan —
+    each vector scores n_cells rounded cosines INSIDE its own row and
+    keeps the argmax via array_min over (negated sim, cell id) structs,
+    tie-broken by centroid id so Spark and the SQL oracle agree. Zero
+    exchanges: the old shape materialized the n x |C| scored rows and
+    hash-aggregated them back to one row per vector (max_by), which cost
+    an n x |C|-row exchange at every scale; the decision now never
+    leaves the scan projection (guide §2.4). ``keep_vec=True`` also
+    returns ``mvec`` — free here, and it saves the caller a corpus
+    re-join (``ivf_route_candidates``). The ``pandas`` kernel keeps the
+    legacy cross-join+max_by shape (a pandas UDF cannot run inside a
+    higher-order-function lambda).
     """
     cent = centroids.select(
         F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("centvec")
@@ -636,19 +686,44 @@ def ivf_assign(
             F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
         )
     )
-    scored = F.broadcast(cent).join(vecs).select(
-        "member_id",
-        "cell_id",
-        F.round(make_cosine(kernel)(F.col("mvec"), F.col("centvec")), sim_decimals).alias("csim"),
-    )
-    # argmax by (sim, -cell_id): max_by with a struct orders lexicographically,
-    # so negate the id to prefer the LOWEST cell id on similarity ties
-    best = scored.groupBy("member_id").agg(
-        F.max_by(F.col("cell_id"), F.struct(F.col("csim"), -F.col("cell_id"))).alias(
-            "cell_id"
+    keep = ["member_id", "mvec"] if keep_vec else ["member_id"]
+    if kernel != "hof":
+        scored = F.broadcast(cent).join(vecs).select(
+            "member_id",
+            "mvec",
+            "cell_id",
+            F.round(
+                make_cosine(kernel)(F.col("mvec"), F.col("centvec")), sim_decimals
+            ).alias("csim"),
+        )
+        # argmax by (sim, -cell_id): max_by with a struct orders
+        # lexicographically, so negate the id to prefer the LOWEST cell
+        # id on similarity ties
+        aggs = [
+            F.max_by(
+                F.col("cell_id"), F.struct(F.col("csim"), -F.col("cell_id"))
+            ).alias("cell_id")
+        ]
+        if keep_vec:
+            aggs.append(F.first("mvec").alias("mvec"))
+        return scored.groupBy("member_id").agg(*aggs).select(*keep, "cell_id")
+    mnorm = norm(F.col("mvec"))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _rounded_negsim(F.col("mvec"), mnorm, c, sim_decimals).alias(
+                    "negsim"
+                ),
+                c["cell_id"].alias("cell_id"),
+            ),
         )
     )
-    return best
+    return (
+        vecs.join(F.broadcast(centroid_struct_array(cent)))
+        .select(*keep, best["cell_id"].alias("cell_id"))
+        .filter(F.col("cell_id").isNotNull())
+    )
 
 
 def ivf_route_candidates(
@@ -680,12 +755,10 @@ def ivf_route_candidates(
     from a cell_id equi-join — cost n_probe/n_cells of brute force.
     """
     centroids = ivf_centroids(corpus, id_col, max_cells)
-    cells = ivf_assign(corpus, centroids, id_col, vec_col, sim_decimals, kernel)
-    members = cells.join(
-        corpus.select(
-            F.col(id_col).alias("member_id"), as_double(F.col(vec_col)).alias("mvec")
-        ),
-        "member_id",
+    # keep_vec: the assignment row already carries the member vector, so
+    # the old corpus re-join (a full extra shuffle of the vectors) is gone
+    members = ivf_assign(
+        corpus, centroids, id_col, vec_col, sim_decimals, kernel, keep_vec=True
     )
 
     cent = centroids.select(
@@ -694,20 +767,63 @@ def ivf_route_candidates(
     p = probes.select(
         F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pvec")
     )
-    probe_cells = (
-        F.broadcast(cent)
-        .join(p)
-        .select(
-            "probe_id",
-            "pvec",
-            "cell_id",
-            F.round(make_cosine(kernel)(F.col("pvec"), F.col("centvec")), sim_decimals).alias("csim"),
+    if kernel != "hof":
+        probe_cells = (
+            F.broadcast(cent)
+            .join(p)
+            .select(
+                "probe_id",
+                "pvec",
+                "cell_id",
+                F.round(
+                    make_cosine(kernel)(F.col("pvec"), F.col("centvec")),
+                    sim_decimals,
+                ).alias("csim"),
+            )
         )
-    )
-    wc = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
-    routed = probe_cells.withColumn("crank", F.row_number().over(wc)).filter(
-        F.col("crank") <= n_probe
-    )
+        wc = Window.partitionBy("probe_id").orderBy(
+            F.col("csim").desc(), F.col("cell_id")
+        )
+        routed = probe_cells.withColumn("crank", F.row_number().over(wc)).filter(
+            F.col("crank") <= n_probe
+        )
+    else:
+        # per-row routing: every probe row scores all centroids inside
+        # one projection (the ivf_assign shape generalized to top-n):
+        # sort (negsim, cell_id) structs — the window's exact total
+        # order — and keep the first n_probe; crank is the slice index
+        pnorm = norm(F.col("pvec"))
+        top = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(
+                        _rounded_negsim(
+                            F.col("pvec"), pnorm, c, sim_decimals
+                        ).alias("negsim"),
+                        c["cell_id"].alias("cell_id"),
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        )
+        routed = (
+            p.join(F.broadcast(centroid_struct_array(cent)))
+            .select(
+                "probe_id",
+                "pvec",
+                F.posexplode(F.transform(top, lambda s: s["cell_id"])).alias(
+                    "_pos", "cell_id"
+                ),
+            )
+            .select(
+                "probe_id",
+                "pvec",
+                "cell_id",
+                (F.col("_pos") + 1).alias("crank"),
+            )
+        )
     return (
         routed.join(members, "cell_id")
         .filter(F.col("probe_id") != F.col("member_id"))

@@ -310,6 +310,7 @@ def simhash_band_membership(
     id_col: str = "doc_id",
     bits: int = 32,
     n_bands: int = 4,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band_idx, band_key) membership rows from a SimHash signature
     table — bits/n_bands consecutive bits per band, so by pigeonhole any
@@ -344,10 +345,13 @@ def simhash_band_membership(
             for b in range(n_bands)
         ]
     )
-    return sigs.select(F.col(id_col), F.explode(arr).alias("band")).select(
+    return sigs.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], F.explode(arr).alias("band")
+    ).select(
         id_col,
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_key").alias("band_key"),
+        *extra_cols,
     )
 
 
@@ -376,8 +380,24 @@ def simhash_neardup_pairs(
     exactly this form). The pigeonhole recall guarantee is then
     unconditional, at the price of the unbounded Σ|bucket|² candidate
     term on clumpy corpora — production keeps the capped default."""
-    sig = simhash(docs, text_col, id_col, bits, hash_fn)
-    bands = simhash_band_membership(sig, id_col, bits, n_bands)
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    # r14: the signature table is consumed by FOUR subtrees (both sides
+    # of the candidate self-join, plus the two signature re-attach joins
+    # it used to pay) and Spark cannot CSE across self-join arms — the
+    # pre-r14 plan recomputed the whole explode+32-vote aggregate (and
+    # its 5-scan augmented-union input) four times, zero ReusedExchange.
+    # Materialize the (id, simhash) table once — 16 bytes/doc, the
+    # blocking family's standard lineage cut — and carry the signature
+    # THROUGH the banding so Hamming verification needs no join at all:
+    # distinct over (id_a, id_b, sh_a, sh_b) equals distinct over the
+    # pair (signatures are functionally dependent on ids), so the result
+    # is row-identical while two full joins and three signature rebuilds
+    # disappear.
+    sig = reliable_checkpoint(simhash(docs, text_col, id_col, bits, hash_fn))
+    bands = simhash_band_membership(
+        sig, id_col, bits, n_bands, extra_cols=("simhash",)
+    )
     if band_cap is None:
         kept = bands
     else:
@@ -388,28 +408,31 @@ def simhash_neardup_pairs(
             .select("band_idx", "band_key")
         )
         kept = bands.join(hot, ["band_idx", "band_key"], "left_anti")
-    a = kept.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = kept.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    a = kept.select(
+        F.col(id_col).alias("id_a"),
+        "band_idx",
+        "band_key",
+        F.col("simhash").alias("sh_a"),
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_b"),
+        "band_idx",
+        "band_key",
+        F.col("simhash").alias("sh_b"),
+    )
     cand = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_b") > F.col("id_a"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            hamming.alias("hamming"),
-            (hamming == 0).cast("int").alias("is_sig_exact"),
-        )
-        .filter(F.col("hamming") <= tau)
-    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming.alias("hamming"),
+        (hamming == 0).cast("int").alias("is_sig_exact"),
+    ).filter(F.col("hamming") <= tau)
 
 
 def ngram_jaccard_pairs(

@@ -684,29 +684,54 @@ def embedding_neardup_pairs(
     """
     from pyspark.sql import Window
 
-    from cupertino_nvr_spark.llm.similarity import make_cosine
+    from cupertino_nvr_spark.llm.similarity import dot, make_cosine, norm
 
-    cosine = make_cosine(kernel)
     members = embedding_cell_members(
         vectors, id_col, vec_col, max_cells, n_assign, sim_decimals, kernel,
         n_rows,
     )
+    if kernel == "hof":
+        # norm hoisting (r14): cosine pays dot + BOTH norms per candidate
+        # pair — 3 x dim flops on the chain's dominant Σ|cell|² stream.
+        # A member's norm is pair-invariant, so compute it once per
+        # membership row and divide by the product: try_divide(dot(a,b),
+        # norm(a) * norm(b)) with the two factors hoisted is the same
+        # IEEE expression (hoisting never changes a double), now ~dim
+        # flops per pair instead of 3 x dim.
+        members = members.withColumn("_mn", norm(F.col("mvec")))
+        score = lambda: F.round(  # noqa: E731
+            F.try_divide(
+                dot(F.col("avec"), F.col("bvec")), F.col("_na") * F.col("_nb")
+            ),
+            sim_decimals,
+        )
+        extra_a = [F.col("_mn").alias("_na")]
+        extra_b = [F.col("_mn").alias("_nb")]
+    else:
+        cosine = make_cosine(kernel)
+        score = lambda: F.round(  # noqa: E731
+            cosine(F.col("avec"), F.col("bvec")), sim_decimals
+        )
+        extra_a = []
+        extra_b = []
     a = members.select(
         F.col("cell_id"),
         F.col("member_id").alias("id_a"),
         F.col("mvec").alias("avec"),
+        *extra_a,
     )
     b = members.select(
         F.col("cell_id"),
         F.col("member_id").alias("id_b"),
         F.col("mvec").alias("bvec"),
+        *extra_b,
     )
     pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "cell_id",
         "id_a",
         "id_b",
-        F.round(cosine(F.col("avec"), F.col("bvec")), sim_decimals).alias("sim"),
+        score().alias("sim"),
     )
     if per_cell_cap is not None:
         # cosine paid once per cell-pair, THEN fanned to both directions;
@@ -915,15 +940,16 @@ def embedding_neardup_pairs_lsh(
     """
     from cupertino_nvr_spark.llm.similarity import (
         as_double,
+        dot,
         ensure_min_parallelism,
         lsh_projections,
         make_cosine,
+        norm,
     )
 
     if n_planes is None:
         n = vectors.count() if n_rows is None else n_rows
         n_planes = max(8, min(20, max(n, 2).bit_length()))
-    cosine = make_cosine(kernel)
 
     projected = ensure_min_parallelism(
         vectors.select(
@@ -941,9 +967,17 @@ def embedding_neardup_pairs_lsh(
     centered = projected.crossJoin(F.broadcast(offsets)).withColumn(
         "cprojs", F.zip_with("projs", "offs", lambda pr, o: pr - o)
     )
+    hoist = kernel == "hof"
+    # norm hoisting (r14, HOF kernel): a member's norm is pair-invariant
+    # — compute it once per member row (BEFORE the bucket explode, so
+    # the value just rides the fan-out) and score pairs as
+    # try_divide(dot, norm_a * norm_b): the identical IEEE expression
+    # cosine builds, at ~1/3 of its per-pair flops.
+    norm_cols = [norm(F.col("mvec")).alias("_mn")] if hoist else []
     exploded = centered.select(
         "member_id",
         "mvec",
+        *norm_cols,
         F.explode(
             lsh_probe_buckets(F.col("cprojs"), n_planes, n_flip, sim_decimals)
         ).alias("bucket"),
@@ -956,19 +990,37 @@ def embedding_neardup_pairs_lsh(
     )
     exploded = exploded.join(F.broadcast(hot), "bucket", "left_anti")
     a = exploded.select(
-        "bucket", F.col("member_id").alias("id_a"), F.col("mvec").alias("avec")
+        "bucket",
+        F.col("member_id").alias("id_a"),
+        F.col("mvec").alias("avec"),
+        *([F.col("_mn").alias("_na")] if hoist else []),
     )
     b = exploded.select(
-        "bucket", F.col("member_id").alias("id_b"), F.col("mvec").alias("bvec")
+        "bucket",
+        F.col("member_id").alias("id_b"),
+        F.col("mvec").alias("bvec"),
+        *([F.col("_mn").alias("_nb")] if hoist else []),
     )
     cand = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "avec", "bvec")
+        .select(
+            "id_a", "id_b", "avec", "bvec",
+            *(["_na", "_nb"] if hoist else []),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("avec"), F.col("bvec")), sim_decimals).alias("sim"),
-    ).filter(F.col("sim") >= threshold)
+    if hoist:
+        sim = F.round(
+            F.try_divide(
+                dot(F.col("avec"), F.col("bvec")), F.col("_na") * F.col("_nb")
+            ),
+            sim_decimals,
+        )
+    else:
+        sim = F.round(
+            make_cosine(kernel)(F.col("avec"), F.col("bvec")), sim_decimals
+        )
+    return cand.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )

@@ -8187,29 +8187,51 @@ def _phash_scored_pairs(hashes: DataFrame) -> DataFrame:
     distinct-pair dedup, xor+bit_count Hamming verify — UNCAPPED
     (id_a, id_b, hamming); the serving chain applies the tau, the tau
     profile sweeps it."""
+    # r14: the hash table used to be consumed by FOUR subtrees (both
+    # membership sides plus the two Hamming re-attach joins), and Spark
+    # cannot CSE across self-join arms — the hash projection (and, for
+    # the decoded-pixel kernel, the whole Arrow DCT mapInPandas stage)
+    # re-executed four times per query. Materialize it once (~40 bytes
+    # per media row) and carry the four band values THROUGH the
+    # membership: distinct over (pair, bands) equals distinct over the
+    # pair (the hash is functionally dependent on media_id), so the
+    # result is row-identical while both re-attach joins and three
+    # kernel re-runs disappear — the simhash_neardup_pairs treatment.
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    hashes = reliable_checkpoint(hashes)
+    all_bands = [F.col(f"band{b}") for b in range(_PHASH_BANDS)]
     membership = None
     for b in range(_PHASH_BANDS):
         m = hashes.select(
             "media_id",
             F.lit(b).alias("band_idx"),
             F.col(f"band{b}").alias("band_val"),
+            *all_bands,
         )
         membership = m if membership is None else membership.unionByName(m)
-    a = membership.select(F.col("media_id").alias("id_a"), "band_idx", "band_val")
-    b_ = membership.select(F.col("media_id").alias("id_b"), "band_idx", "band_val")
+    a = membership.select(
+        F.col("media_id").alias("id_a"),
+        "band_idx",
+        "band_val",
+        *[F.col(f"band{b}").alias(f"a{b}") for b in range(_PHASH_BANDS)],
+    )
+    b_ = membership.select(
+        F.col("media_id").alias("id_b"),
+        "band_idx",
+        "band_val",
+        *[F.col(f"band{b}").alias(f"b{b}") for b in range(_PHASH_BANDS)],
+    )
     cand = (
         a.join(b_, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            *[f"a{b}" for b in range(_PHASH_BANDS)],
+            *[f"b{b}" for b in range(_PHASH_BANDS)],
+        )
         .distinct()
-    )
-    ha = hashes.select(
-        F.col("media_id").alias("id_a"),
-        *[F.col(f"band{b}").alias(f"a{b}") for b in range(_PHASH_BANDS)],
-    )
-    hb = hashes.select(
-        F.col("media_id").alias("id_b"),
-        *[F.col(f"band{b}").alias(f"b{b}") for b in range(_PHASH_BANDS)],
     )
     hamming = sum(
         (
@@ -8218,11 +8240,7 @@ def _phash_scored_pairs(hashes: DataFrame) -> DataFrame:
         ),
         F.lit(0),
     )
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
-    )
+    return cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
 
 
 def _phash_pairs_from_hashes(hashes: DataFrame) -> DataFrame:

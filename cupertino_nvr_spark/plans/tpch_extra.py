@@ -34,6 +34,37 @@ def _dec(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,2)")
 
 
+def _order_part_pairs(li: DataFrame, strict: bool) -> DataFrame:
+    """Within-order part pairs (pa, pb) — ``strict`` keeps pb > pa
+    (unordered pairs once), else pb != pa (both directions).
+
+    r14 shape: the three market-basket consumers (orders_part_pairs,
+    parts_copurchase_lift, parts_copurchase_pagerank) used a distinct +
+    order-keyed SELF-JOIN, which pays the (l_orderkey, l_partkey)
+    distinct exchange plus a re-exchange of BOTH join sides on
+    l_orderkey — and the self-join arms each recompute the distinct
+    (no CSE across arms). One map-side-combined collect_set per order
+    (set semantics subsume the old DISTINCT) followed by a double
+    explode emits the identical pair multiset for ONE exchange total;
+    the fan-out is bounded by items-per-order squared per row (<= 7
+    lines in TPC-H shapes — the bound the old join relied on), so the
+    per-row array is small at any corpus scale."""
+    grp = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_pks"))
+    )
+    cond = (
+        (F.col("pb") > F.col("pa")) if strict else (F.col("pb") != F.col("pa"))
+    )
+    return (
+        grp.select(F.explode("_pks").alias("pa"), "_pks")
+        .select("pa", F.explode("_pks").alias("pb"))
+        .filter(cond)
+        .select("pa", "pb")
+    )
+
+
 @register(
     "customer_order_distribution",
     """
@@ -840,16 +871,9 @@ def orders_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
     counted = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        _order_part_pairs(li, strict=True)
+        .select(F.col("pa").alias("p1"), F.col("pb").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("support"))
     )
@@ -1134,19 +1158,18 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        _order_part_pairs(li, strict=False)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .distinct()
     )
-    edges = reliable_checkpoint(edges)
+    # repartition by the iteration join key BEFORE the checkpoint: the
+    # checkpointed LogicalRDD carries its outputPartitioning, so each of
+    # the three rank iterations' src-keyed joins reuses it instead of
+    # re-exchanging the full edge list per round (guide §2.4 — two
+    # operations keyed the same way share one exchange); only the
+    # node-sized rank frame moves per iteration.
+    edges = reliable_checkpoint(edges.repartition("src"))
     deg = reliable_checkpoint(edges.groupBy("src").agg(F.count("*").alias("deg")))
     n = deg.count()
     # carry (node, deg, r) together so each iteration joins the edge
@@ -1494,16 +1517,11 @@ def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select("l_orderkey", "l_partkey").distinct()
     norders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    a, b = op.alias("a"), op.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
-        )
+        _order_part_pairs(li, strict=True)
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
         )
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 2)

@@ -43,14 +43,24 @@ def _dup_windows(
     spans = F.when(
         F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
     ).otherwise(F.array().cast("array<int>"))
-    grams = toks.select(
-        id_col, F.explode(spans).alias("pos"), "toks"
-    ).select(
-        id_col,
-        "pos",
-        md5_int(
-            F.array_join(F.slice("toks", F.col("pos"), k), " "), seed=seed
-        ).alias("gram"),
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    # r14: the gram table feeds BOTH the duplicated-digest aggregate and
+    # the left side of the semi join, and Spark cannot CSE across the
+    # two arms — the explode + per-window md5 (the detection chain's
+    # dominant CPU) ran twice per detection. Materialize it once
+    # (~24 bytes per window — the same order as the token stream, the
+    # structure an exact-substring dedup materializes anyway per Lee et
+    # al.'s suffix-array formulation); both consumers then read the
+    # checkpointed rows.
+    grams = reliable_checkpoint(
+        toks.select(id_col, F.explode(spans).alias("pos"), "toks").select(
+            id_col,
+            "pos",
+            md5_int(
+                F.array_join(F.slice("toks", F.col("pos"), k), " "), seed=seed
+            ).alias("gram"),
+        )
     )
     dup = (
         grams.groupBy("gram")

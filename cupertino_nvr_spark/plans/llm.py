@@ -2061,8 +2061,15 @@ def _dup_cluster_frames(spark: SparkSession, sf_dir: str):
     """(augmented corpus, cluster assignments) with the SAME LSH parameters
     the _CLUSTER_CTE_SQL oracle pins — single Spark-side definition for
     docs_dup_clusters and docs_dedup_survivors."""
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
     aug = augmented_docs(spark, sf_dir)
-    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    # both banding arms (hot-bucket count + anti-join left) consume the
+    # signature table; materialize it once (16 B/doc) so the shingle-md5
+    # aggregate runs once, not per arm
+    sigs = reliable_checkpoint(
+        minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    )
     memb = lsh_band_membership(sigs, num_hashes=8, band_size=2, band_cap=64).select(
         "doc_id",
         F.concat_ws(":", F.col("band_idx"), F.col("band_key")).alias("bkey"),
@@ -7432,9 +7439,17 @@ def docs_substring_excised_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         excision_islands,
     )
 
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
     aug = augmented_docs(spark, sf_dir)
-    islands = excision_islands(aug, k=_SUBSTR_K)
-    excised = apply_excision(aug, islands)
+    # islands feeds the excision AND the per-doc island count; excised
+    # feeds the stats projection AND the residual re-detection — each
+    # would re-execute its whole upstream chain per consumer (no CSE
+    # across arms), so both are materialized once: islands is tiny
+    # (duplicated spans only) and the excised corpus is exactly what
+    # excise_materialize writes per round at any scale.
+    islands = reliable_checkpoint(excision_islands(aug, k=_SUBSTR_K))
+    excised = reliable_checkpoint(apply_excision(aug, islands))
     ni = islands.groupBy("doc_id").agg(F.count("*").alias("n_islands"))
     toks2 = excised.select(
         "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("toks")
@@ -8661,9 +8676,17 @@ def _media_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     media->page provenance links — media_doc_dup_clusters reports it,
     media_doc_dedup_survivors acts on it."""
     from cupertino_nvr_spark.llm.pipeline import components_over_keys
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
     aug = augmented_docs(spark, sf_dir)
-    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    # the signature table feeds both banding arms (hot-bucket count +
+    # the anti-join left side) and the pHash pair set feeds both edge
+    # directions — materialize each once (16 B/doc and 16 B/pair) so the
+    # shingle-md5 aggregate and the banded-Hamming chain run once, not
+    # twice (no CSE across self-consuming arms).
+    sigs = reliable_checkpoint(
+        minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    )
     text_memb = lsh_band_membership(
         sigs, num_hashes=8, band_size=2, band_cap=64
     ).select(
@@ -8673,8 +8696,10 @@ def _media_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
     )
     media = _phash_media(spark, sf_dir)
-    pairs = _phash_pairs_from_hashes(_phash_byte_hashes(media)).select(
-        "id_a", "id_b"
+    pairs = reliable_checkpoint(
+        _phash_pairs_from_hashes(_phash_byte_hashes(media)).select(
+            "id_a", "id_b"
+        )
     )
     pair_key = F.concat_ws(
         ":", F.lit("e"), F.col("id_a").cast("string"), F.col("id_b").cast("string")

@@ -457,10 +457,19 @@ def ngram_jaccard_pairs(
     intersections both count only kept shingles, so identical docs still
     score 1.0.
     """
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
     keys = ["shingle", *((block_col,) if block_col else ())]
-    shingled = shingle_rows(
-        df, text_col, id_col, shingle_k,
-        extra_cols=(block_col,) if block_col else (),
+    # r14: the shingle table feeds FIVE arms (stop-shingle count, the
+    # anti-join left side, per-doc sizes, and both pair-join sides) and
+    # Spark cannot CSE across them — the explode + tokenization ran five
+    # times per query. Materialize it once; the posting rows are the
+    # structure a posting-list join materializes anyway.
+    shingled = reliable_checkpoint(
+        shingle_rows(
+            df, text_col, id_col, shingle_k,
+            extra_cols=(block_col,) if block_col else (),
+        )
     )
     hot = (
         shingled.groupBy(*keys)

@@ -4861,13 +4861,25 @@ def docs_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
     aug = augmented_docs(spark, sf_dir)
-    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
-    cand = lsh_candidates(sigs, num_hashes=8, band_size=2, band_cap=64).select(
-        "id_a", "id_b"
+    # each pair set feeds two consumers (the hit join + its own count),
+    # and each is an expensive chain (the LSH chain re-derives the
+    # signature per self-join arm; the exact chain is the posting-list
+    # join) — materialize the skinny id-pair results once
+    sigs = reliable_checkpoint(
+        minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
     )
-    exact = ngram_jaccard_pairs(aug, block_col="lang", threshold=0.5).select(
-        "id_a", "id_b"
+    cand = reliable_checkpoint(
+        lsh_candidates(sigs, num_hashes=8, band_size=2, band_cap=64).select(
+            "id_a", "id_b"
+        )
+    )
+    exact = reliable_checkpoint(
+        ngram_jaccard_pairs(aug, block_col="lang", threshold=0.5).select(
+            "id_a", "id_b"
+        )
     )
     hits = cand.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hits"))
     nc = cand.agg(F.count("*").alias("n_candidates"))

@@ -527,16 +527,14 @@ def embedding_cell_members(
     and base-pair co-location can be measured per ``max_cells`` setting
     without scoring the candidate stream (the profile's whole point: the
     Σ|cell|² term is a function of membership alone)."""
-    from pyspark.sql import Window
-
     from cupertino_nvr_spark.llm.similarity import (
         IVF_MAX_CELLS,
         _rounded_negsim,
         as_double,
+        assign_cells_arrow,
         centroid_struct_array,
         ensure_min_parallelism,
         ivf_centroids,
-        make_cosine,
         norm,
     )
 
@@ -555,24 +553,17 @@ def embedding_cell_members(
         )
     )
     if kernel != "hof":
-        # pandas UDFs cannot run inside higher-order-function lambdas —
-        # the Arrow-kernel twins keep the legacy cross-join+window shape
-        cosine = make_cosine(kernel)
-        scored = F.broadcast(cent).join(vecs).select(
-            "member_id",
-            "mvec",
-            "cell_id",
-            F.round(cosine(F.col("mvec"), F.col("centvec")), sim_decimals).alias(
-                "csim"
-            ),
-        )
-        wc = Window.partitionBy("member_id").orderBy(
-            F.col("csim").desc(), F.col("cell_id")
-        )
-        return (
-            scored.withColumn("r", F.row_number().over(wc))
-            .filter(F.col("r") <= n_assign)
-            .select("member_id", "mvec", "cell_id")
+        # Arrow kernel: a pandas UDF cannot run inside a HOF lambda, but
+        # one mapInPandas pass with the centroid matrix in the closure
+        # CAN own the whole top-n assignment — same decision order as
+        # the window it replaces, no n x |C| cross join, no member-keyed
+        # exchange carrying the vector (similarity.assign_cells_arrow)
+        return assign_cells_arrow(
+            vecs,
+            cent,
+            n_top=n_assign,
+            sim_decimals=sim_decimals,
+            keep_vec=True,
         )
     # per-row multi-probe assignment (guide §2.4/§8): the centroids ride
     # as ONE broadcast row and every vector picks its top-n_assign cells
@@ -616,6 +607,7 @@ def embedding_candidate_ids(
     sim_decimals: int = 6,
     kernel: str = "hof",
     n_rows: int | None = None,
+    members: DataFrame | None = None,
 ) -> DataFrame:
     """The blocking chain's DISTINCT candidate pair SET, id-only:
     (id_a, id_b) with id_a < id_b, one row per pair co-occupying at
@@ -626,8 +618,19 @@ def embedding_candidate_ids(
     the sf1 A/B harness — one function, so a measurement can never
     drift from the registered blocking (the _emb_neardup_chain_sql /
     embedding_cell_members convention)."""
-    mem = embedding_cell_members(
-        vectors, id_col, vec_col, max_cells, n_assign, sim_decimals, kernel, n_rows
+    # ``members``: a caller holding a pre-built (and typically
+    # checkpointed) membership frame passes it instead of paying the
+    # assignment chain again — the cell-budget profile consumes every
+    # swept membership TWICE (both self-join arms) plus the base chain,
+    # so without the passthrough each consumption re-ran the whole
+    # scan+assign upstream (no CSE across self-join arms).
+    mem = (
+        members
+        if members is not None
+        else embedding_cell_members(
+            vectors, id_col, vec_col, max_cells, n_assign, sim_decimals,
+            kernel, n_rows,
+        )
     ).select("member_id", "cell_id")
     return (
         mem.select("cell_id", F.col("member_id").alias("id_a"))
@@ -649,9 +652,14 @@ def embedding_neardup_pairs(
     kernel: str = "hof",
     per_cell_cap: int | None = None,
     n_rows: int | None = None,
+    members: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, sim) with id_a < id_b
     and rounded cosine >= ``threshold``.
+
+    ``members``: pre-built (member_id, mvec, cell_id) membership frame —
+    same passthrough contract as ``embedding_candidate_ids``; the chain
+    downstream of the membership is identical either way.
 
     ``n_rows``: pre-counted corpus size forwarded to the centroid build
     (``ivf_centroids`` stride derivation), mirroring
@@ -695,10 +703,11 @@ def embedding_neardup_pairs(
 
     from cupertino_nvr_spark.llm.similarity import dot, make_cosine, norm
 
-    members = embedding_cell_members(
-        vectors, id_col, vec_col, max_cells, n_assign, sim_decimals, kernel,
-        n_rows,
-    )
+    if members is None:
+        members = embedding_cell_members(
+            vectors, id_col, vec_col, max_cells, n_assign, sim_decimals,
+            kernel, n_rows,
+        )
     if kernel == "hof":
         # norm hoisting (r14): cosine pays dot + BOTH norms per candidate
         # pair — 3 x dim flops on the chain's dominant Σ|cell|² stream.

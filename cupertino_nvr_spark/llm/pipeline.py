@@ -219,7 +219,15 @@ def components_over_keys(
         )
         # the change flag rides in the checkpointed frame, so convergence
         # detection is a column sum over the rows this round materializes
-        # anyway — no extra old-vs-new join per round
+        # anyway — no extra old-vs-new join per round. The checkpoint is
+        # LAZY: the convergence aggregate below is the round's ONE action,
+        # and materializing the frame as that job's side effect (instead
+        # of an eager checkpoint job + a second agg job over the
+        # materialized blocks) halves the per-round fixed job overhead —
+        # at ~1M-row frames scheduling, not data volume, is the per-round
+        # cost (the multihop docstring's measurement). The agg computes
+        # every partition (a global sum), so the frame is fully
+        # materialized when the collect returns, exactly as before.
         new_labels = reliable_checkpoint(
             stepped.join(ptr, stepped["label"] == F.col("_t"), "left")
             .select(
@@ -233,7 +241,8 @@ def components_over_keys(
                     )
                     < F.col("_old")
                 ).cast("int").alias("_changed"),
-            )
+            ),
+            eager=False,
         )
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
         for f in hop_frames:

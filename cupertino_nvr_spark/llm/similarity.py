@@ -652,6 +652,87 @@ def _rounded_negsim(mvec, mnorm, c, sim_decimals: int):
     return -F.coalesce(csim, F.lit(-2.0))
 
 
+def assign_cells_arrow(
+    vecs: DataFrame,
+    cent: DataFrame,
+    n_top: int,
+    sim_decimals: int = 6,
+    keep_vec: bool = True,
+    rank_col: str | None = None,
+    id_name: str = "member_id",
+    vec_name: str = "mvec",
+) -> DataFrame:
+    """Arrow-kernel twin of the per-row HOF cell assignment: top-``n_top``
+    cells per vector by (rounded cosine desc, cell_id asc), computed as
+    ONE ``mapInPandas`` pass over the corpus with the centroid matrix in
+    the task closure (guide §4.2/§4.5 — heavy state built once per task,
+    whole batches scored by BLAS matmul).
+
+    Replaces the legacy broadcast cross-join + window shape the pandas
+    kernels kept after the r14 HOF rewrite (a pandas UDF cannot run in a
+    HOF lambda, but it CAN own the whole assignment): that shape
+    materialized n x |C| scored rows and exchanged them (vector payload
+    included) back to one row per member — the same exchange the HOF
+    rewrite deleted. Here the decision never leaves the scan stage.
+
+    Centroids are driver-collected under the ``MAX_PROBES`` closure
+    budget (identical bytes to what the broadcast-hash side shipped; the
+    blocked kernels already use this pattern for probes AND centroids),
+    sorted by cell_id so numpy's first-max / stable-sort tie-breaks
+    reproduce the window's (sim desc, cell_id asc) total order; a
+    non-finite cosine (zero-norm vector) maps to -2.0, below the cosine
+    range — the HOF kernel's exact NULLS-LAST treatment.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = _collect_bounded(cent)
+    rows.sort(key=lambda r: r["cell_id"])
+    spark = vecs.sparkSession
+    parts = [f"{id_name} {vecs.schema[id_name].dataType.simpleString()}"]
+    if keep_vec:
+        parts.append(f"{vec_name} array<double>")
+    parts.append(f"cell_id {cent.schema['cell_id'].dataType.simpleString()}")
+    if rank_col:
+        parts.append(f"{rank_col} int")
+    schema = ", ".join(parts)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cids = np.asarray([r["cell_id"] for r in rows], dtype=np.int64)
+    cmat = np.asarray([list(r["centvec"]) for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    k = min(n_top, len(cids))
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vmat = np.array([list(v) for v in pdf[vec_name]], dtype=np.float64)
+            vnorm = np.linalg.norm(vmat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    vmat @ cmat.T / (vnorm[:, None] * cnorm[None, :]),
+                    sim_decimals,
+                )
+            sims[~np.isfinite(sims)] = -2.0
+            if k == 1:
+                # first max = lowest cell id (cids sorted ascending)
+                pick = np.argmax(sims, axis=1)[:, None]
+            else:
+                # stable: equal sims keep ascending-cell_id column order
+                pick = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            out = {id_name: np.repeat(pdf[id_name].to_numpy(), k)}
+            if keep_vec:
+                out[vec_name] = np.repeat(pdf[vec_name].to_numpy(), k)
+            out["cell_id"] = cids[pick].ravel()
+            if rank_col:
+                out[rank_col] = np.tile(np.arange(1, k + 1, dtype=np.int32), n)
+            yield pd.DataFrame(out)
+
+    return vecs.select(id_name, vec_name).mapInPandas(assign, schema)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -688,25 +769,16 @@ def ivf_assign(
     )
     keep = ["member_id", "mvec"] if keep_vec else ["member_id"]
     if kernel != "hof":
-        scored = F.broadcast(cent).join(vecs).select(
-            "member_id",
-            "mvec",
-            "cell_id",
-            F.round(
-                make_cosine(kernel)(F.col("mvec"), F.col("centvec")), sim_decimals
-            ).alias("csim"),
+        # Arrow kernel: one mapInPandas pass, centroid matrix in the
+        # closure — same decision order as the HOF argmax, no n x |C|
+        # cross join, no member-keyed exchange (assign_cells_arrow doc)
+        return assign_cells_arrow(
+            vecs,
+            cent,
+            n_top=1,
+            sim_decimals=sim_decimals,
+            keep_vec=keep_vec,
         )
-        # argmax by (sim, -cell_id): max_by with a struct orders
-        # lexicographically, so negate the id to prefer the LOWEST cell
-        # id on similarity ties
-        aggs = [
-            F.max_by(
-                F.col("cell_id"), F.struct(F.col("csim"), -F.col("cell_id"))
-            ).alias("cell_id")
-        ]
-        if keep_vec:
-            aggs.append(F.first("mvec").alias("mvec"))
-        return scored.groupBy("member_id").agg(*aggs).select(*keep, "cell_id")
     mnorm = norm(F.col("mvec"))
     best = F.array_min(
         F.transform(
@@ -768,24 +840,17 @@ def ivf_route_candidates(
         F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pvec")
     )
     if kernel != "hof":
-        probe_cells = (
-            F.broadcast(cent)
-            .join(p)
-            .select(
-                "probe_id",
-                "pvec",
-                "cell_id",
-                F.round(
-                    make_cosine(kernel)(F.col("pvec"), F.col("centvec")),
-                    sim_decimals,
-                ).alias("csim"),
-            )
-        )
-        wc = Window.partitionBy("probe_id").orderBy(
-            F.col("csim").desc(), F.col("cell_id")
-        )
-        routed = probe_cells.withColumn("crank", F.row_number().over(wc)).filter(
-            F.col("crank") <= n_probe
+        # Arrow kernel: per-probe top-n_probe routing in one mapInPandas
+        # pass (rank = stable-sort position, the window's exact order)
+        routed = assign_cells_arrow(
+            p,
+            cent,
+            n_top=n_probe,
+            sim_decimals=sim_decimals,
+            keep_vec=True,
+            rank_col="crank",
+            id_name="probe_id",
+            vec_name="pvec",
         )
     else:
         # per-row routing: every probe row scores all centroids inside

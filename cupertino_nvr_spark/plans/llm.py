@@ -346,8 +346,25 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on band keys, hot buckets (> 64 docs) anti-joined away before the join",
 )
 def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
     aug = augmented_docs(spark, sf_dir)
-    sigs = minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+    # The signature table feeds FOUR arms downstream (hot-bucket count +
+    # anti-join left, then both self-join sides) and Spark cannot CSE
+    # across them — the plain plan re-ran the whole scan+shingle+md5+agg
+    # chain per arm (40 parquet scans at r14). LAZY checkpoint: the
+    # materialization happens inside the query's own first action (this
+    # is a headline query timed exec-only, so an eager build-time
+    # checkpoint would move work out of the timed region — gaming), and
+    # the four arms then share ONE signature RDD. The expensive map side
+    # (scan + shingles + md5) runs once even if downstream stages race on
+    # the lazily-persisted blocks: they share the signature aggregate's
+    # single shuffle dependency, so a race can only duplicate the cheap
+    # reduce-side min-agg tasks, never the corpus scan.
+    sigs = reliable_checkpoint(
+        minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5"),
+        eager=False,
+    )
     return lsh_candidates(sigs, num_hashes=8, band_size=2, band_cap=64)
 
 
@@ -1418,48 +1435,64 @@ def embedding_ivf_cell_budget_profile(
     from cupertino_nvr_spark.llm.similarity import ivf_centroids
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
+    from cupertino_nvr_spark.llm.dedup import embedding_cell_members
+
     aug = augmented_embeddings(spark, sf_dir)
     # one bounded-scalar corpus count reused by every centroid build
     # below (each would otherwise re-count the corpus for its stride)
     n_aug = aug.count()
-    cands: dict[int | None, DataFrame] = {}
+    # ONE checkpointed membership per swept cap (r15): the membership
+    # used to be recomputed per consumer — each cap's candidate-id
+    # self-join executed its assignment chain on BOTH arms and the
+    # production cap's chain ran a third time inside the base build
+    # (no CSE across self-join arms), 9 full scan+assign executions for
+    # 4 memberships. The swept caps checkpoint id+cell only (16 B/row);
+    # the production cap keeps the vector so the base chain below reads
+    # the SAME materialized membership instead of re-assigning.
+    mems: dict[int | None, DataFrame] = {}
     for cap in (8, 16, 32, None):
-        # the shared id-only candidate-set definition (no cosine paid;
-        # the distinct shuffles 16-byte rows)
-        cands[cap] = reliable_checkpoint(
-            embedding_candidate_ids(aug, max_cells=cap, n_rows=n_aug)
+        m = embedding_cell_members(aug, max_cells=cap, n_rows=n_aug)
+        mems[cap] = reliable_checkpoint(
+            m if cap is None else m.select("member_id", "cell_id")
         )
     # the production-budget reference pair set: the registered chain
-    # itself. Deliberately NOT rebuilt by joining vectors onto the
+    # itself, fed by the checkpointed production membership (everything
+    # downstream of the membership — cell self-join, hoisted-norm
+    # scoring, threshold, distinct — is the registered definition
+    # verbatim). Deliberately NOT rebuilt by joining vectors onto a
     # checkpointed candidate frame — the r13 A/B (ROUND_NOTES_r13)
-    # measured that shape 5x SLOWER at sf1 (the full candidate stream
-    # pays a distinct plus two sort-merge joins with growing vector
-    # payloads), while the chain keeps the stream pipelined inside the
-    # cell join's stage and only the post-threshold survivors shuffle.
-    # Feeds one semi-join per swept cap plus its own count. n_aug rides
-    # in so the chain's internal centroid build reuses the ONE corpus
-    # count above (r13 ADVICE item 5: without the passthrough this was
-    # the profile's single remaining redundant count job).
+    # measured that shape 5x SLOWER at sf1, while this keeps the
+    # candidate stream pipelined inside the cell join's stage.
     base = reliable_checkpoint(
-        embedding_neardup_pairs(aug, threshold=0.99, n_rows=n_aug).select(
-            "id_a", "id_b"
-        )
+        embedding_neardup_pairs(
+            aug, threshold=0.99, n_rows=n_aug, members=mems[None]
+        ).select("id_a", "id_b")
     )
+    base_flagged = F.broadcast(base.withColumn("_hit", F.lit(True)))
     rows = []
-    for cap, cand in cands.items():
+    for cap, mem in mems.items():
         label = IVF_MAX_CELLS if cap is None else cap
+        # candidate volume + base-recall in ONE aggregate pass over the
+        # pair stream (r15): the pair sets used to be checkpointed per
+        # cap just to be counted twice (own count + base semi-join);
+        # a left join against the broadcast base (668 pairs at sf0.1 —
+        # bounded by the production near-dup survivor count at any
+        # scale) flags hits inline, so the Σ|cell|² candidate stream is
+        # never materialized, only streamed through one count.
+        cand = embedding_candidate_ids(
+            aug, max_cells=cap, n_rows=n_aug, members=mem
+        )
+        stats = cand.join(base_flagged, ["id_a", "id_b"], "left").agg(
+            F.count("*").alias("n_candidates"),
+            F.count("_hit").alias("n_base_hit"),
+        )
         rows.append(
             spark.range(1)
             .select(F.lit(label).cast("long").alias("max_cells"))
             .crossJoin(ivf_centroids(aug, max_cells=label, n_rows=n_aug).agg(
                 F.count("*").alias("n_cells")
             ))
-            .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
-            .crossJoin(
-                cand.join(base, ["id_a", "id_b"], "left_semi").agg(
-                    F.count("*").alias("n_base_hit")
-                )
-            )
+            .crossJoin(stats)
         )
     prof = reduce(DataFrame.unionByName, rows)
     nb = base.agg(F.count("*").alias("n_base"))
@@ -4508,8 +4541,13 @@ def embedding_ivf_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the bounded candidate set; signatures shuffle once per side",
 )
 def docs_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
     aug = augmented_docs(spark, sf_dir)
-    sigs = minhash_signature(aug)
+    # the signature table feeds SIX arms here (four inside
+    # lsh_candidates + both estimate join sides) — materialize it once
+    # (72 B/doc); build-inclusive extras timing, so eager is honest
+    sigs = reliable_checkpoint(minhash_signature(aug))
     cands = lsh_candidates(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)]

@@ -65,16 +65,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--reps", type=int, default=3, help="0 = explain only")
-    ap.add_argument("--tag", default=None, help="plans/r14/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r15", help="plans subdir for --explain dumps")
     ap.add_argument("--explain", action="store_true")
+    ap.add_argument(
+        "--no-warm",
+        action="store_true",
+        help="skip the warm pass (explain-only runs need no warm tables)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("opt-probe-r14")
-    warm(spark, sf_dir)
+    spark = get_spark("opt-probe")
+    if not args.no_warm:
+        warm(spark, sf_dir)
 
     out: dict[str, list[float]] = {}
-    plan_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    plan_dir = Path(__file__).resolve().parent.parent / "plans" / args.round
     for name in args.queries:
         spec = REGISTRY[name]
         include_build = name not in HEADLINE

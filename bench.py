@@ -767,6 +767,13 @@ def main() -> None:
         # recorded number: a true regression would require a plan change,
         # so flag loudly for a human/judge to re-measure on a quiet box
         result["suspect_machine_state"] = sorted(suspect)
+    # wall-to-wall suspect flags (r14 carried 17, spanning touched AND
+    # untouched queries) mean the WINDOW was degraded, not the plans —
+    # one top-level flag so round-over-round PERF comparisons self-label
+    # instead of reading ambient drift as N simultaneous regressions.
+    # Threshold 5: quiet-window sweeps on this box carry 0-2 flags.
+    if len(suspect) >= 5:
+        result["ambient_degraded"] = True
     if partial:
         result["partial"] = True
     if errors:
@@ -819,6 +826,8 @@ def main() -> None:
     }
     if suspect:
         compact["suspect_machine_state"] = sorted(suspect)
+    if len(suspect) >= 5:
+        compact["ambient_degraded"] = True
     if reprobe:
         compact["reprobe"] = reprobe
     if partial:

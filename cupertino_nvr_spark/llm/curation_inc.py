@@ -125,7 +125,11 @@ def init_state(docs: DataFrame) -> CurationState:
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    flags = _flags_against(attrs, digest_min, bench)
+    # checkpoint the flag frame BEFORE the postings build reads it: the
+    # state constructor used to checkpoint `flags` after `postings` had
+    # already consumed the raw chain, so the whole funnel (digest join +
+    # qgram explode + contamination probe) executed twice per bootstrap
+    flags = reliable_checkpoint(_flags_against(attrs, digest_min, bench))
     # index only CURRENTLY-CLEAN docs: is_clean is one-way, so a doc
     # contaminated (or displaced) already can never flip again and its
     # postings would be dead weight — the live-clean invariant keeps
@@ -137,7 +141,7 @@ def init_state(docs: DataFrame) -> CurationState:
         digest_min=digest_min,
         bench_grams=bench,
         postings=reliable_checkpoint(postings),
-        flags=reliable_checkpoint(flags),
+        flags=flags,
     )
 
 
@@ -234,7 +238,9 @@ def merge_delta(
     # displaced keepers: digest existed, keeper id moved (to a smaller
     # delta id) and the old keeper is NOT a delta doc -> its flags all
     # flip False (every downstream flag conjoins is_keeper)
-    losers = (
+    # consumed twice (old-flags join + the `flipped` union) — without
+    # the checkpoint each consumer re-ran the digest-table join
+    losers = reliable_checkpoint(
         state.digest_min.alias("old")
         .join(merged_digest.alias("new"), "digest")
         .filter(F.col("old.min_keeper_id") != F.col("new.min_keeper_id"))
@@ -256,8 +262,11 @@ def merge_delta(
         state.bench_grams.unionByName(new_grams)
     )
 
-    # 3. retroactively contaminated old docs: posting probe on new grams
-    hit = (
+    # 3. retroactively contaminated old docs: posting probe on new grams.
+    # Consumed twice (old-flags join + the `flipped` union); the posting
+    # index is the state's BIGGEST frame, so without the checkpoint the
+    # probe scanned it twice per merge.
+    hit = reliable_checkpoint(
         state.postings.join(F.broadcast(new_grams), "gram")
         .select("doc_id")
         .distinct()
@@ -266,8 +275,12 @@ def merge_delta(
 
     # 4. delta docs' own flags, evaluated against the MERGED state (so
     # an intra-delta duplicate or bench doc resolves exactly as a full
-    # recompute would)
-    delta_flags = _flags_against(attrs, merged_digest, merged_bench)
+    # recompute would). Consumed twice (merged flag frame + the clean
+    # filter gating the delta's postings) — checkpoint (5 booleans/doc)
+    # or the funnel's qgram explode + contamination probe runs twice.
+    delta_flags = reliable_checkpoint(
+        _flags_against(attrs, merged_digest, merged_bench)
+    )
 
     old_flags = (
         state.flags.join(losers, "doc_id", "left")

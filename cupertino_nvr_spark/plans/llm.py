@@ -629,8 +629,13 @@ def docs_neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
     aug = augmented_docs(spark, sf_dir)
+    # the MinHash signature feeds four arms inside lsh_candidates (no
+    # CSE across self-join arms) — materialize once, 72 B/doc; extras
+    # timing is build-inclusive so the eager checkpoint is honest
     mh = lsh_candidates(
-        minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5"),
+        reliable_checkpoint(
+            minhash_signature(aug, num_hashes=8, shingle_k=3, hash_fn="md5")
+        ),
         num_hashes=8,
         band_size=2,
         band_cap=64,
@@ -5592,18 +5597,31 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
-    """Shared trainer loop: returns (merge_rows, initial_state,
-    final_state) — the merges query unions the former, the compression
-    eval aggregates the two states."""
-    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
-
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE corpus word-frequency collapse every tokenizer trainer starts
+    from: lowercased whitespace tokens, one explode + one
+    map-side-combined groupBy. Factored out so a multi-trainer consumer
+    (docs_tokenizer_fertility runs all three) can materialize it ONCE
+    and pass it in — three trainers used to repeat the full corpus scan
+    + tokenize + shuffle each."""
     docs = load_table(spark, "documents", sf_dir)
-    words = (
+    return (
         docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = None):
+    """Shared trainer loop: returns (merge_rows, initial_state,
+    final_state) — the merges query unions the former, the compression
+    eval aggregates the two states. ``words``: a pre-built (w, f) word
+    table (see ``_word_freq``) to train on instead of collapsing the
+    corpus again."""
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    if words is None:
+        words = _word_freq(spark, sf_dir)
     enc0 = F.concat(
         F.lit(_BPE_SS), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SS)
     )
@@ -5886,19 +5904,16 @@ def docs_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _wp_train(spark: SparkSession, sf_dir: str):
+def _wp_train(spark: SparkSession, sf_dir: str, words: DataFrame | None = None):
     """Shared WordPiece trainer loop: returns (merge_rows, final_state) —
     the merges query unions the former; the application legs
     (docs_wordpiece_tokenized_len, the fertility wordpiece row) derive
-    the greedy-matching vocabulary from the latter."""
+    the greedy-matching vocabulary from the latter. ``words``: see
+    ``_bpe_train``."""
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
-    docs = load_table(spark, "documents", sf_dir)
-    words = (
-        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("f"))
-    )
+    if words is None:
+        words = _word_freq(spark, sf_dir)
     enc0 = F.concat(
         F.lit(_BPE_SS), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SS)
     )
@@ -6437,20 +6452,32 @@ def _viterbi_pieces(wcol, dps):
     )
 
 
-def _unigram_train(spark: SparkSession, sf_dir: str):
+def _unigram_train(
+    spark: SparkSession, sf_dir: str, words: DataFrame | None = None
+):
     """Shared trainer: returns (words, vocab_final, word_pieces) — the
     trainer query emits vocab_final; segment/fertility reuse word_pieces
     (each word's final-round Viterbi piece count), so the evaluated
-    segmentation is exactly the trained one."""
+    segmentation is exactly the trained one. ``words``: a pre-built
+    UNfiltered (w, f) table (``_word_freq``); the surface-length cap is
+    applied here either way (filtering the token stream before the
+    groupBy and filtering the aggregated keys are identical — every
+    occurrence of a word has the word's length)."""
     from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
 
-    docs = load_table(spark, "documents", sf_dir)
-    words = reliable_checkpoint(
-        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
-        .filter(F.length("w").between(1, _UNI_MAXW))
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("f"))
-    )
+    if words is None:
+        docs = load_table(spark, "documents", sf_dir)
+        words = (
+            docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+            .filter(F.length("w").between(1, _UNI_MAXW))
+            .groupBy("w")
+            .agg(F.count("*").cast("bigint").alias("f"))
+        )
+    else:
+        words = words.filter(F.length("w").between(1, _UNI_MAXW)).select(
+            "w", F.col("f").cast("bigint").alias("f")
+        )
+    words = reliable_checkpoint(words)
     starts = F.sequence(F.lit(1), F.length("w").cast("int"))
     plens = F.sequence(F.lit(1), F.lit(_UNI_MAXP))
     cands = reliable_checkpoint(
@@ -6677,9 +6704,16 @@ def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, _, bpe_state = _bpe_train(spark, sf_dir)
-    words, _, word_pieces = _unigram_train(spark, sf_dir)
-    _, wp_state = _wp_train(spark, sf_dir)
+    from cupertino_nvr_spark.operators.checkpoint import reliable_checkpoint
+
+    # all three trainers start from the SAME corpus word-frequency
+    # collapse — materialize it once (vocabulary-bounded: one (w, f) row
+    # per distinct word) instead of paying the corpus scan + tokenize +
+    # shuffle three times (r15; guide §2.4)
+    base_words = reliable_checkpoint(_word_freq(spark, sf_dir))
+    _, _, bpe_state = _bpe_train(spark, sf_dir, words=base_words)
+    words, _, word_pieces = _unigram_train(spark, sf_dir, words=base_words)
+    _, wp_state = _wp_train(spark, sf_dir, words=base_words)
     wptok = _wp_word_tokens(wp_state.select("w"), _wp_vocab(wp_state))
     bpe = (
         bpe_state.filter(F.length("w").between(1, _UNI_MAXW))

@@ -25,7 +25,7 @@ from cupertino_nvr_spark.plans import llm  # noqa: F401,E402
 from cupertino_nvr_spark.plans import relational  # noqa: F401,E402
 from cupertino_nvr_spark.plans import tpch_extra  # noqa: F401,E402
 
-# r14 sampled-window priority — GENERATED, not hand-typed (r13 VERDICT
+# r15 sampled-window priority — GENERATED, not hand-typed (r13 VERDICT
 # item 2): `python tools/gen_window.py` derives it from the committed
 # CORRECTNESS_r* history (via `git show HEAD:` — a driver artifact
 # landing in the working tree mid-round cannot change it) plus the
@@ -48,29 +48,9 @@ from cupertino_nvr_spark.plans import tpch_extra  # noqa: F401,E402
 # The literal covers EVERY declared query, so overflow (entries 51+)
 # follows in priority order — nothing is ever stranded at its raw
 # registration-order position (the r12 review finding).
-_WINDOW_PRIORITY = [  # r14 snapshot
-    'asof_ttl_overlay', 'docs_simhash_neardup_uncapped',
-    'docs_classifier_calibration', 'nation_volume_shipping',
-    'order_price_stats', 'order_priority_check', 'orders_above_avg',
-    'orders_benford', 'orders_grouping_sets', 'orders_rollup',
-    'premium_lineitems_theta', 'pricing_summary', 'promo_revenue_ratio',
-    'quantity_price_correlation', 'returned_item_revenue',
-    'returnflag_priority_counts', 'revenue_by_nation',
-    'shipping_priority', 'small_quantity_revenue', 'top20_lineitems',
-    'top_orders_per_customer', 'top_supplier_revenue',
-    'trailing_user_activity', 'user_event_pivot', 'user_event_unpivot',
-    'user_running_value', 'user_value_exact_stats', 'waiting_suppliers',
-    'customer_value_distribution', 'docs_bigram_lm_score',
-    'docs_bm25_search', 'docs_cdc_chunk_dedup', 'docs_chunked',
-    'docs_contamination', 'docs_curation_report', 'docs_dedup_survivors',
-    'docs_dsir_weights', 'docs_dup_clusters', 'docs_hot_ngram_coverage',
-    'docs_lang_balanced_sample', 'docs_length_band_filter',
-    'docs_lsh_tuning_profile', 'docs_minhash_jaccard_estimate',
-    'docs_mixture_weights', 'docs_ngram_novelty',
-    'docs_perplexity_buckets', 'docs_pii_scrub',
-    'docs_repetition_quality', 'docs_substring_excised_stats',
-    'docs_tfidf_topterms', 'docs_tokenizer_fertility',
-    'docs_train_shards', 'docs_unigram_lm_score', 'docs_vocab_topk',
+_WINDOW_PRIORITY = [  # r15 snapshot
+    'asof_ttl_overlay', 'docs_tokenizer_fertility', 'docs_train_shards',
+    'docs_unigram_lm_score', 'docs_vocab_topk',
     'docs_wordpiece_tokenized_len', 'docs_zipf_slope',
     'dominant_promo_suppliers', 'embedding_cosine_neardup',
     'embedding_dim_stats', 'embedding_int8_ann', 'embedding_int8_ivf_ann',
@@ -142,7 +122,27 @@ _WINDOW_PRIORITY = [  # r14 snapshot
     'market_share', 'media_doc_dup_clusters', 'media_phash_neardup',
     'media_phash_pixels', 'media_resize_plan', 'media_text_pairs',
     'nation_presence_set_ops', 'nation_region_broadcast',
-    'orders_open_backlog', 'parts_copurchase_lift'
+    'orders_open_backlog', 'parts_copurchase_lift',
+    'customer_value_distribution', 'docs_bigram_lm_score',
+    'docs_bm25_search', 'docs_cdc_chunk_dedup', 'docs_chunked',
+    'docs_classifier_calibration', 'docs_contamination',
+    'docs_curation_report', 'docs_dedup_survivors', 'docs_dsir_weights',
+    'docs_dup_clusters', 'docs_hot_ngram_coverage',
+    'docs_lang_balanced_sample', 'docs_length_band_filter',
+    'docs_lsh_tuning_profile', 'docs_minhash_jaccard_estimate',
+    'docs_mixture_weights', 'docs_ngram_novelty',
+    'docs_perplexity_buckets', 'docs_pii_scrub',
+    'docs_repetition_quality', 'docs_simhash_neardup_uncapped',
+    'docs_substring_excised_stats', 'docs_tfidf_topterms',
+    'nation_volume_shipping', 'order_price_stats', 'order_priority_check',
+    'orders_above_avg', 'orders_benford', 'orders_grouping_sets',
+    'orders_rollup', 'premium_lineitems_theta', 'pricing_summary',
+    'promo_revenue_ratio', 'quantity_price_correlation',
+    'returned_item_revenue', 'returnflag_priority_counts',
+    'revenue_by_nation', 'shipping_priority', 'small_quantity_revenue',
+    'top20_lineitems', 'top_orders_per_customer', 'top_supplier_revenue',
+    'trailing_user_activity', 'user_event_pivot', 'user_event_unpivot',
+    'user_running_value', 'user_value_exact_stats', 'waiting_suppliers'
 ]
 
 _registry.WINDOW_PRIORITY[:] = _WINDOW_PRIORITY

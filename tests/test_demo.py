@@ -3,12 +3,16 @@ codec, windowed metrics, under the control plane with a mid-run reconfig."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 from nvr_pipeline_demo import run_demo
+
+pytestmark = pytest.mark.slow  # rehearsal suite: excluded from the default (gate) run, see pytest.ini
 
 
 def test_demo_pipeline(spark):

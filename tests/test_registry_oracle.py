@@ -17,6 +17,33 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 ORACLE_SPECS = sorted(name for name, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_SPECS = sorted(name for name, s in REGISTRY.items() if s.oracle is None)
 
+# Fast-by-default oracle smoke: one row per query family, so the default
+# (gate) run still exercises the whole Spark-vs-DuckDB comparison
+# machinery end-to-end while the FULL 441-row rehearsal is `slow` (the
+# driver's bounded test window truncated on it — r14 VERDICT item 1; the
+# driver independently oracle-checks the sampled window itself, and the
+# full rehearsal remains the documented round-close command in
+# pytest.ini). Chosen: the flagship, one scan-agg, one window chain, one
+# event chain, the touched-this-round dedup/clustering/curation chains,
+# one simhash, one embedding blocking chain, one IVF ANN, one rollup,
+# one media row.
+SMOKE_SPECS = [
+    "asof_ttl_overlay",
+    "pricing_summary",
+    "latest_event_per_user",
+    "events_funnel",
+    "orders_rollup",
+    "docs_exact_dedup",
+    "docs_token_stats",
+    "docs_minhash_lsh_candidates",
+    "docs_simhash_neardup",
+    "docs_dup_clusters",
+    "docs_curation_inc_report",
+    "embedding_cosine_neardup",
+    "embedding_ivf_ann",
+    "media_features",
+]
+
 
 def test_every_declared_query_has_an_oracle():
     """Driver contract: a declared query without an oracle is recorded as
@@ -29,6 +56,7 @@ def test_every_declared_query_has_an_oracle():
             assert spec.bench_only, f"{name} has no oracle but is driver-declared"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ORACLE_SPECS)
 def test_declared_output_schema_is_scalar_only(spark, name):
     """Driver contract: the external comparator sorts the result pandas
@@ -55,6 +83,7 @@ def test_declared_output_schema_is_scalar_only(spark, name):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ORACLE_SPECS)
 def test_oracle_match(spark, name):
     spec = REGISTRY[name]
@@ -63,9 +92,18 @@ def test_oracle_match(spark, name):
     compare(result, expected)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ROWS_ONLY_SPECS)
 def test_rows_only_runs(spark, name):
     spec = REGISTRY[name]
     result = spec.spark(spark, SF_DIR)
     assert result.count() >= 0
     assert len(result.schema) > 0
+
+
+@pytest.mark.parametrize("name", SMOKE_SPECS)
+def test_oracle_match_smoke(spark, name):
+    spec = REGISTRY[name]
+    result = spec.spark(spark, SF_DIR)
+    expected = duckdb_run(spec.oracle, SF_DIR)
+    compare(result, expected)

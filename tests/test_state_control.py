@@ -18,6 +18,8 @@ from cupertino_nvr_spark.streaming.state import ttl_latest_per_key
 
 from tests.test_streaming import make_events, ts, write_batches
 
+pytestmark = pytest.mark.slow  # rehearsal suite: excluded from the default (gate) run, see pytest.ini
+
 
 @pytest.fixture(autouse=True, scope="module")
 def few_shuffle_partitions(spark):

@@ -30,6 +30,8 @@ from cupertino_nvr_spark.streaming.windows import (
 )
 from cupertino_nvr_spark.schemas import DETECTION_EVENT_SCHEMA, FRAME_SCHEMA
 
+pytestmark = pytest.mark.slow  # rehearsal suite: excluded from the default (gate) run, see pytest.ini
+
 
 def ts(second: float) -> datetime:
     """Deterministic event times on 2024-01-01 (UTC, tz-naive for Spark)."""
